@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark-native engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-schema query at sf0.001;
+``queries()`` exposes one callable per implemented operator surface
+(SURVEY.md §2 + the training-data extension ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each. Column names/types are aligned pairwise
+(the driver sorts columns by name and hashes values).
 """
 
 from __future__ import annotations
@@ -13,26 +13,54 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from de_final_project_spark.operators import similarity, textdedup
+from de_final_project_spark.plans import analytics, star_testdata
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the fact_lineitem star build (scan -> broadcast
+    date-dimension joins -> project/rename -> sequence key) at sf0.001."""
+    return star_testdata.fact_lineitem(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- star-schema parity surface (SURVEY.md §2.12 plan shapes) ---
+        "dim_customer": star_testdata.dim_customer,
+        "dim_supplier": star_testdata.dim_supplier,
+        "dim_part": star_testdata.dim_part,
+        "dim_date": star_testdata.dim_date,
+        "keep_latest_events": star_testdata.keep_latest_events,
+        "fact_lineitem": star_testdata.fact_lineitem,
+        # --- aggregation / window / event analytics extensions ---
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
+        "q5_revenue_by_nation": analytics.q5_revenue_by_nation,
+        "top_orders_per_customer": analytics.top_orders_per_customer,
+        "events_hourly": analytics.events_hourly,
+        "events_json_extract": analytics.events_json_extract,
+        # --- training-data pipeline surface: text + dedup + similarity ---
+        "doc_stats": textdedup.doc_stats,
+        "dedup_docs_exact": textdedup.dedup_docs_exact,
+        "knn_bruteforce": similarity.knn_bruteforce,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dim_customer": star_testdata.DIM_CUSTOMER_SQL,
+        "dim_supplier": star_testdata.DIM_SUPPLIER_SQL,
+        "dim_part": star_testdata.DIM_PART_SQL,
+        "dim_date": star_testdata.DIM_DATE_SQL,
+        "keep_latest_events": star_testdata.KEEP_LATEST_EVENTS_SQL,
+        "fact_lineitem": star_testdata.FACT_LINEITEM_SQL,
+        "q1_pricing_summary": analytics.Q1_SQL,
+        "q3_top_revenue_orders": analytics.Q3_SQL,
+        "q5_revenue_by_nation": analytics.Q5_SQL,
+        "top_orders_per_customer": analytics.TOP_ORDERS_SQL,
+        "events_hourly": analytics.EVENTS_HOURLY_SQL,
+        "events_json_extract": analytics.EVENTS_JSON_SQL,
+        "doc_stats": textdedup.DOC_STATS_SQL,
+        "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
+        "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+    }

@@ -1,0 +1,75 @@
+"""Deterministic surrogate / sequence keys.
+
+The reference assigns 1-based dense sequence keys with
+``df.insert(0, key, range(1, len(df)+1))`` (reference
+src/process_lambda.py:240,298,365,433; SURVEY.md §2.7 W2). The Spark
+equivalent is ``row_number`` over an explicit ordering.
+
+Scale note: a global row_number needs a single ordered partition at the
+window stage. For dimension-sized outputs (dim_date: thousands of rows)
+that is fine. For fact tables the reference's record ids are per-run
+sequence numbers with no semantic content beyond uniqueness+density, so
+callers that don't need global density at 100 TB should prefer
+``zip_with_index_key`` (two narrow passes, no single-partition funnel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_sequence_key(
+    df: DataFrame, key_name: str, order_cols: Sequence[str] | str
+) -> DataFrame:
+    """1-based dense sequence key ordered by ``order_cols``, as first column.
+
+    The ordering must be a total order over the rows for the key to be
+    deterministic; callers pass the business columns that define it
+    (dates ascending for date_id, the business key for fact record ids).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    return df.select(
+        F.row_number().over(w).cast("long").alias(key_name), "*"
+    )
+
+
+def zip_with_index_key(df: DataFrame, key_name: str, start: int = 1) -> DataFrame:
+    """Dense sequence key without a single-partition window.
+
+    Two-pass scheme: count rows per partition (cheap scan), then offset
+    each partition's local index by the cumulative count — the classic
+    distributed zipWithIndex. Row order follows the current partitioning,
+    so use only where the caller doesn't require a business ordering.
+    """
+    spark = df.sparkSession
+    schema = df.schema
+
+    def attach(partition_index: int, rows):
+        # local import keeps the closure picklable and worker-cheap
+        for i, row in enumerate(rows):
+            yield (partition_index, i, row)
+
+    counts = df.rdd.mapPartitionsWithIndex(
+        lambda idx, it: [(idx, sum(1 for _ in it))]
+    ).collectAsMap()
+    offsets = {}
+    running = start
+    for idx in sorted(counts):
+        offsets[idx] = running
+        running += counts[idx]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(idx, it):
+        base = b_offsets.value.get(idx, 0)
+        for i, row in enumerate(it):
+            yield (base + i, *row)
+
+    out_schema = (
+        f"{key_name} long, " + ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    )
+    rdd = df.rdd.mapPartitionsWithIndex(assign)
+    return spark.createDataFrame(rdd, schema=out_schema)

@@ -1,0 +1,69 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Exact dedup here; MinHash-LSH / SimHash near-dup live in
+``operators/neardup.py``. All are DataFrame-native: the heavy lifting is
+hash-groupBy (one shuffle on the fingerprint — uniformly distributed, so
+no skew) and self-joins on band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.functions.text import fingerprint, token_count
+from de_final_project_spark.sources.readers import read_testdata
+
+
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup groups: md5 fingerprint of normalized text ->
+    canonical doc (min doc_id) + copy count per fingerprint.
+
+    One hash aggregate on a 128-bit uniform key: shuffles O(distinct
+    fingerprints), map-side partials first. At 100 TB this is the standard
+    exact-dedup pass of a corpus pipeline."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_DOCS_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token count, char count, exact token
+    chars — the quality-scoring feature base. Pure narrow projection, no
+    shuffle at all."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        token_count("text").alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"\s", "")))
+        .cast("long")
+        .alias("n_whitespace"),
+    )
+
+
+DOC_STATS_SQL = """
+SELECT doc_id,
+       lang,
+       length(text) AS n_chars_computed,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_whitespace
+FROM documents
+"""

@@ -1,0 +1,295 @@
+"""Analytics extension queries over the driver testdata.
+
+The reference has no group-by aggregation at all (SURVEY.md §2.6) — this
+module is the extension surface a real warehouse engine needs: hash
+aggregates, top-k windows, multi-way star joins, JSON scalar extraction,
+and time-bucketed event rollups. Everything is built-in-function only
+(whole-stage codegen end to end); aggregations of monetary doubles go
+through exact decimal arithmetic so results are bit-stable and
+oracle-comparable (doubles summed in different orders are not).
+
+Scale notes per query are inline; the common rules: small sides broadcast,
+aggregates are partial (map-side) before the shuffle because they are
+plain hash aggregates on low-cardinality keys, and filters sit directly on
+the scan so parquet row-group pruning and column pruning apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+# Exact-decimal versions of the monetary columns (2-dp doubles in the
+# testdata). Decimal sums are associative -> identical across engines and
+# partitionings; final results are cast back to double.
+_DEC = "decimal(12,2)"
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast(_DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> hash aggregate on a
+    2-value × 2-value key. The filter is on the scan (row-group pruning);
+    the aggregate is map-side partial then a 6-group final — shuffle
+    volume is O(partitions), not O(rows)."""
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    out = (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.sum(disc_price).alias("_sum_disc"),
+            F.sum(charge).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "return_flag",
+            "line_status",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+            F.col("_sum_base").cast("double").alias("sum_base_price"),
+            F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+            F.col("_sum_charge").cast("double").alias("sum_charge"),
+            (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT return_flag, line_status,
+       CAST(_sum_qty AS DOUBLE)    AS sum_qty,
+       CAST(_sum_base AS DOUBLE)   AS sum_base_price,
+       CAST(_sum_disc AS DOUBLE)   AS sum_disc_price,
+       CAST(_sum_charge AS DOUBLE) AS sum_charge,
+       CAST(_sum_qty AS DOUBLE) / count_order  AS avg_qty,
+       CAST(_sum_base AS DOUBLE) / count_order AS avg_price,
+       count_order
+FROM (
+  SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+         sum(CAST(l_quantity AS DECIMAL(12,2)))      AS _sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS _sum_base,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS _sum_disc,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS _sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+  GROUP BY 1, 2
+)
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment filter -> 3-way join -> revenue aggregate
+    -> deterministic top-10. customer is broadcast (small after filter);
+    lineitem⋈orders shuffles on orderkey only."""
+    cust = read_testdata(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1998-01-01")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.sum(revenue).alias("_rev"))
+        .select(
+            "order_key",
+            "order_date",
+            "order_priority",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT order_key, order_date, order_priority, CAST(_rev AS DOUBLE) AS revenue
+FROM (
+  SELECT l_orderkey AS order_key,
+         CAST(o_orderdate AS DATE) AS order_date,
+         o_orderpriority AS order_priority,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS _rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue DESC, order_key ASC
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where customer and supplier
+    share the nation. nation/region broadcast; supplier broadcasts at
+    test scale and stays the smallest shuffle side at 100 TB."""
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = read_testdata(spark, sf_dir, "lineitem")
+    supp = read_testdata(spark, sf_dir, "supplier")
+    nation = read_testdata(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).alias("_rev"))
+        .select("nation_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name AS nation_name, CAST(sum(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT c_nationkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+)
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price — the per-key top-k window
+    (the distributed generalization of the reference's keep-latest, W1/W3).
+    One hash exchange on custkey feeding a rank window; no global sort."""
+    from pyspark.sql import Window
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("order_rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_key"),
+            "order_rank",
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey AS customer_key,
+       order_rank,
+       o_orderkey AS order_key,
+       o_totalprice AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS order_rank
+  FROM orders
+)
+WHERE order_rank <= 3
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup (streaming-concept analog of the
+    reference's 20-minute micro-batch cadence, SURVEY.md §2.10): hour
+    bucket × event_type hash aggregate with exact-decimal value sums."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("_sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("_sum_value").cast("double").alias("sum_value"),
+            "n_users",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (the data-plane analog
+    of the reference's control-plane JSON handling, F12 — SURVEY.md §2.9)
+    + aggregate per event_type."""
+    events = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""

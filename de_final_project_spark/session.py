@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+The reference runs single-threaded pandas inside 512 MB Lambdas
+(reference terraform/setup.tf:117,166); this engine instead targets a real
+Spark cluster. The factory bakes in the configs that matter at scale and
+stay harmless on local[N]:
+
+- AQE on (runtime partition coalescing, skew-join splitting, join-strategy
+  switching) — the 100 TB insurance policy.
+- Broadcast threshold left at default (10 MB) so small dimensions broadcast
+  automatically; plan code additionally hints ``F.broadcast`` where the dim
+  is known-small regardless of stats.
+- ``spark.sql.shuffle.partitions`` sized for the local test harness; on a
+  real cluster AQE coalesces from a higher initial number, so we set the
+  *initial* partition number and let AQE shrink it.
+- Arrow enabled for the few Pandas-UDF extension operators (multimodal,
+  embedding kernels) — never used on the parity surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "de-final-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession configured for this engine.
+
+    On a cluster, ``master`` comes from spark-submit; locally we default to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are default-on; pin
+        # them anyway so a misconfigured cluster can't silently regress.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Some producers (incl. the driver testdata's events table) write
+        # TIMESTAMP(NANOS) parquet, which Spark has no native type for.
+        # Read as long and convert explicitly (sources/readers.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,98 @@
+"""Readers — the S1-S9 scan operators of SURVEY.md §2.1, Spark-first.
+
+The reference lists S3 keys per table and pd.concat's per-file CSV reads
+(reference src/process_lambda.py:37-56). Spark subsumes listing + union +
+parallel read in a single ``spark.read.csv(dir)`` over the table prefix:
+partition discovery is the FileIndex's job, the union is implicit, and the
+read parallelizes across executors. At 100 TB the bronze layout
+``{lake}/{table}/batch_ts=.../*.csv`` additionally gives partition pruning
+on the batch timestamp for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.schemas import SOURCE_SCHEMAS
+
+# Column injected on bronze reads to give keep-latest dedup a total order
+# even when last_updated ties (the reference relied on pandas positional
+# keep='last' after concatenating files in S3 listing order —
+# src/process_lambda.py:48-56,95; SURVEY.md §2.5 D1).
+BATCH_TS_COL = "_batch_ts"
+
+
+def read_ingest_table(
+    spark: SparkSession, lake_dir: str, table: str, fmt: str = "csv"
+) -> DataFrame:
+    """Scan every ingested batch file for ``table`` (S3-S5 equivalent).
+
+    Bronze layout: ``{lake_dir}/{table}/batch_ts=<ts>/part-*.{fmt}`` —
+    a Hive-partitioned directory, so ``batch_ts`` arrives as a partition
+    column and pruning by batch is a metadata operation. Reading the whole
+    directory replaces the reference's list-keys + per-file-read + concat
+    loop with one distributed scan.
+    """
+    path = os.path.join(lake_dir, table)
+    schema = SOURCE_SCHEMAS.get(table)
+    if fmt == "csv":
+        reader = spark.read.option("header", "true")
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(path)
+    else:
+        df = spark.read.parquet(path)
+    # Partition column batch_ts (string) -> _batch_ts used as dedup order.
+    if "batch_ts" in df.columns:
+        df = df.withColumn(BATCH_TS_COL, F.col("batch_ts"))
+    else:
+        # Flat layout fallback: derive the batch id from the file path, as
+        # the reference derives ordering from the S3 key timestamp prefix.
+        df = df.withColumn(BATCH_TS_COL, F.input_file_name())
+    return df
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S6/S7 equivalent); existence errors surface naturally."""
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one driver testdata table (TESTDATA.md).
+
+    The events table carries a TIMESTAMP(NANOS) parquet column; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+    long, converted here to a microsecond timestamp (truncation — the
+    same conversion DuckDB applies reading NANOS into its us timestamps).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """JDBC scan (S1/S9 equivalent) with projection/predicate pushdown.
+
+    The reference builds the pushdown SQL by hand
+    (src/ingestion_lambda.py:164-169); with the Spark JDBC source the same
+    pushdown happens by passing a derived-table query, and Catalyst prunes
+    further.
+    """
+    cols = ", ".join(columns) if columns else "*"
+    query = f"SELECT {cols} FROM {table}"
+    if predicate:
+        query += f" WHERE {predicate}"
+    return spark.read.jdbc(url, f"({query}) AS src", properties=properties or {})

@@ -1,0 +1,53 @@
+"""Sinks — K1-K6 of SURVEY.md §2.2, Spark-first.
+
+The reference writes one object per call (wr.s3.to_csv / put_object of
+parquet bytes — src/ingestion_lambda.py:171-175, src/process_lambda.py:59-66).
+Spark writes a directory of part-files per table; at scale that IS the
+correct shape (parallel writers, no single-object bottleneck).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_csv_batch(df: DataFrame, lake_dir: str, table: str, batch_ts: str) -> None:
+    """CSV sink, one batch directory per ingest cycle (K1 equivalent).
+
+    Bronze path ``{lake}/{table}/batch_ts=<ts>/`` mirrors the reference's
+    ``{table}/{timestamp}.csv`` key scheme (src/ingestion_lambda.py:173) as
+    a Hive partition, making the batch id a prunable column on re-read.
+    """
+    path = os.path.join(lake_dir, table, f"batch_ts={batch_ts}")
+    df.write.mode("errorifexists").option("header", "true").csv(path)
+
+
+def write_parquet_overwrite(df: DataFrame, out_dir: str, name: str) -> None:
+    """Parquet overwrite sink for silver/gold tables (K2 equivalent)."""
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def write_jdbc_overwrite(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+) -> None:
+    """JDBC overwrite sink (K3 equivalent).
+
+    batchsize=1000 mirrors the reference's chunked insert
+    (src/warehousing_lambda.py:64-71); Spark executes it per-partition in
+    parallel instead of a single driver loop.
+    """
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+    df.write.jdbc(url, table, mode="overwrite", properties=props)
+
+
+def preview(df: DataFrame, n: int = 10) -> str:
+    """LIMIT-n preview string (K5 equivalent of the reference's logged
+    ``to_string`` preview, src/warehousing_lambda.py:98-108)."""
+    return df._jdf.showString(n, 20, False)
