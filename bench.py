@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Queries are materialized through the noop sink — full execution on the
+executors, no driver-side collect bottleneck in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from de_final_project_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "dim_customer",
+    "dim_date",
+    "keep_latest_events",
+    "fact_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "top_orders_per_customer",
+    "events_hourly",
+    "events_json_extract",
+    "doc_stats",
+    "dedup_docs_exact",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # Warm the JVM/codegen paths once with the smallest query so the
+    # first measured query doesn't pay session startup.
+    queries["dim_customer"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Shared Spark session + reference-shaped fixture frames.
+
+Fixtures follow FIXTURES.md §1's generation requirements: duplicate PKs
+with differing last_updated (keep-latest), dangling FKs (left-join nulls),
+sub-second timestamps (time-string precision), dates spanning years /
+quarters / weekdays (all 7 date parts).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from de_final_project_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="session")
+def address_df(spark):
+    # address_id=2 has two versions (keep-latest target); id=99 unused.
+    rows = [
+        (1, "1 High St", None, "Westside", "Leeds", "LS1 1AA", "UK", "0113 111", ts("2024-01-01 09:00:00")),
+        (2, "2 Low Rd", "Unit 3", None, "York", "YO1 2BB", "UK", "01904 222", ts("2024-01-01 09:00:00")),
+        (2, "2 Low Road", "Unit 4", None, "York", "YO1 2BB", "UK", "01904 222", ts("2024-02-01 09:00:00")),
+        (3, "5 Rue X", None, "Centre", "Paris", "75001", "FR", "+33 1", ts("2024-01-15 12:30:45.123456")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "address_id long, address_line_1 string, address_line_2 string, "
+        "district string, city string, postal_code string, country string, "
+        "phone string, last_updated timestamp",
+    )
+
+
+@pytest.fixture(scope="session")
+def counterparty_df(spark):
+    # cp 3 has a dangling legal_address_id (left-join null behavior).
+    rows = [
+        (1, "Acme Ltd", 1, ts("2024-01-01 00:00:00")),
+        (2, "Bravo GmbH", 2, ts("2024-01-02 00:00:00")),
+        (3, "Chi SA", 42, ts("2024-01-03 00:00:00")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "counterparty_id long, counterparty_legal_name string, "
+        "legal_address_id long, last_updated timestamp",
+    )
+
+
+@pytest.fixture(scope="session")
+def staff_df(spark):
+    rows = [
+        (1, "Ann", "Ash", 10, "ann@x.com", ts("2024-01-01 00:00:00")),
+        (2, "Bob", "Birch", 20, "bob@x.com", ts("2024-01-01 00:00:00")),
+        (2, "Bob", "Beech", 20, "bob@x.com", ts("2024-03-01 00:00:00")),
+        (3, "Cy", "Cedar", 99, "cy@x.com", ts("2024-01-01 00:00:00")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "staff_id long, first_name string, last_name string, "
+        "department_id long, email_address string, last_updated timestamp",
+    )
+
+
+@pytest.fixture(scope="session")
+def department_df(spark):
+    rows = [
+        (10, "Sales", "Leeds", ts("2024-01-01 00:00:00")),
+        (20, "Ops", "York", ts("2024-01-01 00:00:00")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "department_id long, department_name string, location string, "
+        "last_updated timestamp",
+    )
+
+
+@pytest.fixture(scope="session")
+def currency_df(spark):
+    rows = [
+        (1, "GBP", ts("2024-01-01 00:00:00")),
+        (1, "GBP", ts("2024-01-05 00:00:00")),
+        (2, "USD", ts("2024-01-01 00:00:00")),
+        (3, "EUR", ts("2024-01-01 00:00:00")),
+    ]
+    return spark.createDataFrame(
+        rows, "currency_id long, currency_code string, last_updated timestamp"
+    )
+
+
+@pytest.fixture(scope="session")
+def payment_df(spark):
+    rows = [
+        (1, ts("2024-01-01 10:30:00.123456"), ts("2024-01-02 11:00:00"), 1, 1,
+         100.50, 1, 1, True, d("2024-01-05")),
+        (2, ts("2024-02-14 23:59:59.999999"), ts("2024-02-15 00:00:01"), 2, 2,
+         999.99, 2, 2, False, d("2024-02-20")),
+        (2, ts("2024-02-14 23:59:59.999999"), ts("2024-03-01 08:00:00"), 2, 2,
+         1000.00, 2, 2, True, d("2024-02-20")),
+        (3, ts("2023-12-31 00:00:00"), ts("2024-01-01 00:00:00"), 3, 3,
+         5.00, 3, 1, True, d("2023-12-31")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "payment_id long, created_at timestamp, last_updated timestamp, "
+        "transaction_id long, counterparty_id long, payment_amount double, "
+        "currency_id long, payment_type_id long, paid boolean, payment_date date",
+    )
+
+
+@pytest.fixture(scope="session")
+def purchase_order_df(spark):
+    rows = [
+        (1, ts("2024-01-03 09:15:30.5"), ts("2024-01-04 10:00:00"), 1, 1,
+         "W-1", 5, 10.00, 1, d("2024-01-10"), d("2024-01-20"), 1),
+        (2, ts("2024-04-01 14:00:00"), ts("2024-04-02 15:30:00"), 2, 2,
+         "W-2", 3, 20.00, 2, d("2024-04-10"), d("2024-04-15"), 2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "purchase_order_id long, created_at timestamp, last_updated timestamp, "
+        "staff_id long, counterparty_id long, item_code string, "
+        "item_quantity long, item_unit_price double, currency_id long, "
+        "agreed_delivery_date date, agreed_payment_date date, "
+        "agreed_delivery_location_id long",
+    )
+
+
+@pytest.fixture(scope="session")
+def sales_order_df(spark):
+    rows = [
+        (1, ts("2024-01-03 09:15:30.5"), ts("2024-01-04 10:00:00"), 1, 1, 1,
+         100, 2.50, 1, d("2024-01-12"), d("2024-01-22"), 1),
+        (2, ts("2024-07-19 06:45:00"), ts("2024-07-20 07:00:00"), 2, 2, 2,
+         50, 4.00, 2, d("2024-07-25"), d("2024-07-30"), 2),
+        (2, ts("2024-07-19 06:45:00"), ts("2024-08-01 07:00:00"), 2, 2, 2,
+         55, 4.00, 2, d("2024-07-25"), d("2024-07-30"), 2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sales_order_id long, created_at timestamp, last_updated timestamp, "
+        "design_id long, staff_id long, counterparty_id long, units_sold long, "
+        "unit_price double, currency_id long, agreed_delivery_date date, "
+        "agreed_payment_date date, agreed_delivery_location_id long",
+    )

@@ -1,0 +1,74 @@
+"""Unit tests for the core operators: keep-latest dedup semantics
+(tie-breaking, null ordering) and sequence keys — the semantic traps
+called out in SURVEY.md §5/§7.4."""
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.operators.dedup import keep_latest
+from de_final_project_spark.operators.surrogate import add_sequence_key, zip_with_index_key
+
+
+def test_keep_latest_picks_max_order(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 5)], "k long, v string, ver long"
+    )
+    out = {r.k: r.v for r in keep_latest(df, "k", "ver").collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_keep_latest_tie_breaks_deterministically(spark):
+    # Same version -> tie broken by remaining columns descending.
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1)], "k long, v string, ver long"
+    )
+    out = keep_latest(df, "k", "ver").collect()
+    assert len(out) == 1 and out[0].v == "b"
+
+
+def test_keep_latest_nulls_lose(spark):
+    # A NULL version must lose to any non-NULL version.
+    df = spark.createDataFrame(
+        [(1, "versioned", 7), (1, "unversioned", None)], "k long, v string, ver long"
+    )
+    assert keep_latest(df, "k", "ver").collect()[0].v == "versioned"
+
+
+def test_keep_latest_multi_order_cols(spark):
+    # Secondary order column (batch id) decides when primary ties — the
+    # engine's replacement for pandas positional keep='last'.
+    df = spark.createDataFrame(
+        [(1, "batch1", 1, "2024-01-01"), (1, "batch2", 1, "2024-01-02")],
+        "k long, v string, ver long, _batch_ts string",
+    )
+    assert keep_latest(df, "k", ["ver", "_batch_ts"]).collect()[0].v == "batch2"
+
+
+def test_add_sequence_key_dense_ordered(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "x long")
+    out = add_sequence_key(df, "id", "x").orderBy("id").collect()
+    assert [(r.id, r.x) for r in out] == [(1, 10), (2, 20), (3, 30)]
+    assert out[0].__fields__[0] == "id"  # key is first column
+
+
+def test_zip_with_index_key_dense_unique(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long").repartition(7)
+    out = zip_with_index_key(df, "id").collect()
+    ids = sorted(r.id for r in out)
+    assert ids == list(range(1, 101))
+    assert {r.x for r in out} == set(range(100))
+
+
+def test_keep_latest_is_distributed(spark):
+    # 1000 rows, 10 keys, shuffled over partitions — result independent of
+    # physical layout.
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 10).alias("k"),
+            F.col("id").alias("ver"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(13)
+    )
+    out = {r.k: r.ver for r in keep_latest(df, "k", "ver").collect()}
+    assert out == {k: 990 + k for k in range(10)}
