@@ -1,0 +1,127 @@
+"""Incremental ingest + change-driven rebuild DAG.
+
+The reference's three Lambda hops (SURVEY.md §3): ingest extracts only
+rows past each table's high watermark into the CSV lake, the transform
+stage rebuilds exactly the dims/facts whose sources changed, facts always
+recompute over the FULL accumulated lake (reference
+src/ingestion_lambda.py:203-246, src/process_lambda.py:439-490). Here the
+three process boundaries collapse into one Spark job; the rebuild rules
+are preserved:
+
+- a dim rebuilds when any of its source tables changed
+  (dim_staff on staff OR department, src/process_lambda.py:459);
+- dim_date and the three facts rebuild when ANY fact source changed
+  (src/process_lambda.py:464-474);
+- unchanged tables are skipped entirely (src/ingestion_lambda.py:218-225).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.plans import dims as D
+from de_final_project_spark.plans import facts as Ft
+from de_final_project_spark.sources.readers import read_ingest_table
+from de_final_project_spark.sources.sinks import write_csv_batch, write_parquet_overwrite
+from de_final_project_spark.sources.watermark import WatermarkStore
+
+# dim -> source tables (reference src/process_lambda.py:449-462)
+DIM_SOURCES: dict[str, list[str]] = {
+    "dim_location": ["address"],
+    "dim_counterparty": ["counterparty", "address"],
+    "dim_currency": ["currency"],
+    "dim_design": ["design"],
+    "dim_payment_type": ["payment_type"],
+    "dim_staff": ["staff", "department"],
+    "dim_transaction": ["transaction"],
+}
+
+FACT_SOURCES = ("payment", "purchase_order", "sales_order")
+
+
+def ingest_cycle(
+    source_tables: dict[str, DataFrame],
+    lake_dir: str,
+    store: WatermarkStore,
+    batch_ts: str,
+) -> list[str]:
+    """One ingest cycle: per table, extract rows past the watermark into a
+    new bronze batch and advance the watermark. Returns changed tables.
+
+    The watermark probe and delta filter both push down to the source
+    (max aggregate + timestamp predicate — S2/P3)."""
+    changed: list[str] = []
+    for table, df in source_tables.items():
+        cutoff = store.get(table)
+        delta = df.filter(F.col("last_updated") > F.lit(cutoff).cast("timestamp"))
+        probe = delta.agg(F.max("last_updated").alias("mx")).collect()[0].mx
+        if probe is None:
+            continue  # update-gating predicate P4: nothing new, skip
+        write_csv_batch(delta, lake_dir, table, batch_ts)
+        store.advance(table, probe.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        changed.append(table)
+    store.persist()
+    return changed
+
+
+def rebuild(
+    spark: SparkSession,
+    lake_dir: str,
+    gold_dir: str,
+    updates: Iterable[str],
+) -> list[str]:
+    """Change-driven star rebuild over the full accumulated lake.
+
+    Returns the list of gold tables written."""
+    updates = set(updates)
+    read = lambda t: read_ingest_table(spark, lake_dir, t)  # noqa: E731
+    written: list[str] = []
+
+    def emit(name: str, df: DataFrame) -> None:
+        write_parquet_overwrite(df, gold_dir, name)
+        written.append(name)
+
+    if "address" in updates:
+        emit("dim_location", D.make_dim_location(read("address")))
+    if updates & {"counterparty", "address"}:
+        emit(
+            "dim_counterparty",
+            D.make_dim_counterparty(read("counterparty"), read("address")),
+        )
+    if "currency" in updates:
+        emit("dim_currency", D.make_dim_currency(read("currency")))
+    if "design" in updates:
+        emit("dim_design", D.make_dim_design(read("design")))
+    if "payment_type" in updates:
+        emit("dim_payment_type", D.make_dim_payment_type(read("payment_type")))
+    if updates & {"staff", "department"}:
+        emit("dim_staff", D.make_dim_staff(read("staff"), read("department")))
+    if "transaction" in updates:
+        emit("dim_transaction", D.make_dim_transaction(read("transaction")))
+
+    if updates & set(FACT_SOURCES):
+        payment, purchase, sales = (read(t) for t in FACT_SOURCES)
+        dim_date = D.make_dim_date(payment, purchase, sales, keep_date=True)
+        emit("dim_date", dim_date.drop("date"))
+        emit("fact_payment", Ft.make_fact_payment(payment, dim_date))
+        emit("fact_purchase_order", Ft.make_fact_purchase_order(purchase, dim_date))
+        emit("fact_sales_order", Ft.make_fact_sales_order(sales, dim_date))
+    return written
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_tables: dict[str, DataFrame],
+    lake_dir: str,
+    gold_dir: str,
+    store: WatermarkStore,
+    batch_ts: str,
+) -> list[str]:
+    """Full cycle: incremental ingest -> conditional rebuild -> gold."""
+    changed = ingest_cycle(source_tables, lake_dir, store, batch_ts)
+    if not changed:
+        return []
+    return rebuild(spark, lake_dir, gold_dir, changed)

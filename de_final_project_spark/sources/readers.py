@@ -38,6 +38,14 @@ def read_ingest_table(
     """
     path = os.path.join(lake_dir, table)
     schema = SOURCE_SCHEMAS.get(table)
+    if not os.path.exists(path):
+        # Never-ingested table (e.g. dim_staff rebuilding because only
+        # department changed, before staff's first ingest): an empty
+        # relation with the declared schema keeps the plan well-typed.
+        if schema is None:
+            raise FileNotFoundError(f"no ingested data or schema for {table!r}")
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn(BATCH_TS_COL, F.lit(None).cast("string"))
     if fmt == "csv":
         reader = spark.read.option("header", "true")
         if schema is not None:
