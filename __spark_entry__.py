@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from de_final_project_spark.operators import similarity, textdedup
+from de_final_project_spark.operators import neardup, similarity, textdedup
 from de_final_project_spark.plans import analytics, star_testdata
 
 
@@ -43,6 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": textdedup.doc_stats,
         "dedup_docs_exact": textdedup.dedup_docs_exact,
         "knn_bruteforce": similarity.knn_bruteforce,
+        "embedding_neardup_exact": similarity.embedding_neardup_exact,
+        "knn_lsh_candidates": similarity.knn_lsh_candidates,
+        "minhash_bands": neardup.minhash_bands,
+        "neardup_pairs_minhash": neardup.neardup_pairs_minhash,
+        "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs_exact,
+        "simhash_docs": neardup.simhash_docs,
+        "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
     }
 
 
@@ -63,4 +70,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": textdedup.DOC_STATS_SQL,
         "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "embedding_neardup_exact": similarity.EMBEDDING_NEARDUP_SQL,
+        # knn_lsh_candidates: no oracle — LSH bucketing is engine-defined
+        # (hyperplane constants); driver records a rows-only check.
+        "minhash_bands": neardup.MINHASH_BANDS_SQL,
+        "neardup_pairs_minhash": neardup.NEARDUP_PAIRS_MINHASH_SQL,
+        "ngram_jaccard_pairs": neardup.NGRAM_JACCARD_PAIRS_SQL,
+        "simhash_docs": neardup.SIMHASH_DOCS_SQL,
+        "simhash_neardup_pairs": neardup.SIMHASH_NEARDUP_PAIRS_SQL,
     }

@@ -1,0 +1,327 @@
+"""Near-duplicate detection over the documents table — the training-data
+pipeline's signature dedup family: word-shingle MinHash + LSH banding,
+SimHash, and exact n-gram Jaccard verification.
+
+All hashing is md5-based (available and bit-identical in every engine) so
+each operator is oracle-checkable; the MinHash "values" are lexicographic
+minima of hex digests, which is a uniform order statistic — exactly what
+MinHash needs — without any engine-specific hash function.
+
+Scale shapes:
+- signatures/bands: narrow per-row projections, no shuffle;
+- LSH candidate join: explode bands (xB rows) -> self equi-join on
+  (band_idx, band_hash). Shuffle O(n·B) on uniform keys. This is the
+  100 TB path: the quadratic pairwise compare never materializes, only
+  same-bucket candidates are scored;
+- *_pairs_exact variants are the O(n²) correctness baseline for bounded
+  inputs (and the oracle anchor for the LSH path's scoring function).
+
+Everything is built-in expressions (codegen'd); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+SHINGLE_K = 3
+N_HASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+LSH_ROWS = N_HASHES // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+
+
+def _norm_tokens(text_col: Column) -> Column:
+    """Lowercased, whitespace-normalized word tokens."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+    )
+
+
+def shingle_set(text_col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles; documents shorter than k tokens collapse
+    to a single whole-text shingle."""
+    toks = _norm_tokens(text_col)
+    n = F.size(toks)
+    shingles = F.when(
+        n < k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature: for hash i, min over shingles of md5('i:'+s).
+
+    The lexicographic min of a uniform hex digest is a valid min-hash;
+    P(min_a == min_b) = Jaccard(a, b) as usual."""
+
+    def hasher(i: int):
+        # NB: a plain unary lambda — a two-arg lambda would be bound by
+        # pyspark as (element, array_index) and shadow the hash number.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hasher(i)))
+            for i in range(1, n_hashes + 1)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Band the signature: band j hashes sig[j*rows .. j*rows+rows-1].
+    Docs sharing any band hash become candidate pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.element_at(signature, j * rows + r + 1) for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingle_set(F.col("text")).alias("shingles"))
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LSH band hashes (doc_id, band_idx, band_hash) — the
+    bucketing relation of the MinHash-LSH dedup."""
+    with_sig = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", lsh_bands(minhash_signature(F.col("shingles"))).alias("bands")
+    )
+    return with_sig.select(
+        "doc_id", F.explode("bands").alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_hash").alias("band_hash"))
+
+
+def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: candidates sharing any band bucket,
+    verified with exact shingle Jaccard >= threshold.
+
+    Plan: bands self-join on (band_idx, band_hash) -> distinct candidate
+    pairs -> broadcast-free jaccard scoring via a join back to shingle
+    sets. At 100 TB only same-bucket pairs are ever scored."""
+    sh = _docs_with_shingles(spark, sf_dir)
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def ngram_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-Jaccard (O(n²)) — correctness baseline the
+    LSH path approximates. Bounded to all pairs at test scale; at 100 TB
+    use neardup_pairs_minhash."""
+    sh = _docs_with_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(0.3))
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+
+def _token_hash(tok: Column) -> Column:
+    """32-bit integer hash of a token: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Classic SimHash over word tokens (with multiplicity): bit b is set
+    iff the sum of +-1 votes from each token's hash bit b is >= 0."""
+    thashes = F.transform(_norm_tokens(text_col), _token_hash)
+
+    def voter(b: int):
+        # binary (acc, elem) lambda via closure; see hasher() note above
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(thashes, F.lit(0).cast("long"), voter(b))
+        bit_cols.append(
+            F.when(votes >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash value (doc_id, simhash)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= 3 (O(n²) scoring at test
+    scale; at 100 TB block on rotated-bit prefixes so candidates share a
+    prefix bucket)."""
+    d = simhash_docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("h_a"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("h_b"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+
+
+# ----------------------------------------------------------------------
+# Oracle SQL
+# ----------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+shingled AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+           END) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  )
+)
+"""
+
+_SIG_EXPR = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig_{i}"
+    for i in range(1, N_HASHES + 1)
+)
+
+_BANDS_EXPR = ", ".join(
+    "md5(" + " || ',' || ".join(f"sig_{j * LSH_ROWS + r + 1}" for r in range(LSH_ROWS)) + f") AS band_{j}"
+    for j in range(LSH_BANDS)
+)
+
+_BANDS_CTE = f"""
+sigs AS (SELECT doc_id, {_SIG_EXPR} FROM shingled),
+banded AS (SELECT doc_id, {_BANDS_EXPR} FROM sigs),
+bands AS (
+  SELECT doc_id, u.band_idx, u.band_hash
+  FROM banded, UNNEST(
+    [{', '.join(f"{{'band_idx': {j}, 'band_hash': band_{j}}}" for j in range(LSH_BANDS))}]
+  ) AS t(u)
+)
+"""
+
+MINHASH_BANDS_SQL = f"""
+WITH {_SHINGLES_CTE}, {_BANDS_CTE}
+SELECT doc_id, band_idx, band_hash FROM bands
+"""
+
+NEARDUP_PAIRS_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE}, {_BANDS_CTE},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cands
+JOIN shingled sa ON sa.doc_id = a_id
+JOIN shingled sb ON sb.doc_id = b_id
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.3
+"""
+
+_SIMHASH_EXPR = f"""
+list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), b ->
+  CASE WHEN list_sum(list_transform(thashes, h ->
+         CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+       THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+"""
+
+SIMHASH_DOCS_SQL = f"""
+SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+FROM (
+  SELECT doc_id,
+         list_transform(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS thashes
+  FROM documents
+)
+"""
+
+SIMHASH_NEARDUP_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS thashes
+    FROM documents
+  )
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""

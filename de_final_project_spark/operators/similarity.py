@@ -114,6 +114,39 @@ def simhash_bucket(vec_col, dim: int = 64, n_planes: int = N_PLANES):
     return bucket
 
 
+NEARDUP_COSINE_THRESHOLD = 0.4
+
+
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact O(n²) — correctness baseline
+    for the LSH-bucketed variant below. Bounded input at test scale."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEARDUP_COSINE_THRESHOLD)
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= {NEARDUP_COSINE_THRESHOLD}
+"""
+
+
 def knn_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs that share an LSH bucket, with exact cosine computed
     only for candidates. The expensive pairwise step becomes an equi-join

@@ -1,0 +1,60 @@
+"""Property tests for the near-dup family on synthetic documents."""
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.functions.vector import cosine
+from de_final_project_spark.operators.neardup import (
+    minhash_signature,
+    shingle_set,
+    simhash,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely different words in this sentence about spark engines"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+
+
+def test_shingles_identical_docs_equal(spark):
+    df = _docs(spark).select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    rows = {r.doc_id: tuple(r.sh) for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_shingles_short_doc_collapses(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = df.select(shingle_set(F.col("text")).alias("sh")).collect()[0].sh
+    assert sh == ["one two"]
+
+
+def test_minhash_identical_equal_signatures(spark):
+    df = _docs(spark).select(
+        "doc_id", minhash_signature(shingle_set(F.col("text"))).alias("sig")
+    )
+    rows = {r.doc_id: tuple(r.sig) for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 16
+    # near-dup shares most minhashes; disjoint shares almost none
+    agree_near = sum(a == b for a, b in zip(rows[1], rows[3]))
+    agree_far = sum(a == b for a, b in zip(rows[1], rows[4]))
+    assert agree_near > agree_far
+
+
+def test_simhash_hamming_ordering(spark):
+    df = _docs(spark).select("doc_id", simhash(F.col("text")).alias("h"))
+    rows = {r.doc_id: r.h for r in df.collect()}
+    assert rows[1] == rows[2]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
+    assert all(0 <= v < 2**32 for v in rows.values())
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<float>")
+    out = df.select(F.round(cosine(F.col("v"), F.col("v")), 9).alias("c")).collect()
+    assert out[0].c == 1.0
