@@ -13,7 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from de_final_project_spark.operators import neardup, similarity, textdedup
+from de_final_project_spark.operators import (
+    multimodal,
+    neardup,
+    similarity,
+    textdedup,
+    textquality,
+)
 from de_final_project_spark.plans import analytics, star_testdata
 
 
@@ -39,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": analytics.top_orders_per_customer,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
+        "events_sessionized": analytics.events_sessionized,
         # --- training-data pipeline surface: text + dedup + similarity ---
         "doc_stats": textdedup.doc_stats,
         "dedup_docs_exact": textdedup.dedup_docs_exact,
@@ -50,6 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs_exact,
         "simhash_docs": neardup.simhash_docs,
         "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
+        "lang_id": textquality.lang_id,
+        "doc_quality": textquality.doc_quality,
+        "doc_fingerprints": textquality.doc_fingerprints,
+        "multimodal_features": multimodal.multimodal_features,
     }
 
 
@@ -67,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": analytics.TOP_ORDERS_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
+        "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,
         "doc_stats": textdedup.DOC_STATS_SQL,
         "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
@@ -78,4 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": neardup.NGRAM_JACCARD_PAIRS_SQL,
         "simhash_docs": neardup.SIMHASH_DOCS_SQL,
         "simhash_neardup_pairs": neardup.SIMHASH_NEARDUP_PAIRS_SQL,
+        "lang_id": textquality.LANG_ID_SQL,
+        "doc_quality": textquality.DOC_QUALITY_SQL,
+        "doc_fingerprints": textquality.DOC_FINGERPRINTS_SQL,
+        "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
     }

@@ -1,0 +1,187 @@
+"""Text quality scoring, language-ID heuristic, and fingerprints over the
+documents table — the remaining text-analysis surface of a training-data
+pipeline. Pure built-in expressions; every query oracle-checked.
+
+Ratios are exact-integer divisions evaluated in the same order on both
+engines and rounded to 6 places, so results are comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.functions.text import tokens
+from de_final_project_spark.sources.readers import read_testdata
+
+# Small fixed stopword lists per language for the hit-count heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "con"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "avec", "pour"],
+}
+
+_ROLL_MULT = 1000003
+_ROLL_MOD = 2**32
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language scoring: hit counts per language plus an
+    argmax prediction (ties resolved in fixed en<de<es<fr order, fallback
+    'und' when nothing hits)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hit_cols = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*[hit_cols[lang] for lang in LANG_STOPWORDS])
+    predicted = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # first max wins -> fixed priority order
+        predicted = predicted.when(hit_cols[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hit_cols[lang].alias(f"{lang}_hits") for lang in LANG_STOPWORDS],
+        predicted.alias("predicted_lang"),
+    )
+
+
+_HITS_SQL = {
+    lang: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], lower(t))))"
+    )
+    for lang, words in LANG_STOPWORDS.items()
+}
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       {', '.join(f"{lang}_hits" for lang in LANG_STOPWORDS)},
+       CASE WHEN greatest({', '.join(f'{l}_hits' for l in LANG_STOPWORDS)}) = 0 THEN 'und'
+            {' '.join(f"WHEN {l}_hits = greatest({', '.join(f'{m}_hits' for m in LANG_STOPWORDS)}) THEN '{l}'" for l in LANG_STOPWORDS)}
+       END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         {', '.join(f"{expr} AS {lang}_hits" for lang, expr in _HITS_SQL.items())}
+  FROM (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\\s+') END AS toks
+    FROM documents
+  )
+)
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: stopword ratio, mean token length,
+    punctuation/digit ratios, and a composite score — the standard cheap
+    quality filter of a corpus pipeline. Narrow projection, no shuffle."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    token_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        stop_hits.cast("double") / n_tokens.cast("double")
+    )
+    mean_tok = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        token_chars.cast("double") / n_tokens.cast("double")
+    )
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    digits = n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / n_chars.cast("double")
+    )
+    digit_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / n_chars.cast("double")
+    )
+    score = (
+        stop_ratio * 0.5 + F.least(mean_tok, F.lit(10.0)) / 20.0
+        + (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_tok, 6)   AS mean_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio * 0.5 + least(mean_tok, 10.0) / 20.0 + (1.0 - punct_ratio),
+             6) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE {_HITS_SQL['en']}::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                   / len(toks)::DOUBLE END AS mean_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                   / length(text)::DOUBLE END AS punct_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / length(text)::DOUBLE END AS digit_ratio
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\\s+') END AS toks
+    FROM documents
+  )
+)
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic document fingerprints: md5 of normalized text and
+    a polynomial rolling hash over token hashes (mod 2^32) — the cheap
+    shift-resistant fingerprint used for fast bucket comparisons."""
+    from de_final_project_spark.functions.text import fingerprint
+    from de_final_project_spark.operators.neardup import _token_hash
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    rolling = F.aggregate(
+        F.transform(toks, _token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _ROLL_MULT + h) % F.lit(_ROLL_MOD).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_fp,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END,
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (acc, h) -> (acc * {_ROLL_MULT} + h) % {_ROLL_MOD}) AS rolling_fp
+FROM documents
+"""

@@ -293,3 +293,50 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap via
+    ``session_window`` — the stateful windowed operator the reference has
+    no analog for. One shuffle on user_id; state is per-user in-window.
+    session_end follows Spark's definition: last event ts + gap."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("_sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            F.col("_sum_value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_SESSIONIZED_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""

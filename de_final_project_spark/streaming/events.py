@@ -1,0 +1,98 @@
+"""Structured Streaming over the events table.
+
+The reference is a scheduler-driven micro-batch pipeline (EventBridge
+rate(20 min) -> watermark file -> incremental extract; SURVEY.md §2.10).
+Spark's native expression of the same concepts:
+
+- file-source ``readStream`` + ``Trigger.AvailableNow`` = incremental
+  batch over whatever accumulated since the last checkpoint (the
+  reference's 20-minute cycle without the hand-rolled watermark file);
+- ``withWatermark`` + windowed aggregation = late-data handling the
+  reference approximates by re-running keep-latest dedup each cycle;
+- ``dropDuplicatesWithinWatermark`` = the keep-latest/idempotent-ingest
+  semantics under true streaming;
+- ``session_window`` = sessionization, unavailable in the reference.
+
+All transformations are identical expressions to their batch twins in
+plans/analytics.py, so streaming output can be verified against the batch
+result on the same data (tests/test_streaming.py does exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_GAP = "30 minutes"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as epoch
+    nanos under the nanosAsLong conf; converted to a micros timestamp,
+    matching the batch reader)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window rollup with a 1-hour watermark — the
+    streaming twin of analytics.events_hourly."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("_sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            F.col("_sum_value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once event stream by event_id within the watermark — the
+    streaming form of the keep-latest/idempotent-ingest contract."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Materialize a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory table ``name``; returns after the stream drains."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
