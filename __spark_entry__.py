@@ -20,7 +20,7 @@ from de_final_project_spark.operators import (
     textdedup,
     textquality,
 )
-from de_final_project_spark.plans import analytics, star_testdata
+from de_final_project_spark.plans import analytics, setops, star_testdata
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,6 +61,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": textquality.doc_quality,
         "doc_fingerprints": textquality.doc_fingerprints,
         "multimodal_features": multimodal.multimodal_features,
+        # --- set ops / grouping sets / order statistics ---
+        "customers_without_orders": setops.customers_without_orders,
+        "parts_both_ordered_and_stocked": setops.parts_both_ordered_and_stocked,
+        "revenue_rollup_region_nation": setops.revenue_rollup_region_nation,
+        "events_cube": setops.events_cube,
+        "quantity_percentiles": setops.quantity_percentiles,
+        "approx_distinct_users": setops.approx_distinct_users,
     }
 
 
@@ -94,4 +101,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textquality.DOC_QUALITY_SQL,
         "doc_fingerprints": textquality.DOC_FINGERPRINTS_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,
+        "revenue_rollup_region_nation": setops.REVENUE_ROLLUP_SQL,
+        "events_cube": setops.EVENTS_CUBE_SQL,
+        "quantity_percentiles": setops.QUANTITY_PERCENTILES_SQL,
+        # approx_distinct_users: no oracle — HLL estimate is engine-specific.
     }

@@ -1,0 +1,180 @@
+"""Set operations, grouping sets (rollup/cube), and order-statistic
+aggregates — operators the reference lacks entirely (SURVEY.md §2.8 "No
+INTERSECT/EXCEPT anywhere", §2.6 "no group-by aggregation") but that any
+warehouse engine must expose. All Catalyst built-ins; each query has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the EXCEPT/NOT EXISTS shape): customers with no urgent
+    order. Physical plan: hash anti join with the priority filter pushed
+    to the orders scan — one pass, no materialized distinct."""
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS market_segment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def parts_both_ordered_and_stocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: part keys appearing in both part and lineitem."""
+    part = read_testdata(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id")
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part_id")
+    )
+    return part.intersect(li)
+
+
+PARTS_INTERSECT_SQL = """
+SELECT p_partkey AS part_id FROM part
+INTERSECT
+SELECT l_partkey FROM lineitem
+"""
+
+
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region -> nation hierarchy: order revenue at
+    (region, nation), (region), and grand-total levels, with grouping
+    flags. Aggregation is hierarchical on already-partial aggregates —
+    Catalyst expands the grouping sets into one shuffle."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    cust = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region")
+    enriched = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        )
+    )
+    return (
+        enriched.rollup("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("_rev"),
+            F.grouping("region_name").cast("long").alias("g_region"),
+            F.grouping("nation_name").cast("long").alias("g_nation"),
+        )
+        .select(
+            "region_name", "nation_name", "n_orders",
+            F.col("_rev").cast("double").alias("total_revenue"),
+            "g_region", "g_nation",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT region_name, nation_name, count(*) AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS total_revenue,
+       grouping(region_name)::BIGINT AS g_region,
+       grouping(nation_name)::BIGINT AS g_nation
+FROM (
+  SELECT r_name AS region_name, n_name AS nation_name,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+GROUP BY ROLLUP(region_name, nation_name)
+"""
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all 4 grouping combinations in one
+    pass."""
+    events = read_testdata(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        (((F.dayofweek("ts") + 5) % 7)).cast("long").alias("weekday"),
+    )
+    return (
+        base.cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("weekday").cast("long").alias("g_weekday"),
+        )
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, weekday, count(*) AS n_events,
+       grouping(event_type)::BIGINT AS g_type,
+       grouping(weekday)::BIGINT AS g_weekday
+FROM (SELECT event_type, (isodow(ts) - 1)::BIGINT AS weekday FROM events)
+GROUP BY CUBE(event_type, weekday)
+"""
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (exact order statistics — engine-portable,
+    unlike interpolated quantiles) of quantity per return flag."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_pct")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS return_flag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM _li_pct
+        GROUP BY l_returnflag
+        """
+    )
+
+
+QUANTITY_PERCENTILES_SQL = """
+SELECT l_returnflag AS return_flag,
+       quantile_disc(l_quantity, 0.25) AS p25,
+       quantile_disc(l_quantity, 0.5)  AS p50,
+       quantile_disc(l_quantity, 0.75) AS p75,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event type, with the exact count
+    alongside. The approx value is engine-specific (no oracle — the
+    driver records a rows-only check); at 100 TB the HLL sketch is the
+    only affordable distinct-count."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -207,7 +207,10 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    dd = dim_date(spark, sf_dir).select("date", "date_id")
+    # dim_date is joined once per date role; without a cache Catalyst
+    # duplicates the whole derivation subtree (two extra full scans of
+    # lineitem+orders). The dimension is thousands of rows — cache it.
+    dd = dim_date(spark, sf_dir).select("date", "date_id").cache()
 
     li = lineitem.withColumn("ship_date_cal", F.to_date("l_shipdate"))
     joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")

@@ -1,0 +1,27 @@
+"""Catalog/preview/export tests (S8/K4/K5 parity)."""
+
+import os
+
+from de_final_project_spark.sources.catalog import (
+    export_csv,
+    list_tables,
+    preview_all,
+    register_gold,
+)
+from de_final_project_spark.sources.sinks import write_parquet_overwrite
+
+
+def test_register_list_preview_export(spark, currency_df, tmp_path):
+    gold = str(tmp_path / "gold")
+    write_parquet_overwrite(currency_df.select("currency_id", "currency_code"),
+                            gold, "dim_currency_cat")
+    names = register_gold(spark, gold)
+    assert names == ["dim_currency_cat"]
+    assert "dim_currency_cat" in list_tables(spark)
+    previews = preview_all(spark, n=2)
+    assert len(previews["dim_currency_cat"]) == 2
+    out = str(tmp_path / "extracts")
+    export_csv(spark.table("dim_currency_cat"), out, "dim_currency_cat")
+    files = os.listdir(os.path.join(out, "dim_currency_cat"))
+    assert any(f.endswith(".csv") for f in files)
+    spark.catalog.dropTempView("dim_currency_cat")
