@@ -37,6 +37,51 @@ def add_sequence_key(
     )
 
 
+def add_sequence_key_distributed(
+    df: DataFrame,
+    key_name: str,
+    order_cols: Sequence[str] | str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based sequence key over a business ordering WITHOUT the
+    single-partition sort of ``add_sequence_key``.
+
+    Shape: range-partition by the ordering (so partition p holds a
+    contiguous key range), rank locally per partition, then add each
+    partition's cumulative row-count offset (a tiny broadcast join).
+    Equal tuples land in one range partition, so ranks are a valid total
+    ranking; among fully-duplicate rows assignment is interchangeable —
+    the result multiset is deterministic.
+
+    This is the fact-scale path: every stage is distributed; the only
+    global structure is the O(partitions) offset table on the driver.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    order_exprs = [F.col(c).asc_nulls_last() for c in order_cols]
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
+    # Persist: the offset branch below re-reads this relation, and range
+    # boundaries come from sampling — a recompute could repartition
+    # differently and corrupt the offsets. One materialization pins them.
+    local = ranged.withColumn("_lrank", F.row_number().over(w_local)).persist()
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(key_name, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .select(key_name, *df.columns)
+    )
+
+
 def zip_with_index_key(df: DataFrame, key_name: str, start: int = 1) -> DataFrame:
     """Dense sequence key without a single-partition window.
 

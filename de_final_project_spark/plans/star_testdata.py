@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.functions.datetime import date_parts, time_string
 from de_final_project_spark.operators.dedup import keep_latest
-from de_final_project_spark.operators.surrogate import add_sequence_key
+from de_final_project_spark.operators.surrogate import (
+    add_sequence_key,
+    add_sequence_key_distributed,
+)
 from de_final_project_spark.sources.readers import read_testdata
 
 
@@ -246,6 +249,11 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence ordering spans the full projection — a total order up to
     # fully-duplicate rows, for which any assignment yields the same
     # multiset. Mirrors the oracle's ORDER BY exactly.
+    # Sequence-key strategy (SURVEY.md §7.4 risk 1): the single-window
+    # global row_number is cheapest at this scale (one sort, measured
+    # faster than the range-partitioned variant's two shuffles at sf0.1);
+    # past ~10^8 rows switch to add_sequence_key_distributed, which keeps
+    # every stage distributed at the cost of one persisted pass.
     return add_sequence_key(projected, "sales_record_id", projected.columns)
 
 

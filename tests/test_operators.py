@@ -5,7 +5,11 @@ called out in SURVEY.md §5/§7.4."""
 import pyspark.sql.functions as F
 
 from de_final_project_spark.operators.dedup import keep_latest
-from de_final_project_spark.operators.surrogate import add_sequence_key, zip_with_index_key
+from de_final_project_spark.operators.surrogate import (
+    add_sequence_key,
+    add_sequence_key_distributed,
+    zip_with_index_key,
+)
 
 
 def test_keep_latest_picks_max_order(spark):
@@ -48,6 +52,24 @@ def test_add_sequence_key_dense_ordered(spark):
     out = add_sequence_key(df, "id", "x").orderBy("id").collect()
     assert [(r.id, r.x) for r in out] == [(1, 10), (2, 20), (3, 30)]
     assert out[0].__fields__[0] == "id"  # key is first column
+
+
+def test_add_sequence_key_distributed_matches_single_window(spark):
+    # 5000 rows with heavy duplication on the sort key: the distributed
+    # range-partitioned ranking must produce the same (key, x) multiset
+    # as the global-window version.
+    df = spark.range(5000).select(
+        (F.col("id") % 977).alias("x"), (F.col("id") % 7).alias("y")
+    ).repartition(13)
+    a = sorted(
+        tuple(r) for r in add_sequence_key(df, "sk", ["x", "y"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in add_sequence_key_distributed(df, "sk", ["x", "y"]).collect()
+    )
+    assert a == b
+    assert [r[0] for r in b] == list(range(1, 5001))
 
 
 def test_zip_with_index_key_dense_unique(spark):
