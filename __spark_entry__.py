@@ -20,7 +20,7 @@ from de_final_project_spark.operators import (
     textdedup,
     textquality,
 )
-from de_final_project_spark.plans import analytics, setops, star_testdata
+from de_final_project_spark.plans import analytics, setops, star_testdata, temporal
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -68,6 +68,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": setops.events_cube,
         "quantity_percentiles": setops.quantity_percentiles,
         "approx_distinct_users": setops.approx_distinct_users,
+        # --- temporal / window / reshape extensions ---
+        "customer_order_running": temporal.customer_order_running,
+        "orders_priority_pivot": temporal.orders_priority_pivot,
+        "late_shipment_orders": temporal.late_shipment_orders,
+        "purchases_asof_view": temporal.purchases_asof_view,
+        "parts_price_band_join": temporal.parts_price_band_join,
     }
 
 
@@ -107,4 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": setops.EVENTS_CUBE_SQL,
         "quantity_percentiles": setops.QUANTITY_PERCENTILES_SQL,
         # approx_distinct_users: no oracle — HLL estimate is engine-specific.
+        "customer_order_running": temporal.CUSTOMER_ORDER_RUNNING_SQL,
+        "orders_priority_pivot": temporal.ORDERS_PRIORITY_PIVOT_SQL,
+        "late_shipment_orders": temporal.LATE_SHIPMENT_ORDERS_SQL,
+        "purchases_asof_view": temporal.PURCHASES_ASOF_VIEW_SQL,
+        "parts_price_band_join": temporal.PARTS_PRICE_BAND_JOIN_SQL,
     }

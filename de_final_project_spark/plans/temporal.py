@@ -1,0 +1,241 @@
+"""Temporal & window analytics surface — as-of join, range-band join,
+running/moving window aggregates, pivot, EXISTS semi-join.
+
+Extensions beyond the reference's operator set (it has no window
+functions, pivots, or temporal joins — SURVEY.md §2.6-2.8), expressed
+Spark-first with exact-decimal money arithmetic so the DuckDB oracle
+comparison is bit-stable (same convention as plans/analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.asof import asof_join_backward
+from de_final_project_spark.sources.readers import read_testdata
+
+_DEC = "decimal(12,2)"
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast(_DEC)
+
+
+def customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-history windows: running total, previous-order
+    price (lag), and a 3-order moving sum — one shuffle on o_custkey,
+    every frame computed in a single window pass. Decimal arithmetic keeps
+    running sums associative and engine-identical."""
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    price = _dec("o_totalprice")
+    running = F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    prev = F.lag(price).over(w)
+    mov3 = F.sum(price).over(w.rowsBetween(-2, 0))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        price.cast("double").alias("price"),
+        running.cast("double").alias("running_total"),
+        prev.cast("double").alias("prev_price"),
+        mov3.cast("double").alias("moving_sum3"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+CUSTOMER_ORDER_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(p AS DOUBLE) AS price,
+       CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+       CAST(lag(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) AS prev_price,
+       CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS moving_sum3,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS INT) AS order_seq
+FROM (SELECT *, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders)
+"""
+
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "not_specified"),
+    ("5-LOW", "low"),
+]
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts pivoted by priority (reshape surface: the
+    inverse of the dim_date unpivot, SURVEY.md §2.8 O4). The pivot value
+    list is declared, so Spark plans a single hash aggregate — no extra
+    distinct-values job, one shuffle on the month key."""
+    o = read_testdata(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("order_month", F.trunc("o_orderdate", "month"))
+        .groupBy("order_month")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .count()
+    )
+    return piv.select(
+        "order_month",
+        *[
+            F.coalesce(F.col(f"`{raw}`"), F.lit(0)).alias(name)
+            for raw, name in _PRIORITIES
+        ],
+    )
+
+
+ORDERS_PRIORITY_PIVOT_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY 1
+"""
+
+
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one lineitem shipped
+    more than 90 days after the order date, counted by priority. The
+    existential is a LEFT SEMI hash join on orderkey (the inequality
+    rides along as a join residual) — no duplicate-then-distinct, and the
+    count aggregate sees each order once."""
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(o["o_orderdate"]), 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+LATE_SHIPMENT_ORDERS_SQL = """
+SELECT o_orderpriority AS priority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+)
+GROUP BY 1
+"""
+
+
+def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the event stream: every purchase event picks up the
+    user's most recent view event at-or-before it (operators/asof.py —
+    union + ignore-nulls fill, one shuffle on user_id, no row explosion).
+    """
+    ev = read_testdata(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("last_view_value"),
+        F.col("ts").alias("last_view_ts"),
+        F.col("event_id").alias("_view_id"),
+    )
+    out = asof_join_backward(
+        purchases,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["last_view_value", "last_view_ts"],
+        tiebreak_col="_view_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("last_view_value", 6).alias("last_view_value"),
+        "last_view_ts",
+    )
+
+
+# Oracle uses the same union-and-fill formulation (ANSI window functions;
+# the engine's semantics, independently restated in SQL).
+PURCHASES_ASOF_VIEW_SQL = """
+WITH u AS (
+  SELECT event_id, user_id, ts, value, 1 AS side,
+         NULL::DOUBLE AS view_value, NULL::TIMESTAMP AS view_ts,
+         NULL::BIGINT AS view_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT NULL, user_id, ts, NULL, 0, value, ts, event_id
+  FROM events WHERE event_type = 'view'
+), filled AS (
+  SELECT *,
+    last_value(view_value IGNORE NULLS) OVER w AS last_view_value,
+    last_value(view_ts IGNORE NULLS) OVER w AS last_view_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, view_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       round(value, 6) AS purchase_value,
+       round(last_view_value, 6) AS last_view_value,
+       last_view_ts
+FROM filled WHERE side = 1
+"""
+
+
+_BANDS = [
+    ("band_900_905", 900.0, 905.0),
+    ("band_905_910", 905.0, 910.0),
+    ("band_910_915", 910.0, 915.0),
+    ("band_915_920", 915.0, 920.0),
+]
+
+
+def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: parts against a price-band
+    table on lo <= p_retailprice < hi. The band side is rows-small, so
+    the plan is a broadcast nested-loop against 4 rows — effectively a
+    map-side banding; at scale the same result is a constant-time
+    CASE/bucket expression, which Catalyst would also accept."""
+    part = read_testdata(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (part["p_retailprice"] >= bands["lo"]) & (part["p_retailprice"] < bands["hi"])
+    return (
+        part.join(F.broadcast(bands), cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("sum_retail"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+PARTS_PRICE_BAND_JOIN_SQL = """
+SELECT band, count(*) AS part_count,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_retail,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM part
+JOIN (VALUES ('band_900_905', 900.0, 905.0),
+             ('band_905_910', 905.0, 910.0),
+             ('band_910_915', 910.0, 915.0),
+             ('band_915_920', 915.0, 920.0)) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
