@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_orders": temporal.late_shipment_orders,
         "purchases_asof_view": temporal.purchases_asof_view,
         "parts_price_band_join": temporal.parts_price_band_join,
+        "events_multires_rollup": temporal.events_multires_rollup,
+        "events_sliding_windows": temporal.events_sliding_windows,
+        "ivf_knn": similarity.ivf_knn,
     }
 
 
@@ -118,4 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "late_shipment_orders": temporal.LATE_SHIPMENT_ORDERS_SQL,
         "purchases_asof_view": temporal.PURCHASES_ASOF_VIEW_SQL,
         "parts_price_band_join": temporal.PARTS_PRICE_BAND_JOIN_SQL,
+        "events_multires_rollup": temporal.EVENTS_MULTIRES_ROLLUP_SQL,
+        "events_sliding_windows": temporal.EVENTS_SLIDING_WINDOWS_SQL,
+        "ivf_knn": similarity.IVF_KNN_SQL,
     }

@@ -171,3 +171,140 @@ def knn_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cosine_sim"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Scale path 2: IVF (inverted-file) cell-probed ANN.
+# ----------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def _cell_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell_id): every vector assigned to its nearest
+    centroid. Centroids are the vectors with vec_id < N_CELLS — fixed and
+    data-deterministic, so the partitioner (and the oracle) can reproduce
+    them without an RNG or a k-means fit. The centroid side broadcasts
+    (N_CELLS rows); assignment is a map-side hash aggregate with max_by,
+    no window, so the corpus streams through one partial/final agg."""
+    centroids = F.broadcast(
+        emb.where(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
+    )
+    scored = emb.crossJoin(centroids).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("_csim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell_id"), F.struct(F.col("_csim"), (-F.col("cell_id")).alias("n"))
+        ).alias("cell_id")
+    )
+    return emb.join(best, "vec_id")
+
+
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into N_CELLS inverted lists
+    by nearest centroid; each query scans only its N_PROBE closest cells.
+    The pairwise compare volume drops from O(n·q) to O(n·q·nprobe/ncells),
+    and the candidate step is an equi-join on cell_id — at 100 TB the
+    inverted lists are just a partitioning column, so a probe touches
+    only the matching partitions. Approximate by construction; the oracle
+    restates the identical algorithm, so results are deterministic."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    assigned = _cell_assignments(emb)
+
+    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = F.broadcast(
+        emb.where(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        queries.crossJoin(centroids)
+        .select(
+            "query_id",
+            "query_vec",
+            "cell_id",
+            F.round(cosine(F.col("query_vec"), F.col("centroid")), 6).alias("_csim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= N_PROBE)
+        .select("query_id", "query_vec", "cell_id")
+    )
+
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell_id"
+    ).join(F.broadcast(probes), "cell_id")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+IVF_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < {N_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.centroid)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                      c.cell_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT a.vec_id AS query_id, a.v AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.centroid)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                      c.cell_id ASC) AS rn
+    FROM assigned a CROSS JOIN c
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, n.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine_sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.qv, n.v)
+                    / (sqrt(list_dot_product(p.qv, p.qv))
+                       * sqrt(list_dot_product(n.v, n.v))), 6) DESC,
+                    n.vec_id ASC) AS rank
+  FROM probes p JOIN assigned n USING (cell_id)
+  WHERE n.vec_id <> p.query_id
+) WHERE rank <= {TOP_K}
+"""

@@ -239,3 +239,91 @@ JOIN (VALUES ('band_900_905', 900.0, 905.0),
   ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 """
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one minute-grain partial
+    aggregate is computed from the raw events, then REUSED to produce the
+    hour and day grains — coarser grains aggregate the partial, not the
+    raw table. At 100 TB that is the continuous-aggregate shape: the raw
+    scan happens once, and each coarser rollup reads rows proportional to
+    the finer grain's cardinality. Decimal partial sums keep re-aggregation
+    exact and order-insensitive."""
+    ev = read_testdata(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+    )
+    minute.persist()
+
+    def _coarsen(grain: str) -> DataFrame:
+        return (
+            minute.groupBy(F.date_trunc(grain, "bucket_start").alias("bucket_start"))
+            .agg(F.sum("event_count").alias("event_count"), F.sum("_sum").alias("_sum"))
+            .select(F.lit(grain).alias("grain"), "bucket_start", "event_count", "_sum")
+        )
+
+    out = _coarsen("hour").unionByName(_coarsen("day"))
+    return out.select(
+        "grain",
+        "bucket_start",
+        "event_count",
+        F.col("_sum").cast("double").alias("sum_value"),
+    )
+
+
+EVENTS_MULTIRES_ROLLUP_SQL = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket_start,
+         count(*) AS event_count,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1
+)
+SELECT 'hour' AS grain, date_trunc('hour', bucket_start) AS bucket_start,
+       sum(event_count) AS event_count, CAST(sum(s) AS DOUBLE) AS sum_value
+FROM minute GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', bucket_start),
+       sum(event_count), CAST(sum(s) AS DOUBLE)
+FROM minute GROUP BY 2
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows advancing every 30 minutes
+    (each event lands in exactly 2 overlapping windows). ``F.window`` with
+    a slide plans this as a generate+explode before one hash aggregate —
+    shuffle volume is size/slide × rows, the streaming-compatible shape
+    (the same expression works under readStream with a watermark)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_WINDOWS_SQL = """
+WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s, value FROM events),
+w AS (
+  SELECT s AS window_start, value FROM b
+  UNION ALL
+  SELECT s - INTERVAL 30 MINUTE, value FROM b
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       count(*) AS event_count,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1
+"""
