@@ -1,0 +1,94 @@
+"""Physical-plan audit: pin the plan properties that make the headline
+queries scale — predicate pushdown to the parquet scan, column pruning,
+broadcast joins for dimension lookups, and the intended join strategies.
+A regression here (e.g. a filter that stops pushing, a dim join that
+falls back to sort-merge) is a 100 TB performance bug even when results
+stay correct, so it fails the suite.
+
+Plans only — nothing is executed; runs against the sf0.001 parquet.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry_mod.queries()
+
+    def plan(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF_DIR).explain("formatted")
+        return buf.getvalue()
+
+    return plan
+
+
+def test_q1_filter_pushed_and_columns_pruned(plans):
+    p = plans("q1_pricing_summary")
+    # Catalyst must rewrite to_date(l_shipdate) <= d into a raw-column
+    # range predicate the parquet reader can evaluate on row-group stats.
+    assert "LessThan(l_shipdate" in p
+    # Projection pruning: the 11-column lineitem scan must not read keys.
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in p
+
+
+def test_q5_all_dim_joins_broadcast(plans):
+    p = plans("q5_revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # The date-range filter reaches the orders scan.
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_fact_lineitem_date_joins_broadcast(plans):
+    p = plans("fact_lineitem")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_late_shipment_uses_semi_join(plans):
+    p = plans("late_shipment_orders")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_bruteforce_is_broadcast_nested_loop(plans):
+    # Intended: tiny query side broadcast against the streaming corpus;
+    # anything else (a real cartesian shuffle) is a plan regression.
+    p = plans("knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_window_queries_single_shuffle(plans):
+    # The running-window query should shuffle once on o_custkey and
+    # evaluate all four frames in window nodes over that one exchange.
+    p = plans("customer_order_running")
+    assert "Window" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_asof_single_shuffle_no_join(plans):
+    # The as-of join must compile to union + window — no join operator,
+    # one hash exchange on the key.
+    p = plans("purchases_asof_view")
+    assert "Union" in p and "Window" in p
+    assert "Join" not in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_events_hourly_partial_aggregation(plans):
+    # Map-side partial agg before the shuffle: two HashAggregate nodes.
+    p = plans("events_hourly")
+    assert p.count("HashAggregate") >= 2
