@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "doc_stats",
     "dedup_docs_exact",
     "knn_bruteforce",
+    "ivf_knn",
+    "customer_order_running",
+    "purchases_asof_view",
+    "late_shipment_orders",
+    "events_sliding_windows",
 ]
 
 

@@ -1,0 +1,69 @@
+"""applyInPandasWithState: state must carry across micro-batches, and the
+final per-user profile must match the batch groupBy on the same rows."""
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from de_final_project_spark.sources.readers import read_testdata
+from de_final_project_spark.streaming.stateful import user_profile_stateful
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stateful_profile_matches_batch(spark, tmp_path):
+    # Split the events into two parquet files so AvailableNow +
+    # maxFilesPerTrigger=1 runs two micro-batches -> state must merge.
+    ev = read_testdata(spark, SF_DIR, "events").where(F.col("user_id") < 40)
+    src = str(tmp_path / "stream_src")
+    half = ev.count() // 2
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        user_profile_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert half > 0
+
+    # Update mode emits one row per touched user per batch; the row with
+    # the highest n_events per user is the final state.
+    out = spark.table("profiles_out")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .collect()
+    }
+    got = {r["user_id"]: r for r in final.collect()}
+    assert set(got) == set(want)
+    for uid, g in got.items():
+        wrow = want[uid]
+        assert g["n_events"] == wrow["n_events"]
+        assert abs(g["total_value"] - wrow["total_value"]) < 1e-6
+        assert g["first_seen"] == wrow["first_seen"]
+        assert g["last_seen"] == wrow["last_seen"]
