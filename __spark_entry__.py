@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
         "q5_revenue_by_nation": analytics.q5_revenue_by_nation,
         "top_orders_per_customer": analytics.top_orders_per_customer,
+        "q10_returned_revenue": analytics.q10_returned_revenue,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
@@ -92,6 +94,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_revenue_orders": analytics.Q3_SQL,
         "q5_revenue_by_nation": analytics.Q5_SQL,
         "top_orders_per_customer": analytics.TOP_ORDERS_SQL,
+        "q10_returned_revenue": analytics.Q10_SQL,
+        "q17_small_quantity_revenue": analytics.Q17_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,

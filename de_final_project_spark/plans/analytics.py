@@ -340,3 +340,82 @@ SELECT user_id,
 FROM numbered
 GROUP BY user_id, session_id
 """
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer over
+    one quarter, top 20. lineitem⋈orders shuffles on orderkey (the two
+    big tables); customer and nation broadcast. The returnflag and
+    order-date filters reach both parquet scans before the join."""
+    li = read_testdata(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = read_testdata(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = read_testdata(spark, sf_dir, "customer")
+    n = read_testdata(spark, sf_dir, "nation")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: revenue from orders of
+    a brand's parts in quantities below 50% of that part's average.
+    Decorrelated Spark-first: the per-part average is a partial-pushed
+    hash aggregate joined back on partkey — no per-row subquery execution,
+    two scans of lineitem but each fully parallel."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    p = read_testdata(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("_pk"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+"""
