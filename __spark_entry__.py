@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textquality.lang_id,
         "doc_quality": textquality.doc_quality,
         "doc_fingerprints": textquality.doc_fingerprints,
+        "top_terms": textquality.top_terms,
         "multimodal_features": multimodal.multimodal_features,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textquality.LANG_ID_SQL,
         "doc_quality": textquality.DOC_QUALITY_SQL,
         "doc_fingerprints": textquality.DOC_FINGERPRINTS_SQL,
+        "top_terms": textquality.TOP_TERMS_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,

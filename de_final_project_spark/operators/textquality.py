@@ -185,3 +185,37 @@ SELECT doc_id,
          (acc, h) -> (acc * {_ROLL_MULT} + h) % {_ROLL_MOD}) AS rolling_fp
 FROM documents
 """
+
+
+TOP_TERMS_K = 50
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency, top-K by count (the canonical
+    explode-then-aggregate wordcount). explode is a narrow op; the
+    aggregate does map-side partial counting, so the shuffle carries one
+    row per (partition, distinct term) — vocabulary-sized, not
+    token-count-sized. The top-K is a TakeOrdered over the aggregate,
+    never a global sort of the vocabulary."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(TOP_TERMS_K)
+    )
+
+
+TOP_TERMS_SQL = f"""
+SELECT term, count(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT {TOP_TERMS_K}
+"""

@@ -51,3 +51,41 @@ def preview(df: DataFrame, n: int = 10) -> str:
     """LIMIT-n preview string (K5 equivalent of the reference's logged
     ``to_string`` preview, src/warehousing_lambda.py:98-108)."""
     return df._jdf.showString(n, 20, False)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.
+
+    The bronze lake accretes one small file set per ingest batch (the
+    reference writes one object per table per 20-minute cycle —
+    src/ingestion_lambda.py:171-175). At scale, scan cost and driver
+    listing both degrade with file count, so periodic compaction is part
+    of the table lifecycle. Partition count is sized from actual input
+    bytes; the rewrite is a round-robin repartition (no skew, parallel
+    writers), and reads keep working against dst_dir.
+    """
+    import math
+
+    df = spark.read.parquet(src_dir)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
+    return len(
+        [
+            f
+            for root, _, files in os.walk(dst_dir)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    )

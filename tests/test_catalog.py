@@ -25,3 +25,18 @@ def test_register_list_preview_export(spark, currency_df, tmp_path):
     files = os.listdir(os.path.join(out, "dim_currency_cat"))
     assert any(f.endswith(".csv") for f in files)
     spark.catalog.dropTempView("dim_currency_cat")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from de_final_project_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(20000).repartition(40).write.parquet(src)
+    import os as _os
+
+    n_src = len([f for f in _os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 40
+    dst = str(tmp_path / "compacted")
+    n_dst = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert n_dst == 1
+    assert spark.read.parquet(dst).count() == 20000
