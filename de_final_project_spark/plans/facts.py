@@ -114,3 +114,41 @@ def make_fact_sales_order(sales_order: DataFrame, dim_date: DataFrame) -> DataFr
         "agreed_delivery_location_id",
     )
     return add_sequence_key(so, "sales_record_id", "sales_order_id")
+
+
+def stable_date_key(col: str):
+    """yyyymmdd integer date key — a pure function of the calendar date.
+
+    The reference regenerates dim_date ids per run (sorted-order ranks:
+    SURVEY.md §7.4 risk 5), which makes fact date FKs unstable across
+    runs and forces every incremental build to re-derive the dimension.
+    A functional key needs NO dim join and never changes — the property
+    that unlocks append-only incremental fact processing at scale (the
+    date dimension becomes a generated lookup, not a join dependency)."""
+    return F.date_format(F.col(col), "yyyyMMdd").cast("int")
+
+
+def make_fact_sales_order_stable(sales_order: DataFrame) -> DataFrame:
+    """fact_sales_order with stable yyyymmdd date keys and NO sequence key
+    (the caller assigns record ids — e.g. with a continuation offset for
+    incremental appends). Zero joins: every derived column is a map-side
+    expression, so a delta batch builds in one narrow stage."""
+    so = keep_latest(
+        sales_order, "sales_order_id",
+        ["last_updated", "_batch_ts"] if "_batch_ts" in sales_order.columns
+        else ["last_updated"],
+    )
+    so = _split_ts(so, "created_at", "created_date", "created_time")
+    so = _split_ts(so, "last_updated", "last_updated_date", "last_updated_time")
+    for c in ("created_date", "last_updated_date"):
+        so = so.withColumn(c, stable_date_key(c))
+    for c in ("agreed_delivery_date", "agreed_payment_date"):
+        so = so.withColumn(c, stable_date_key(c))
+    return so.select(
+        "sales_order_id", "created_date", "created_time",
+        "last_updated_date", "last_updated_time",
+        F.col("staff_id").alias("sales_staff_id"), "counterparty_id",
+        "units_sold", "unit_price", "currency_id", "design_id",
+        "agreed_payment_date", "agreed_delivery_date",
+        "agreed_delivery_location_id",
+    )

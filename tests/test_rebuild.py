@@ -87,3 +87,42 @@ def test_fact_sources_trigger_all_facts(
     }
     fp = spark.read.parquet(os.path.join(gold_dir, "fact_payment"))
     assert fp.count() == 3  # keep-latest applied through the CSV round-trip
+
+
+def test_incremental_fact_append_matches_full_history(spark, sales_order_df, tmp_path):
+    """Two ingest cycles appended incrementally == one stable-key build
+    over the whole lake (business columns), with dense continuing ids."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.plans.facts import make_fact_sales_order_stable
+    from de_final_project_spark.plans.rebuild import (
+        INCREMENTAL_SALES_FACT,
+        append_sales_fact_increment,
+    )
+    from de_final_project_spark.sources.readers import read_ingest_table
+    from de_final_project_spark.sources.sinks import write_csv_batch
+
+    lake = str(tmp_path / "lake")
+    gold = str(tmp_path / "gold")
+
+    batch1 = sales_order_df.where(F.col("sales_order_id") == 1)
+    batch2 = sales_order_df.where(F.col("sales_order_id") == 2)
+    write_csv_batch(batch1, lake, "sales_order", "2024-01-05 00:00")
+    n1 = append_sales_fact_increment(spark, lake, gold, "2024-01-05 00:00")
+    write_csv_batch(batch2, lake, "sales_order", "2024-08-02 00:00")
+    n2 = append_sales_fact_increment(spark, lake, gold, "2024-08-02 00:00")
+    assert (n1, n2) == (1, 1)  # keep-latest collapses the order-2 versions
+
+    got = spark.read.parquet(str(tmp_path / "gold" / INCREMENTAL_SALES_FACT))
+    ids = sorted(r["sales_record_id"] for r in got.collect())
+    assert ids == [1, 2]  # dense, continuing across appends
+
+    full = make_fact_sales_order_stable(read_ingest_table(spark, lake, "sales_order"))
+    biz = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.drop("sales_record_id").collect()
+    )
+    assert biz(got) == biz(full)
+    # stable functional date keys: yyyymmdd ints
+    row = {r["sales_order_id"]: r for r in got.collect()}
+    assert row[1]["created_date"] == 20240103
+    assert row[2]["agreed_payment_date"] == 20240730
