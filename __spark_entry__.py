@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline surface: text + dedup + similarity ---
         "doc_stats": textdedup.doc_stats,
         "dedup_docs_exact": textdedup.dedup_docs_exact,
+        "token_counts": textdedup.token_counts,
         "knn_bruteforce": similarity.knn_bruteforce,
         "embedding_neardup_exact": similarity.embedding_neardup_exact,
         "knn_lsh_candidates": similarity.knn_lsh_candidates,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,
         "doc_stats": textdedup.DOC_STATS_SQL,
         "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
+        "token_counts": textdedup.TOKEN_COUNTS_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "embedding_neardup_exact": similarity.EMBEDDING_NEARDUP_SQL,
         # knn_lsh_candidates: no oracle — LSH bucketing is engine-defined

@@ -67,3 +67,33 @@ SELECT doc_id,
        length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_whitespace
 FROM documents
 """
+
+
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits
+# with leading-space attachment), restricted to constructs RE2 also
+# supports so the DuckDB oracle runs the identical regex — no lookahead.
+BPE_PATTERN = r" ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document — the cost model
+    for LLM-pipeline budgeting (tokens ≈ compute). Both counters are
+    JVM-side regex extractions in one narrow projection; no Python, no
+    shuffle."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+FROM documents
+"""

@@ -19,6 +19,10 @@ def write_csv_batch(df: DataFrame, lake_dir: str, table: str, batch_ts: str) -> 
     Bronze path ``{lake}/{table}/batch_ts=<ts>/`` mirrors the reference's
     ``{table}/{timestamp}.csv`` key scheme (src/ingestion_lambda.py:173) as
     a Hive partition, making the batch id a prunable column on re-read.
+
+    Prefer URI-safe batch ids (no spaces, e.g. ``2024-01-05T0000``): the
+    batch reader tolerates spaces, but the streaming file source
+    (streaming/pipeline.py) globs the partition path as a URI.
     """
     path = os.path.join(lake_dir, table, f"batch_ts={batch_ts}")
     df.write.mode("errorifexists").option("header", "true").csv(path)

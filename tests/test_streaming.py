@@ -53,3 +53,30 @@ def test_stream_dedup_preserves_distinct_events(spark, events_stream):
     # event_id is unique in the source, so dedup must be a no-op pass-through
     assert got.count() == batch.count()
     assert got.select(F.countDistinct("event_id")).collect()[0][0] == batch.count()
+
+
+def test_stream_lake_to_gold_is_incremental(spark, sales_order_df, tmp_path):
+    """foreachBatch bronze→gold: a second run with the same checkpoint
+    processes only new batches; record ids continue densely."""
+    from de_final_project_spark.plans.rebuild import INCREMENTAL_SALES_FACT
+    from de_final_project_spark.sources.sinks import write_csv_batch
+    from de_final_project_spark.streaming.pipeline import stream_sales_to_gold
+
+    lake = str(tmp_path / "lake")
+    gold = str(tmp_path / "gold")
+    cp = str(tmp_path / "cp")
+    gold_path = tmp_path / "gold" / INCREMENTAL_SALES_FACT
+
+    b1 = sales_order_df.where(F.col("sales_order_id") == 1)
+    write_csv_batch(b1, lake, "sales_order", "2024-01-05T0000")
+    stream_sales_to_gold(spark, lake, gold, cp)
+    assert spark.read.parquet(str(gold_path)).count() == 1
+
+    b2 = sales_order_df.where(F.col("sales_order_id") == 2)
+    write_csv_batch(b2, lake, "sales_order", "2024-08-02T0000")
+    stream_sales_to_gold(spark, lake, gold, cp)
+
+    out = spark.read.parquet(str(gold_path))
+    ids = sorted(r["sales_record_id"] for r in out.collect())
+    assert ids == [1, 2]  # batch 1 NOT reprocessed; ids continue
+    assert out.where(F.col("sales_order_id") == 2).count() == 1  # keep-latest in batch
