@@ -125,3 +125,31 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
                 F.col("f.frame_hash").alias("frame_hash"))
     )
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image/frame resize plumbing: Arrow-batched ``mapInPandas`` mapping
+    payload -> resized payload + updated dimension metadata. The pixel
+    resample itself is stubbed (md5 re-hash standing in for the new
+    pixel buffer — STUB_DECODE); schema, batch shape, and partition
+    independence are the real contract. Swap the body for PIL
+    ``Image.resize`` when codecs are available."""
+    out_schema = (
+        "doc_id long, media_type string, payload binary, "
+        "width int, height int"
+    )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: hashlib.md5(
+                    b + f":{target_w}x{target_h}".encode()
+                ).digest()
+            )
+            yield pdf.assign(
+                payload=resized, width=target_w, height=target_h
+            )[["doc_id", "media_type", "payload", "width", "height"]]
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        resize, out_schema
+    )

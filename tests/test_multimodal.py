@@ -49,3 +49,22 @@ def test_frame_sample_fanout(spark):
     assert [r["count"] for r in per_doc] == [4]
     # frame hashes are distinct per frame
     assert frames.select("frame_hash").distinct().count() == n_videos * 4
+
+
+def test_resize_media_plumbing(spark):
+    from de_final_project_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, SF_DIR)
+    out = resize_media(media, 224, 224)
+    rows = out.collect()
+    n_images = media.where("media_type = 'image'").count()
+    assert len(rows) == n_images
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    # deterministic: payload is a pure function of input payload + target
+    again = {r["doc_id"]: r["payload"] for r in resize_media(media, 224, 224).collect()}
+    assert all(again[r["doc_id"]] == r["payload"] for r in rows)
+    # schema contract holds
+    assert dict(out.dtypes)["payload"] == "binary"
