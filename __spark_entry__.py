@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": analytics.top_orders_per_customer,
         "q10_returned_revenue": analytics.q10_returned_revenue,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "customer_value_tiles": analytics.customer_value_tiles,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
@@ -98,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": analytics.TOP_ORDERS_SQL,
         "q10_returned_revenue": analytics.Q10_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
+        "q14_promo_revenue": analytics.Q14_SQL,
+        "customer_value_tiles": analytics.CUSTOMER_VALUE_TILES_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,

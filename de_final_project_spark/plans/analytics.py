@@ -419,3 +419,86 @@ WHERE p_brand = 'Brand#1'
         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
       )
 """
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation: promo-type parts' share
+    of one month's revenue. CASE folds into the same map-side partial
+    aggregate as the plain sum — one broadcast join (part is
+    dimension-sized), one scalar result row."""
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = read_testdata(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value distribution: total spend per customer,
+    then quartile (ntile), percent_rank, and cume_dist over the spend
+    ordering. The aggregate shuffles on custkey; the ranking windows
+    share ONE global ordering — acceptable because the windowed relation
+    is already one-row-per-customer (dimension-sized); the raw orders
+    table never passes through a global window."""
+    from pyspark.sql import Window
+
+    o = read_testdata(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("_spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.col("_spend").asc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        "n_orders",
+        F.col("_spend").cast("double").alias("total_spend"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+CUSTOMER_VALUE_TILES_SQL = """
+SELECT o_custkey, n_orders,
+       CAST(s AS DOUBLE) AS total_spend,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+WINDOW w AS (ORDER BY s ASC, o_custkey ASC)
+"""

@@ -93,3 +93,18 @@ def compact_parquet(
             if f.endswith(".parquet")
         ]
     )
+
+
+def write_parquet_partitioned(
+    df: DataFrame, out_dir: str, name: str, partition_cols: list[str]
+) -> None:
+    """Parquet overwrite partitioned by the given columns — the gold
+    layout that turns date/tenant predicates into directory pruning (a
+    metadata operation) instead of data scans. At 100 TB a fact
+    partitioned by order month answers one-month queries reading ~1/12 of
+    the files before any row-group filtering happens."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(os.path.join(out_dir, name))
+    )

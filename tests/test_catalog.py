@@ -40,3 +40,34 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     n_dst = compact_parquet(spark, src, dst, target_bytes=1 << 30)
     assert n_dst == 1
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.sources.sinks import write_parquet_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    gold = str(tmp_path / "gold")
+    write_parquet_partitioned(df, gold, "t", ["bucket"])
+    import os as _os
+
+    parts = sorted(
+        d for d in _os.listdir(_os.path.join(gold, "t")) if d.startswith("bucket=")
+    )
+    assert parts == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    back = spark.read.parquet(_os.path.join(gold, "t")).where(F.col("bucket") == 2)
+    assert back.count() == 250
+    # partition filter must appear as PartitionFilters, not a data filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    pf_lines = [
+        line for line in buf.getvalue().splitlines() if "PartitionFilters" in line
+    ]
+    assert pf_lines and any("bucket" in line for line in pf_lines)
