@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
+        "idle_rich_customers": setops.idle_rich_customers,
         "parts_both_ordered_and_stocked": setops.parts_both_ordered_and_stocked,
         "revenue_rollup_region_nation": setops.revenue_rollup_region_nation,
         "events_cube": setops.events_cube,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textquality.TOP_TERMS_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "idle_rich_customers": setops.IDLE_RICH_CUSTOMERS_SQL,
         "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,
         "revenue_rollup_region_nation": setops.REVENUE_ROLLUP_SQL,
         "events_cube": setops.EVENTS_CUBE_SQL,

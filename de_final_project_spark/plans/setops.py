@@ -178,3 +178,56 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average account balance and
+    no RECENT orders (none since 2000), counted per nation. Two
+    independent sub-plans composed without any big shuffle: the global
+    average is a 1-row scalar (broadcast into the filter), the
+    time-scoped existential is a LEFT ANTI hash join on custkey against
+    the date-filtered (scan-pruned) orders, and the final count groups by
+    the small nation key."""
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders")
+    n = read_testdata(spark, sf_dir, "nation")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey"),
+            c["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(F.broadcast(n), rich["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""

@@ -104,3 +104,31 @@ def read_jdbc_table(
     if predicate:
         query += f" WHERE {predicate}"
     return spark.read.jdbc(url, f"({query}) AS src", properties=properties or {})
+
+
+def read_csv_robust(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+):
+    """CSV scan that quarantines malformed rows instead of failing the
+    job (PERMISSIVE + corrupt-record capture). At 100 TB a single
+    producer bug should cost a quarantine row, not the batch. Returns
+    (clean_df, corrupt_df); feed corrupt_df to the data-quality report
+    (operators/quality.py) or a dead-letter sink.
+
+    Note Spark only populates the corrupt column on parse failure when it
+    is declared in the schema, and the quarantine split requires a
+    materialization boundary (cache) because the column is lazily
+    produced by the parser."""
+    from pyspark.sql.types import StringType
+
+    full_schema = schema.add(corrupt_col, StringType(), True)
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .csv(path)
+    ).cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, corrupt

@@ -94,3 +94,38 @@ def test_keep_latest_is_distributed(spark):
     )
     out = {r.k: r.ver for r in keep_latest(df, "k", "ver").collect()}
     assert out == {k: 990 + k for k in range(10)}
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from de_final_project_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "gold_t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    merge_upsert(spark, path, base, ["id"])
+    delta = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "id long, s string, v double"
+    )
+    merge_upsert(spark, path, delta, ["id"])
+    got = {r["id"]: (r["s"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from de_final_project_spark.sources.readers import read_csv_robust
+
+    p = tmp_path / "data.csv"
+    p.write_text("id,name\n1,alice\nnot_a_number,bob\n3,carol\n")
+    schema = (
+        StructType().add("id", LongType(), True).add("name", StringType(), True)
+    )
+    clean, corrupt = read_csv_robust(spark, str(p), schema)
+    assert sorted((r["id"], r["name"]) for r in clean.collect()) == [
+        (1, "alice"),
+        (3, "carol"),
+    ]
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0][0]
