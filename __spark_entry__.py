@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from de_final_project_spark.operators import (
     multimodal,
     neardup,
+    sampling,
     similarity,
     textdedup,
     textquality,
@@ -54,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": textdedup.doc_stats,
         "dedup_docs_exact": textdedup.dedup_docs_exact,
         "token_counts": textdedup.token_counts,
+        "dataset_splits": sampling.dataset_splits,
+        "capped_per_language": sampling.capped_per_language,
         "knn_bruteforce": similarity.knn_bruteforce,
         "embedding_neardup_exact": similarity.embedding_neardup_exact,
         "knn_lsh_candidates": similarity.knn_lsh_candidates,
@@ -109,6 +112,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": textdedup.DOC_STATS_SQL,
         "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
         "token_counts": textdedup.TOKEN_COUNTS_SQL,
+        "dataset_splits": sampling.DATASET_SPLITS_SQL,
+        "capped_per_language": sampling.CAPPED_PER_LANGUAGE_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "embedding_neardup_exact": similarity.EMBEDDING_NEARDUP_SQL,
         # knn_lsh_candidates: no oracle — LSH bucketing is engine-defined

@@ -1,0 +1,89 @@
+"""Deterministic sampling & dataset splitting — training-data pipeline
+surface.
+
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG, so results
+change under repartitioning, retries, and engine versions — unacceptable
+for reproducible dataset curation. The scalable alternative used here:
+**hash sampling**. A row's bucket is ``md5(stable id) mod 100`` — a pure
+column expression, identical on every engine and every run, trivially
+parallel, and stable when the corpus is re-partitioned or incrementally
+extended (a document keeps its split forever, so train/test contamination
+cannot creep in across refreshes).
+
+md5 (not Spark's Murmur3 ``F.hash``) because it is bit-identical across
+Spark, DuckDB, and any other engine that might own a pipeline stage.
+Crypto strength is irrelevant; cross-engine determinism is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of
+    the stringified id, as an integer, mod n_buckets."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment for every document — stable
+    across runs and corpus growth (a doc's split is a function of its id
+    alone). Narrow projection; no shuffle, no RNG."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
+
+
+DATASET_SPLITS_SQL = """
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+              AS INT) AS bucket
+  FROM documents
+)
+"""
+
+
+def capped_per_language(spark: SparkSession, sf_dir: str, cap: int = 50) -> DataFrame:
+    """Class rebalancing: keep at most ``cap`` documents per language,
+    chosen by the deterministic hash order (not arrival order, which is
+    partitioning-dependent). One hash shuffle on lang feeding a rank
+    window — the same shape as keep-latest dedup."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id", 1 << 30).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= cap)
+        .select("doc_id", "lang", "pick_rank")
+    )
+
+
+CAPPED_PER_LANGUAGE_SQL = """
+SELECT doc_id, lang, pick_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824 ASC,
+                    doc_id ASC) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= 50
+"""

@@ -1,0 +1,34 @@
+"""Hash-based sampling: split assignment must be a pure function of the
+id — invariant under repartitioning and corpus growth."""
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.operators.sampling import dataset_splits, hash_bucket
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_stable_under_repartition(spark):
+    df = spark.range(2000).select(F.col("id"))
+    a = {r["id"]: r["b"] for r in df.select("id", hash_bucket("id").alias("b")).collect()}
+    b = {
+        r["id"]: r["b"]
+        for r in df.repartition(17).select("id", hash_bucket("id").alias("b")).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(100))
+
+
+def test_split_proportions_and_stability_on_growth(spark):
+    out = {r["doc_id"]: r["split"] for r in dataset_splits(spark, SF_DIR).collect()}
+    n = len(out)
+    train = sum(1 for s in out.values() if s == "train")
+    # hash buckets approximate 80/10/10; allow generous tolerance at n=50
+    assert 0.6 * n <= train <= 0.95 * n
+    # growing the corpus must not move existing docs between splits:
+    # the split is id-derived, so recomputing on a subset agrees.
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in dataset_splits(spark, SF_DIR).where(F.col("doc_id") < 20).collect()
+    }
+    assert all(out[k] == v for k, v in sub.items())
