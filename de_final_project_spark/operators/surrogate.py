@@ -83,38 +83,41 @@ def add_sequence_key_distributed(
 
 
 def zip_with_index_key(df: DataFrame, key_name: str, start: int = 1) -> DataFrame:
-    """Dense sequence key without a single-partition window.
+    """Dense sequence key without a single-partition window OR a sort.
 
-    Two-pass scheme: count rows per partition (cheap scan), then offset
-    each partition's local index by the cumulative count — the classic
-    distributed zipWithIndex. Row order follows the current partitioning,
-    so use only where the caller doesn't require a business ordering.
+    Classic distributed zipWithIndex, kept entirely JVM-side (an earlier
+    RDD ``mapPartitionsWithIndex`` version measured ~4× slower at sf0.1 —
+    every row paid Python serde twice): ``monotonically_increasing_id``
+    encodes (partition id << 33) + local row index, so the local index is
+    the low 33 bits; per-partition counts (one cheap aggregate, O(parts)
+    rows to the driver) turn into cumulative offsets broadcast back.
+
+    Row order follows the current partitioning, so use only where the
+    caller doesn't require a business ordering. The input is persisted
+    for the two passes — a recompute between count and assign could
+    repartition and corrupt the offsets.
     """
     spark = df.sparkSession
-    schema = df.schema
-
-    def attach(partition_index: int, rows):
-        # local import keeps the closure picklable and worker-cheap
-        for i, row in enumerate(rows):
-            yield (partition_index, i, row)
-
-    counts = df.rdd.mapPartitionsWithIndex(
-        lambda idx, it: [(idx, sum(1 for _ in it))]
-    ).collectAsMap()
-    offsets = {}
-    running = start
-    for idx in sorted(counts):
-        offsets[idx] = running
-        running += counts[idx]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    def assign(idx, it):
-        base = b_offsets.value.get(idx, 0)
-        for i, row in enumerate(it):
-            yield (base + i, *row)
-
-    out_schema = (
-        f"{key_name} long, " + ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    local_idx_mask = (1 << 33) - 1
+    pinned = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in pinned.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = [], start
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, start)], "_pid int, _off long")
+    return (
+        pinned.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            key_name,
+            (F.col("_off") + F.col("_mid").bitwiseAND(F.lit(local_idx_mask))).cast(
+                "long"
+            ),
+        )
+        .select(key_name, *df.columns)
     )
-    rdd = df.rdd.mapPartitionsWithIndex(assign)
-    return spark.createDataFrame(rdd, schema=out_schema)
