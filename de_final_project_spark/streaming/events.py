@@ -96,3 +96,40 @@ def run_available_now(sdf: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def purchases_with_recent_views_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events from the preceding hour. Both sides carry
+    watermarks, so the join state is bounded — Spark retains only one
+    hour of views per user and expires the rest (the unbounded-state
+    trap of naive stream joins is exactly what the interval condition
+    solves). Streaming twin of the batch as-of family (operators/asof.py
+    keeps the nearest-one semantics; the interval join keeps ALL
+    qualifying pairs)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (purchases["user_id"] == views["view_user_id"])
+        & (views["view_ts"] >= purchases["purchase_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (views["view_ts"] <= purchases["purchase_ts"]),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_id", "view_ts")

@@ -80,3 +80,36 @@ def test_stream_lake_to_gold_is_incremental(spark, sales_order_df, tmp_path):
     ids = sorted(r["sales_record_id"] for r in out.collect())
     assert ids == [1, 2]  # batch 1 NOT reprocessed; ids continue
     assert out.where(F.col("sales_order_id") == 2).count() == 1  # keep-latest in batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    from de_final_project_spark.streaming.events import (
+        purchases_with_recent_views_stream,
+    )
+
+    run_available_now(
+        purchases_with_recent_views_stream(events_stream), "ss_join_out"
+    )
+    got = spark.table("ss_join_out")
+
+    ev = read_testdata(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = p.join(
+        v,
+        (p["user_id"] == v["vu"])
+        & (v["view_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (v["view_ts"] <= p["purchase_ts"]),
+    ).select("purchase_id", "view_id")
+    cols = ["purchase_id", "view_id"]
+    assert _rows(got.select(*cols), cols) == _rows(want, cols)
+    assert got.count() > 0
