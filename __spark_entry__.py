@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": textquality.doc_quality,
         "doc_fingerprints": textquality.doc_fingerprints,
         "top_terms": textquality.top_terms,
+        "tfidf_top_terms": textquality.tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textquality.DOC_QUALITY_SQL,
         "doc_fingerprints": textquality.DOC_FINGERPRINTS_SQL,
         "top_terms": textquality.TOP_TERMS_SQL,
+        "tfidf_top_terms": textquality.TFIDF_TOP_TERMS_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "idle_rich_customers": setops.IDLE_RICH_CUSTOMERS_SQL,

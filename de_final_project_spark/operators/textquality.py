@@ -219,3 +219,61 @@ GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT {TOP_TERMS_K}
 """
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N terms per document by TF-IDF — the classic relevance
+    weighting, DataFrame-native end to end: explode -> (doc,term) counts
+    -> document-frequency aggregate joined back (vocabulary-sized, so it
+    broadcasts) -> windowed top-N per doc. Two hash shuffles total
+    (term counts, doc window); the corpus-sized explode never leaves the
+    executors. Scores round to 6 places before ranking so ordering is
+    identical across engines' libm (ln) implementations."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term_rank", "term", "tf", "df", "tfidf")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term_rank, term, tf, df, tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) DESC,
+                    tf.term ASC) AS term_rank
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+WHERE term_rank <= {TFIDF_TOP_N}
+"""
