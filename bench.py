@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "purchases_asof_view",
     "late_shipment_orders",
     "events_sliding_windows",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "top_terms",
+    "tfidf_top_terms",
+    "dataset_splits",
 ]
 
 

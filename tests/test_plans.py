@@ -92,3 +92,26 @@ def test_events_hourly_partial_aggregation(plans):
     # Map-side partial agg before the shuffle: two HashAggregate nodes.
     p = plans("events_hourly")
     assert p.count("HashAggregate") >= 2
+
+
+def test_q10_broadcasts_dims_and_pushes_filters(plans):
+    p = plans("q10_returned_revenue")
+    # returnflag filter reaches the lineitem scan; date range reaches orders
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_df_join_broadcasts(plans):
+    # The vocabulary-sized document-frequency side must broadcast; the
+    # corpus-sized term relation must never be on a build side.
+    p = plans("tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dataset_splits_no_shuffle(plans):
+    # Pure narrow projection: no exchange anywhere.
+    p = plans("dataset_splits")
+    assert "Exchange" not in p
