@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": analytics.q10_returned_revenue,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
         "customer_value_tiles": analytics.customer_value_tiles,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": analytics.Q10_SQL,
         "q17_small_quantity_revenue": analytics.Q17_SQL,
         "q14_promo_revenue": analytics.Q14_SQL,
+        "q19_disjunctive_revenue": analytics.Q19_SQL,
         "customer_value_tiles": analytics.CUSTOMER_VALUE_TILES_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,

@@ -502,3 +502,50 @@ FROM (
 )
 WINDOW w AS (ORDER BY s ASC, o_custkey ASC)
 """
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: revenue from three
+    independent (brand, size-range, quantity-range) arms OR-ed together.
+    The join is a plain broadcast hash join on partkey; the OR predicate
+    stays a join residual. Catalyst extracts the common sub-predicates it
+    can (size/quantity bounds per arm reach the scans as range filters
+    where shared), and the disjunction never forces a cartesian plan."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    p = read_testdata(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return joined.where(arm1 | arm2 | arm3).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
