@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_candidates": similarity.knn_lsh_candidates,
         "minhash_bands": neardup.minhash_bands,
         "neardup_pairs_minhash": neardup.neardup_pairs_minhash,
+        "neardup_clusters": neardup.neardup_clusters,
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs_exact,
         "simhash_docs": neardup.simhash_docs,
         "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         # (hyperplane constants); driver records a rows-only check.
         "minhash_bands": neardup.MINHASH_BANDS_SQL,
         "neardup_pairs_minhash": neardup.NEARDUP_PAIRS_MINHASH_SQL,
+        "neardup_clusters": neardup.NEARDUP_CLUSTERS_SQL,
         "ngram_jaccard_pairs": neardup.NGRAM_JACCARD_PAIRS_SQL,
         "simhash_docs": neardup.SIMHASH_DOCS_SQL,
         "simhash_neardup_pairs": neardup.SIMHASH_NEARDUP_PAIRS_SQL,

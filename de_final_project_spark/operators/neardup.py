@@ -325,3 +325,116 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+# ----------------------------------------------------------------------
+# Cluster formation: pairs -> connected components -> canonical docs.
+# ----------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for the undirected graph given as an edge list —
+    component id is the minimum node id reachable from the node.
+
+    Iterative min-label propagation (the scalable Spark shape for the
+    union-find step every near-dup pipeline ends with): each round every
+    node takes the min label among itself and its neighbors; converged
+    when no label changes. Rounds are O(graph diameter) — near-dup
+    graphs are overwhelmingly tiny star/clique clusters, so 2-3 rounds
+    close them; each round is one shuffle on node id. ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1.
+    """
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision output: MinHash near-dup pairs -> connected
+    components -> per-doc (cluster_id, is_canonical). Canonical = lowest
+    doc_id in the cluster (deterministic); docs with no near-dup are their
+    own singleton cluster. Downstream keeps ``is_canonical`` rows."""
+    pairs = neardup_pairs_minhash(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_BANDS_CTE},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = a_id
+  JOIN shingled sb ON sb.doc_id = b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))), 6)
+        >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src AS node, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+       coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""

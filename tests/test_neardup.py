@@ -58,3 +58,34 @@ def test_cosine_self_is_one(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<float>")
     out = df.select(F.round(cosine(F.col("v"), F.col("v")), 9).alias("c")).collect()
     assert out[0].c == 1.0
+
+
+def test_connected_components_matches_bfs(spark):
+    from collections import defaultdict, deque
+
+    from de_final_project_spark.operators.neardup import connected_components
+
+    # Two chains, one triangle, one isolated-by-edge pair, deep path.
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (21, 22), (20, 22),
+             (30, 31), (31, 32), (32, 33), (33, 34)]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        seen, q = {start}, deque([start])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        root = min(seen)
+        for n in seen:
+            want[n] = root
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
