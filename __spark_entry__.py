@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_price_band_join": temporal.parts_price_band_join,
         "events_multires_rollup": temporal.events_multires_rollup,
         "events_sliding_windows": temporal.events_sliding_windows,
+        "events_anomalies": temporal.events_anomalies,
         "ivf_knn": similarity.ivf_knn,
     }
 
@@ -148,5 +149,6 @@ def oracle_sql() -> dict[str, str]:
         "parts_price_band_join": temporal.PARTS_PRICE_BAND_JOIN_SQL,
         "events_multires_rollup": temporal.EVENTS_MULTIRES_ROLLUP_SQL,
         "events_sliding_windows": temporal.EVENTS_SLIDING_WINDOWS_SQL,
+        "events_anomalies": temporal.EVENTS_ANOMALIES_SQL,
         "ivf_knn": similarity.IVF_KNN_SQL,
     }

@@ -327,3 +327,63 @@ SELECT window_start,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM w GROUP BY 1
 """
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous hours per event type: hourly counts scored against the
+    trailing 24 observed hours' mean/std (z-score, flagged at |z| >= 2).
+    One aggregate shuffle (hourly counts), one window shuffle per type —
+    the monitoring primitive a pipeline runs over its own ingest volumes.
+    Variance is computed from exact integer window sums with the same
+    explicit formula on both engines (builtin stddev implementations
+    differ numerically between engines); z rounds to 6 places."""
+    ev = read_testdata(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    s = F.sum("n").over(w).cast("double")
+    ssq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    k = F.count("n").over(w).cast("double")
+    mean = s / k
+    var = (ssq - s * s / k) / (k - F.lit(1.0))
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        k.alias("window_n"),
+        F.round(mean, 6).alias("trailing_mean"),
+        z.alias("zscore"),
+        var.alias("_var"),
+    ).where((F.col("window_n") >= 12) & (F.col("_var") > 0))
+    return scored.where(F.abs(F.col("zscore")) >= 2.0).drop("_var")
+
+
+EVENTS_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         CAST(count(n) OVER w AS DOUBLE) AS window_n,
+         CAST(sum(n) OVER w AS DOUBLE) AS s,
+         CAST(sum(n * n) OVER w AS DOUBLE) AS ssq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n, window_n,
+       round(s / window_n, 6) AS trailing_mean,
+       round((n - s / window_n)
+             / sqrt((ssq - s * s / window_n) / (window_n - 1.0)), 6) AS zscore
+FROM scored
+WHERE window_n >= 12
+  AND (ssq - s * s / window_n) / (window_n - 1.0) > 0
+  AND abs(round((n - s / window_n)
+                / sqrt((ssq - s * s / window_n) / (window_n - 1.0)), 6)) >= 2.0
+"""
