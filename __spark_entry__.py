@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multires_rollup": temporal.events_multires_rollup,
         "events_sliding_windows": temporal.events_sliding_windows,
         "events_anomalies": temporal.events_anomalies,
+        "signup_conversion_funnel": temporal.signup_conversion_funnel,
         "ivf_knn": similarity.ivf_knn,
     }
 
@@ -150,5 +151,6 @@ def oracle_sql() -> dict[str, str]:
         "events_multires_rollup": temporal.EVENTS_MULTIRES_ROLLUP_SQL,
         "events_sliding_windows": temporal.EVENTS_SLIDING_WINDOWS_SQL,
         "events_anomalies": temporal.EVENTS_ANOMALIES_SQL,
+        "signup_conversion_funnel": temporal.SIGNUP_CONVERSION_FUNNEL_SQL,
         "ivf_knn": similarity.IVF_KNN_SQL,
     }

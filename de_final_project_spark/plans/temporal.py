@@ -387,3 +387,67 @@ WHERE window_n >= 12
   AND abs(round((n - s / window_n)
                 / sqrt((ssq - s * s / window_n) / (window_n - 1.0)), 6)) >= 2.0
 """
+
+
+def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per signup cohort week, how many signed-up
+    users made any purchase within 7 days of their FIRST signup. Two
+    stages: a per-user min-aggregate (first signup), then one join to
+    purchases pre-filtered by type — the join keys on user_id, so both
+    sides shuffle once on the same key; the cohort rollup is
+    cohort-week-sized. The week bucket is date_trunc('week'), Monday
+    anchored on both engines."""
+    ev = read_testdata(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        signups.join(converted, "user_id", "left")
+        .groupBy(F.date_trunc("week", "signup_ts").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.coalesce(F.col("_conv"), F.lit(0))).alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted") / F.col("n_signups"), 6),
+        )
+    )
+
+
+SIGNUP_CONVERSION_FUNNEL_SQL = """
+WITH signups AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), converted AS (
+  SELECT DISTINCT s.user_id
+  FROM signups s JOIN events p
+    ON p.user_id = s.user_id
+   AND p.event_type = 'purchase'
+   AND p.ts >= s.signup_ts
+   AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+)
+SELECT CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
+       count(*) AS n_signups,
+       sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+       round(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
+FROM signups s LEFT JOIN converted c USING (user_id)
+GROUP BY 1
+"""
