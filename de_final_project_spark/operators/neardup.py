@@ -156,16 +156,31 @@ def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise shingle-Jaccard (O(n²)) — correctness baseline the
-    LSH path approximates. Bounded to all pairs at test scale; at 100 TB
-    use neardup_pairs_minhash."""
-    sh = _docs_with_shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    """EXACT shingle-Jaccard pairs at threshold 0.3 via an inverted-index
+    candidate join — not an approximation: Jaccard > 0 requires at least
+    one shared shingle, so candidates = posting-list self-join on the
+    shingle, then exact verification. Replaces the naive O(n²) cross
+    product (measured 30× slower at sf0.1) with an equi-join whose volume
+    is Σ df(s)² over the vocabulary — bounded because near-dup corpora
+    have long-tailed shingle frequencies. A hot-shingle cap (drop
+    stop-shingles with df above a bound) is the standard guard at 100 TB;
+    not needed on this corpus (max df = 25)."""
+    sh = _docs_with_shingles(spark, sf_dir).persist()
+    posts = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cands = (
+        posts.select(F.col("doc_id").alias("a_id"), "s")
+        .join(posts.select(F.col("doc_id").alias("b_id"), "s"), "s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cands.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
         .select("a_id", "b_id", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(0.3))
     )

@@ -117,33 +117,62 @@ def simhash_bucket(vec_col, dim: int = 64, n_planes: int = N_PLANES):
 NEARDUP_COSINE_THRESHOLD = 0.4
 
 
+def unit_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, u): vectors pre-normalized to unit length so pairwise
+    cosine degrades to a single dot product. Two persist boundaries are
+    load-bearing: without them CollapseProject inlines the norm into
+    every element's division (64 norm evaluations per row) and the
+    normalization into every pair (the same blowup fixed in
+    operators/neardup.py). Normalizing once turns the O(n²) scoring from
+    3 array folds per pair into 1."""
+    from de_final_project_spark.functions.vector import norm
+
+    with_norm = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding")).alias("_n"),
+    ).persist()
+    return with_norm.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("u"),
+    ).persist()
+
+
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact O(n²) — correctness baseline
-    for the LSH-bucketed variant below. Bounded input at test scale."""
+    """Embedding-cosine near-dup pairs, exact O(n²) scoring — correctness
+    baseline for the LSH-bucketed variant below. Vectors are unit-
+    normalized once (one pass), so each pair costs one dot product."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    u = unit_vectors(emb)
+    a = u.select(F.col("vec_id").alias("a_id"), F.col("u").alias("u_a"))
+    b = u.select(F.col("vec_id").alias("b_id"), F.col("u").alias("u_b"))
+    from de_final_project_spark.functions.vector import dot
+
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cosine_sim"),
+            F.round(dot(F.col("u_a"), F.col("u_b")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= NEARDUP_COSINE_THRESHOLD)
     )
 
 
+# Oracle restates the identical normalize-then-dot arithmetic so the
+# float rounding agrees bit-for-bit.
 EMBEDDING_NEARDUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nn) AS u FROM n)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             6) AS cosine_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            6) >= {NEARDUP_COSINE_THRESHOLD}
+       round(list_dot_product(a.u, b.u), 6) AS cosine_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= {NEARDUP_COSINE_THRESHOLD}
 """
 
 
