@@ -196,10 +196,14 @@ def _token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
-def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Classic SimHash over word tokens (with multiplicity): bit b is set
-    iff the sum of +-1 votes from each token's hash bit b is >= 0."""
-    thashes = F.transform(_norm_tokens(text_col), _token_hash)
+def simhash_from_hashes(thashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from a pre-computed token-hash array: bit b is set iff the
+    sum of +-1 votes from each token hash's bit b is >= 0.
+
+    Takes the hash ARRAY (not the text) so callers can materialize it
+    once — referencing a tokenize+hash expression from all ``bits``
+    aggregates would re-evaluate it per bit (the CollapseProject blowup;
+    see minhash_bands)."""
 
     def voter(b: int):
         # binary (acc, elem) lambda via closure; see hasher() note above
@@ -219,10 +223,46 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Classic SimHash over word tokens (with multiplicity). Convenience
+    single-expression form — inside a DataFrame plan prefer materializing
+    the token hashes and using ``simhash_from_hashes`` (see simhash_docs)."""
+    return simhash_from_hashes(F.transform(_norm_tokens(text_col), _token_hash), bits)
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document SimHash value (doc_id, simhash)."""
+    """Per-document SimHash value (doc_id, simhash).
+
+    Shape: explode token hashes -> 32 per-bit vote sums in ONE hash
+    aggregate -> recombine bits. Spark evaluates higher-order-function
+    lambdas interpreted (no whole-stage codegen), so the natural
+    ``F.aggregate``-per-bit form runs ~3× slower even with the hash
+    array cached; the explode+groupBy form keeps every expression inside
+    codegen and its shuffle carries one row per token hash, partially
+    aggregated map-side. explode_outer + null-vote-0 preserves the
+    empty-document semantics of the fold (zero votes -> all bits set)."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    ex = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(_norm_tokens(F.col("text")), _token_hash)
+        ).alias("h"),
+    )
+    vote = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("h").isNull(), 0)
+        .when(F.shiftright(F.col("h"), b) % 2 == 1, 1)
+        .otherwise(-1)
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[vote(b).alias(f"_v{b}") for b in range(SIMHASH_BITS)]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"_v{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
