@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": neardup.minhash_bands,
         "neardup_pairs_minhash": neardup.neardup_pairs_minhash,
         "neardup_clusters": neardup.neardup_clusters,
+        "dedup_method_agreement": neardup.dedup_method_agreement,
         "ngram_jaccard_pairs": neardup.ngram_jaccard_pairs_exact,
         "simhash_docs": neardup.simhash_docs,
         "simhash_neardup_pairs": neardup.simhash_neardup_pairs,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": setops.approx_distinct_users,
         # --- temporal / window / reshape extensions ---
         "customer_order_running": temporal.customer_order_running,
+        "order_gaps": temporal.order_gaps,
         "orders_priority_pivot": temporal.orders_priority_pivot,
         "late_shipment_orders": temporal.late_shipment_orders,
         "purchases_asof_view": temporal.purchases_asof_view,
@@ -127,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": neardup.MINHASH_BANDS_SQL,
         "neardup_pairs_minhash": neardup.NEARDUP_PAIRS_MINHASH_SQL,
         "neardup_clusters": neardup.NEARDUP_CLUSTERS_SQL,
+        "dedup_method_agreement": neardup.DEDUP_METHOD_AGREEMENT_SQL,
         "ngram_jaccard_pairs": neardup.NGRAM_JACCARD_PAIRS_SQL,
         "simhash_docs": neardup.SIMHASH_DOCS_SQL,
         "simhash_neardup_pairs": neardup.SIMHASH_NEARDUP_PAIRS_SQL,
@@ -144,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_percentiles": setops.QUANTITY_PERCENTILES_SQL,
         # approx_distinct_users: no oracle — HLL estimate is engine-specific.
         "customer_order_running": temporal.CUSTOMER_ORDER_RUNNING_SQL,
+        "order_gaps": temporal.ORDER_GAPS_SQL,
         "orders_priority_pivot": temporal.ORDERS_PRIORITY_PIVOT_SQL,
         "late_shipment_orders": temporal.LATE_SHIPMENT_ORDERS_SQL,
         "purchases_asof_view": temporal.PURCHASES_ASOF_VIEW_SQL,

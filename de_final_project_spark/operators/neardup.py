@@ -511,3 +511,51 @@ SELECT d.doc_id,
        coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method validation summary: pair counts per near-dup method
+    (MinHash-Jaccard, SimHash-Hamming, embedding-cosine) and the sizes of
+    their pairwise intersections — the calibration readout for choosing
+    thresholds before a 100 TB run. Each method's pair set is computed by
+    its own operator; intersections are inner joins on the (a_id, b_id)
+    key, so the whole report costs three pair pipelines + three
+    dimension-sized joins, returned as ONE row."""
+    from de_final_project_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    mh = neardup_pairs_minhash(spark, sf_dir).select("a_id", "b_id").persist()
+    sh = simhash_neardup_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    em = embedding_neardup_exact(spark, sf_dir).select("a_id", "b_id").persist()
+    row = {
+        "n_minhash": mh.count(),
+        "n_simhash": sh.count(),
+        "n_embedding": em.count(),
+        "n_minhash_and_simhash": mh.join(sh, ["a_id", "b_id"]).count(),
+        "n_minhash_and_embedding": mh.join(em, ["a_id", "b_id"]).count(),
+        "n_simhash_and_embedding": sh.join(em, ["a_id", "b_id"]).count(),
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        ", ".join(f"{k} long" for k in row),
+    )
+
+
+from de_final_project_spark.operators.similarity import (  # noqa: E402
+    EMBEDDING_NEARDUP_SQL as _EMBEDDING_NEARDUP_SQL,
+)
+
+_PAIRSET = "SELECT a_id, b_id FROM ({sql})"
+
+DEDUP_METHOD_AGREEMENT_SQL = f"""
+WITH mh AS ({_PAIRSET.format(sql=NEARDUP_PAIRS_MINHASH_SQL)}),
+sh AS ({_PAIRSET.format(sql=SIMHASH_NEARDUP_PAIRS_SQL)}),
+em AS ({_PAIRSET.format(sql=_EMBEDDING_NEARDUP_SQL)})
+SELECT (SELECT count(*) FROM mh) AS n_minhash,
+       (SELECT count(*) FROM sh) AS n_simhash,
+       (SELECT count(*) FROM em) AS n_embedding,
+       (SELECT count(*) FROM mh JOIN sh USING (a_id, b_id)) AS n_minhash_and_simhash,
+       (SELECT count(*) FROM mh JOIN em USING (a_id, b_id)) AS n_minhash_and_embedding,
+       (SELECT count(*) FROM sh JOIN em USING (a_id, b_id)) AS n_simhash_and_embedding
+"""

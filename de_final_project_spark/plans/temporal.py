@@ -451,3 +451,43 @@ SELECT CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
 FROM signups s LEFT JOIN converted c USING (user_id)
 GROUP BY 1
 """
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis per customer: days since the previous and
+    until the next order (lag/lead), tenure day (vs first_value), and a
+    dense priority rank — rounding out the window-function family over
+    one hash exchange on o_custkey; all five windows share the same
+    partitioning, so Catalyst plans a single sort."""
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).alias("days_until_next"),
+        F.datediff(d, F.first(d).over(w)).alias("tenure_days"),
+        F.dense_rank().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+        ).cast("long").alias("priority_rank"),
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       date_diff('day', CAST(o_orderdate AS DATE),
+                 lead(CAST(o_orderdate AS DATE)) OVER w) AS days_until_next,
+       date_diff('day', first_value(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS tenure_days,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+         AS priority_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
