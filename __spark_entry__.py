@@ -49,11 +49,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
         "customer_value_tiles": analytics.customer_value_tiles,
+        "copurchased_parts": analytics.copurchased_parts,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
         # --- training-data pipeline surface: text + dedup + similarity ---
         "doc_stats": textdedup.doc_stats,
+        "doc_length_histogram": analytics.doc_length_histogram,
         "dedup_docs_exact": textdedup.dedup_docs_exact,
         "token_counts": textdedup.token_counts,
         "dataset_splits": sampling.dataset_splits,
@@ -114,10 +116,12 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": analytics.Q14_SQL,
         "q19_disjunctive_revenue": analytics.Q19_SQL,
         "customer_value_tiles": analytics.CUSTOMER_VALUE_TILES_SQL,
+        "copurchased_parts": analytics.COPURCHASED_PARTS_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,
         "doc_stats": textdedup.DOC_STATS_SQL,
+        "doc_length_histogram": analytics.DOC_LENGTH_HISTOGRAM_SQL,
         "dedup_docs_exact": textdedup.DEDUP_DOCS_EXACT_SQL,
         "token_counts": textdedup.TOKEN_COUNTS_SQL,
         "dataset_splits": sampling.DATASET_SPLITS_SQL,

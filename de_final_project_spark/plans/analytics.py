@@ -549,3 +549,58 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 50)
 """
+
+
+def copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often ordered
+    together. The pair generation is a self-join WITHIN each order
+    (shuffle on orderkey, then per-order pair fan-out) — pair volume is
+    Σ items_per_order², bounded by small basket sizes, never a global
+    cross join. Top-20 is a TakeOrdered over the pair counts."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+COPURCHASED_PARTS_SQL = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of document lengths in 50-char buckets — the profiling
+    primitive behind length-based quality filters. Bucketing is a pure
+    projection; one small hash aggregate on the bucket id."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+"""
