@@ -231,3 +231,68 @@ WHERE c_acctbal > (
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
 """
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate (operators/quality.py) run over the source
+    star: null checks folded into ONE aggregate per table, key-uniqueness
+    and FK-containment as count aggregates. Output is the tiny
+    (check, violations, total) report a pipeline would gate a batch on."""
+    from de_final_project_spark.operators.quality import (
+        check_fk,
+        check_unique_key,
+        not_null,
+        quality_report,
+        run_row_checks,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders")
+    nation = read_testdata(spark, sf_dir, "nation")
+    return quality_report(
+        [
+            run_row_checks(cust, not_null("c_custkey", "c_name", "c_nationkey")),
+            run_row_checks(orders, not_null("o_orderkey", "o_custkey", "o_orderdate")),
+            check_unique_key(cust, ["c_custkey"]),
+            check_unique_key(orders, ["o_orderkey"]),
+            check_fk(cust, "c_nationkey", nation, "n_nationkey"),
+            check_fk(orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+
+
+SOURCE_QUALITY_REPORT_SQL = """
+SELECT 'not_null:c_custkey' AS check,
+       count(*) FILTER (WHERE c_custkey IS NULL) AS violations,
+       count(*) AS total FROM customer
+UNION ALL
+SELECT 'not_null:c_name', count(*) FILTER (WHERE c_name IS NULL), count(*) FROM customer
+UNION ALL
+SELECT 'not_null:c_nationkey', count(*) FILTER (WHERE c_nationkey IS NULL), count(*) FROM customer
+UNION ALL
+SELECT 'not_null:o_orderkey', count(*) FILTER (WHERE o_orderkey IS NULL), count(*) FROM orders
+UNION ALL
+SELECT 'not_null:o_custkey', count(*) FILTER (WHERE o_custkey IS NULL), count(*) FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL), count(*) FROM orders
+UNION ALL
+SELECT 'unique_key:c_custkey',
+       coalesce(sum(n - 1), 0), coalesce(sum(n), 0)
+FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'unique_key:o_orderkey',
+       coalesce(sum(n - 1), 0), coalesce(sum(n), 0)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk:c_nationkey',
+       (SELECT count(*) FROM customer c
+        WHERE c_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.c_nationkey)),
+       (SELECT count(*) FROM customer)
+UNION ALL
+SELECT 'fk:o_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders)
+"""
