@@ -31,20 +31,16 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N_QUERIES vectors.
 
     The query side is tiny -> broadcast; the corpus side streams through
-    the broadcast nested-loop join without shuffling. Vectors are unit-
-    normalized once (unit_vectors), so each pair costs ONE dot product
-    instead of dot + two norms. Ranking: row_number per query over
-    (rounded similarity desc, neighbor id asc)."""
+    the broadcast nested-loop join without shuffling. Ranking: row_number
+    per query over (rounded similarity desc, neighbor id asc)."""
     from pyspark.sql import Window
 
-    from de_final_project_spark.functions.vector import dot
-
-    u = unit_vectors(read_testdata(spark, sf_dir, "embeddings"))
-    queries = u.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("query_vec")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = u.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nv"))
-    sim = F.round(dot(F.col("query_vec"), F.col("nv")), 6)
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    sim = F.round(cosine(F.col("query_vec"), F.col("embedding")), 6)
     pairs = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
@@ -60,19 +56,20 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_BRUTEFORCE_SQL = f"""
-WITH n AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nn
-  FROM embeddings
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS query_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
 ),
-u AS (SELECT vec_id, list_transform(v, x -> x / nn) AS u FROM n),
-q AS (SELECT vec_id AS query_id, u AS query_vec FROM u WHERE vec_id < {N_QUERIES}),
 pairs AS (
   SELECT q.query_id,
          e.vec_id AS neighbor_id,
-         round(list_dot_product(q.query_vec, e.u), 6) AS cosine_sim
-  FROM u e, q
+         round(
+           list_dot_product(q.query_vec, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.query_vec, q.query_vec))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))),
+           6) AS cosine_sim
+  FROM embeddings e, q
   WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, rank, neighbor_id, cosine_sim
@@ -122,23 +119,23 @@ NEARDUP_COSINE_THRESHOLD = 0.4
 
 def unit_vectors(emb: DataFrame) -> DataFrame:
     """(vec_id, u): vectors pre-normalized to unit length so pairwise
-    cosine degrades to a single dot product. Two persist boundaries are
-    load-bearing: without them CollapseProject inlines the norm into
-    every element's division (64 norm evaluations per row) and the
-    normalization into every pair (the same blowup fixed in
-    operators/neardup.py). Normalizing once turns the O(n²) scoring from
-    3 array folds per pair into 1."""
+    cosine degrades to a single dot product — the point is that the
+    O(n²)/O(n·q) PAIR stage does one array fold instead of three.
+
+    Deliberately NOT persisted: joins/broadcasts are materialization
+    boundaries, so the pair stage always sees computed ``u`` values, and
+    cache setup measured ~6 s of fixed overhead per query — far more
+    than it saves at any corpus size. CollapseProject does inline the
+    norm into each element's division (64 norm evals per row), but that
+    is a one-time narrow-stage cost per vector, O(dim²) ≪ the per-pair
+    savings; if the normalize stage ever dominates, persist here."""
     from de_final_project_spark.functions.vector import norm
 
-    with_norm = emb.select(
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        norm(F.col("embedding")).alias("_n"),
-    ).persist()
-    return with_norm.select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("u"),
-    ).persist()
+        F.transform(v, lambda x: x / norm(F.col("embedding"))).alias("u"),
+    )
 
 
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
