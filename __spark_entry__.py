@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": temporal.events_anomalies,
         "signup_conversion_funnel": temporal.signup_conversion_funnel,
         "ivf_knn": similarity.ivf_knn,
+        "ann_recall_report": similarity.ann_recall_report,
     }
 
 
@@ -163,4 +164,5 @@ def oracle_sql() -> dict[str, str]:
         "events_anomalies": temporal.EVENTS_ANOMALIES_SQL,
         "signup_conversion_funnel": temporal.SIGNUP_CONVERSION_FUNNEL_SQL,
         "ivf_knn": similarity.IVF_KNN_SQL,
+        "ann_recall_report": similarity.ANN_RECALL_REPORT_SQL,
     }

@@ -337,3 +337,49 @@ SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   WHERE n.vec_id <> p.query_id
 ) WHERE rank <= {TOP_K}
 """
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate search against the brute-force
+    ground truth, per query — the accuracy half of the accuracy/cost
+    trade every ANN deployment must report (the cost half is in BENCH).
+    Join of two top-k result sets on (query, neighbor); both sides are
+    deterministic, so the report is oracle-checkable."""
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({IVF_KNN_SQL})
+),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT t.query_id, t.k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(t.k AS DOUBLE), 6) AS recall_at_k
+FROM (SELECT query_id, count(*) AS k FROM truth GROUP BY 1) t
+LEFT JOIN hits h USING (query_id)
+"""
