@@ -19,11 +19,16 @@ ANSI_QUERIES = [
     "top_orders_per_customer",
     "q10_returned_revenue",
     "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "customer_value_tiles",
     "customers_without_orders",
     "late_shipment_orders",
     "idle_rich_customers",
+    "orders_priority_pivot",
+    "copurchased_parts",
+    "doc_length_histogram",
+    "source_quality_report",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
