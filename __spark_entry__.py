@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": temporal.events_sliding_windows,
         "events_anomalies": temporal.events_anomalies,
         "signup_conversion_funnel": temporal.signup_conversion_funnel,
+        "weekly_retention": temporal.weekly_retention,
         "ivf_knn": similarity.ivf_knn,
         "ann_recall_report": similarity.ann_recall_report,
     }
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_windows": temporal.EVENTS_SLIDING_WINDOWS_SQL,
         "events_anomalies": temporal.EVENTS_ANOMALIES_SQL,
         "signup_conversion_funnel": temporal.SIGNUP_CONVERSION_FUNNEL_SQL,
+        "weekly_retention": temporal.WEEKLY_RETENTION_SQL,
         "ivf_knn": similarity.IVF_KNN_SQL,
         "ann_recall_report": similarity.ANN_RECALL_REPORT_SQL,
     }

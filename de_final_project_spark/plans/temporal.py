@@ -491,3 +491,53 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-signup week, then
+    distinct active users counted per (cohort, weeks-since-signup). Two
+    shuffles — the per-user min (first signup) and the distinct-count per
+    cohort cell; the user-activity join keys on user_id so both sides
+    co-partition. The classic growth-analytics table, kept exact
+    (count distinct) rather than approximate since cohorts are
+    bounded-cardinality."""
+    ev = read_testdata(spark, sf_dir, "events")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .where(F.col("active_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS weeks_since,
+       count(DISTINCT user_id) AS n_active
+FROM cohorts JOIN activity USING (user_id)
+WHERE active_week >= cohort_week
+GROUP BY 1, 2
+"""
