@@ -346,16 +346,26 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles))
                - len(list_intersect(sa.shingles, sb.shingles))), 6) >= {JACCARD_THRESHOLD}
 """
 
+# Same inverted-index candidate generation as the Spark side (exact:
+# jaccard >= 0.3 > 0 implies a shared shingle) — keeps the oracle
+# checkable at sf0.1+ where the naive O(n^2) form takes minutes.
 NGRAM_JACCARD_PAIRS_SQL = f"""
-WITH {_SHINGLES_CTE}
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       round(len(list_intersect(a.shingles, b.shingles))
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingles, b.shingles))
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.3
+WITH {_SHINGLES_CTE},
+posts AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cands
+JOIN shingled sa ON sa.doc_id = a_id
+JOIN shingled sb ON sb.doc_id = b_id
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.3
 """
 
 _SIMHASH_EXPR = f"""
