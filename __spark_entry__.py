@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": setops.quantity_percentiles,
         "approx_distinct_users": setops.approx_distinct_users,
         "source_quality_report": setops.source_quality_report,
+        "user_value_salted": setops.user_value_salted,
         # --- temporal / window / reshape extensions ---
         "customer_order_running": temporal.customer_order_running,
         "order_gaps": temporal.order_gaps,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": setops.EVENTS_CUBE_SQL,
         "quantity_percentiles": setops.QUANTITY_PERCENTILES_SQL,
         "source_quality_report": setops.SOURCE_QUALITY_REPORT_SQL,
+        "user_value_salted": setops.USER_VALUE_SALTED_SQL,
         # approx_distinct_users: no oracle — HLL estimate is engine-specific.
         "customer_order_running": temporal.CUSTOMER_ORDER_RUNNING_SQL,
         "order_gaps": temporal.ORDER_GAPS_SQL,

@@ -296,3 +296,36 @@ SELECT 'fk:o_custkey',
           AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)),
        (SELECT count(*) FROM orders)
 """
+
+
+def user_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup computed through the salted two-phase
+    aggregation (operators/skew.py) — the oracle is the plain GROUP BY,
+    so this query PROVES the skew path is result-identical while its
+    shuffle spreads any hot user across 8 reducers. Decimal partial sums
+    keep the two-phase re-aggregation exact."""
+    from de_final_project_spark.operators.skew import salted_agg
+
+    ev = read_testdata(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        partial_aggs={
+            "n_events": F.count(F.lit(1)),
+            "_sum": F.sum(F.col("value").cast("decimal(18,6)")),
+        },
+        merge_aggs={"n_events": F.sum("n_events"), "_sum": F.sum("_sum")},
+        salt_from=["event_id"],
+        n_salts=8,
+    )
+    return out.select(
+        "user_id", "n_events", F.col("_sum").cast("double").alias("total_value")
+    )
+
+
+USER_VALUE_SALTED_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
