@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem": star_testdata.fact_lineitem,
         # --- aggregation / window / event analytics extensions ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
         "q5_revenue_by_nation": analytics.q5_revenue_by_nation,
         "top_orders_per_customer": analytics.top_orders_per_customer,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_latest_events": star_testdata.KEEP_LATEST_EVENTS_SQL,
         "fact_lineitem": star_testdata.FACT_LINEITEM_SQL,
         "q1_pricing_summary": analytics.Q1_SQL,
+        "q6_forecast_revenue": analytics.Q6_SQL,
         "q3_top_revenue_orders": analytics.Q3_SQL,
         "q5_revenue_by_nation": analytics.Q5_SQL,
         "top_orders_per_customer": analytics.TOP_ORDERS_SQL,

@@ -604,3 +604,34 @@ SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
 FROM documents
 GROUP BY 1
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue delta: one scan, three range
+    predicates all pushed to the parquet reader (row-group stats prune
+    whole chunks), one global aggregate — the canonical scan-bound query
+    whose cost at 100 TB is pure I/O after pruning."""
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
