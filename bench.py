@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "purchases_asof_view",
     "late_shipment_orders",
     "events_sliding_windows",
+    "q6_forecast_revenue",
     "q10_returned_revenue",
     "q14_promo_revenue",
     "top_terms",
