@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
         "customer_value_tiles": analytics.customer_value_tiles,
         "copurchased_parts": analytics.copurchased_parts,
+        "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": analytics.Q19_SQL,
         "customer_value_tiles": analytics.CUSTOMER_VALUE_TILES_SQL,
         "copurchased_parts": analytics.COPURCHASED_PARTS_SQL,
+        "cheapest_supplier_per_part": analytics.CHEAPEST_SUPPLIER_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,

@@ -635,3 +635,41 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.03 AND 0.05
   AND l_quantity < 24
 """
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the supplier with the lowest observed unit price across
+    lineitem history — the min-by/arg-min aggregate family, planned as a
+    single hash aggregate (map-side partial min_by, no window, no
+    self-join). Ties break to the lowest supplier key via the struct
+    ordering, keeping the answer deterministic at any scale."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    # raw IEEE division — identical doubles on both engines; round() is
+    # NOT used because Spark rounds HALF_UP and DuckDB HALF_EVEN at .005
+    unit_price = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.select("l_partkey", "l_suppkey", unit_price.alias("_up"))
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.min_by(
+                F.col("l_suppkey"), F.struct(F.col("_up"), F.col("l_suppkey"))
+            ).alias("cheapest_supplier"),
+            F.min("_up").alias("min_unit_price"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+SELECT part_key, cheapest_supplier, min_unit_price, n_lineitems
+FROM (
+  SELECT l_partkey AS part_key, l_suppkey AS cheapest_supplier,
+         min(up) OVER (PARTITION BY l_partkey) AS min_unit_price,
+         count(*) OVER (PARTITION BY l_partkey) AS n_lineitems,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY up, l_suppkey) AS rn
+  FROM (SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS up
+        FROM lineitem)
+)
+WHERE rn = 1
+"""
