@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_tiles": analytics.customer_value_tiles,
         "copurchased_parts": analytics.copurchased_parts,
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
+        "customer_order_history": analytics.customer_order_history,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_tiles": analytics.CUSTOMER_VALUE_TILES_SQL,
         "copurchased_parts": analytics.COPURCHASED_PARTS_SQL,
         "cheapest_supplier_per_part": analytics.CHEAPEST_SUPPLIER_SQL,
+        "customer_order_history": analytics.CUSTOMER_ORDER_HISTORY_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,

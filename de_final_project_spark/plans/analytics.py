@@ -673,3 +673,42 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordered purchase history as an array and a CSV string
+    — the list/string aggregation family done deterministically:
+    ``collect_list`` carries NO ordering guarantee (it reflects partition
+    arrival), so the values are collected as (sort-key, value) structs
+    and ``array_sort``-ed before projection. One hash aggregate; the
+    ordering cost is per-group, not a global sort."""
+    o = read_testdata(spark, sf_dir, "orders")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
+    )
+    return (
+        o.groupBy(F.col("o_custkey").alias("customer_key"))
+        .agg(pairs.alias("_p"))
+        .select(
+            "customer_key",
+            F.transform(F.col("_p"), lambda s: s["o_orderkey"]).alias("order_keys"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("_p"), lambda s: s["o_orderkey"].cast("string")
+                ),
+            ).alias("order_keys_csv"),
+            F.size("_p").alias("n_orders"),
+        )
+    )
+
+
+CUSTOMER_ORDER_HISTORY_SQL = """
+SELECT o_custkey AS customer_key,
+       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderdate, o_orderkey) AS order_keys_csv,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
