@@ -99,11 +99,25 @@ def read_jdbc_table(
     pushdown happens by passing a derived-table query, and Catalyst prunes
     further.
     """
+    return spark.read.jdbc(
+        url,
+        f"({jdbc_pushdown_query(table, columns, predicate)}) AS src",
+        properties=properties or {},
+    )
+
+
+def jdbc_pushdown_query(
+    table: str, columns: list[str] | None = None, predicate: str | None = None
+) -> str:
+    """The derived-table SQL pushed to the source — projection and
+    predicate evaluated DB-side, mirroring the reference's hand-built
+    extract query (src/ingestion_lambda.py:166). Pure function so the
+    pushdown contract is unit-testable without a live database."""
     cols = ", ".join(columns) if columns else "*"
     query = f"SELECT {cols} FROM {table}"
     if predicate:
         query += f" WHERE {predicate}"
-    return spark.read.jdbc(url, f"({query}) AS src", properties=properties or {})
+    return query
 
 
 def read_csv_robust(

@@ -71,3 +71,19 @@ def test_partitioned_write_prunes(spark, tmp_path):
         line for line in buf.getvalue().splitlines() if "PartitionFilters" in line
     ]
     assert pf_lines and any("bucket" in line for line in pf_lines)
+
+
+def test_jdbc_pushdown_query_construction():
+    from de_final_project_spark.sources.readers import jdbc_pushdown_query
+
+    assert jdbc_pushdown_query("staff") == "SELECT * FROM staff"
+    assert (
+        jdbc_pushdown_query("staff", ["staff_id", "first_name"])
+        == "SELECT staff_id, first_name FROM staff"
+    )
+    assert (
+        jdbc_pushdown_query(
+            "staff", ["staff_id"], "last_updated > '2024-01-01'"
+        )
+        == "SELECT staff_id FROM staff WHERE last_updated > '2024-01-01'"
+    )
