@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchased_parts": analytics.copurchased_parts,
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         "customer_order_history": analytics.customer_order_history,
+        "lineitem_profile": analytics.lineitem_profile,
         "events_hourly": analytics.events_hourly,
         "events_json_extract": analytics.events_json_extract,
         "events_sessionized": analytics.events_sessionized,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchased_parts": analytics.COPURCHASED_PARTS_SQL,
         "cheapest_supplier_per_part": analytics.CHEAPEST_SUPPLIER_SQL,
         "customer_order_history": analytics.CUSTOMER_ORDER_HISTORY_SQL,
+        "lineitem_profile": analytics.LINEITEM_PROFILE_SQL,
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "events_json_extract": analytics.EVENTS_JSON_SQL,
         "events_sessionized": analytics.EVENTS_SESSIONIZED_SQL,

@@ -712,3 +712,49 @@ SELECT o_custkey AS customer_key,
 FROM orders
 GROUP BY 1
 """
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary of the lineitem measures: one output row
+    per column with count / nulls / min / max / exact-decimal sum / mean.
+    The reshape is Spark's native ``unpivot`` (the melt operator,
+    SURVEY.md §2.8 O4) — a narrow 4× row fan-out feeding ONE hash
+    aggregate keyed by column name, instead of four separate scans."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    long = li.unpivot([], _PROFILE_COLS, "col_name", "value")
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_nulls"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("mean_value"),
+        )
+    )
+
+
+LINEITEM_PROFILE_SQL = """
+SELECT col_name, count(*) AS n_rows,
+       count(*) FILTER (WHERE value IS NULL) AS n_nulls,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS mean_value
+FROM (
+  SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY col_name
+"""
