@@ -375,8 +375,11 @@ list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), b ->
        THEN (1::BIGINT << b) ELSE 0::BIGINT END))
 """
 
+# The outer ::BIGINT matters for the driver oracle: DuckDB's list_sum
+# returns HUGEINT, which pandas fetches as float64 and the value hash then
+# diverges from Spark's int64 (confirmed red in CORRECTNESS_r01.json).
 SIMHASH_DOCS_SQL = f"""
-SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+SELECT doc_id, ({_SIMHASH_EXPR})::BIGINT AS simhash
 FROM (
   SELECT doc_id,
          list_transform(
@@ -388,7 +391,7 @@ FROM (
 
 SIMHASH_NEARDUP_PAIRS_SQL = f"""
 WITH h AS (
-  SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+  SELECT doc_id, ({_SIMHASH_EXPR})::BIGINT AS simhash
   FROM (
     SELECT doc_id,
            list_transform(

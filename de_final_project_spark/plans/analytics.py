@@ -287,7 +287,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -676,12 +676,16 @@ WHERE rn = 1
 
 
 def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer ordered purchase history as an array and a CSV string
-    — the list/string aggregation family done deterministically:
+    """Per-customer ordered purchase history as a CSV string — the
+    list/string aggregation family done deterministically:
     ``collect_list`` carries NO ordering guarantee (it reflects partition
     arrival), so the values are collected as (sort-key, value) structs
     and ``array_sort``-ed before projection. One hash aggregate; the
-    ordering cost is per-group, not a global sort."""
+    ordering cost is per-group, not a global sort.
+
+    The output is scalar-only by design: the ordered keys are emitted as
+    the CSV string, not an array column (array outputs break downstream
+    pandas-based canonicalizers/hashers, which cannot hash lists)."""
     o = read_testdata(spark, sf_dir, "orders")
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
@@ -691,21 +695,19 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pairs.alias("_p"))
         .select(
             "customer_key",
-            F.transform(F.col("_p"), lambda s: s["o_orderkey"]).alias("order_keys"),
             F.concat_ws(
                 ",",
                 F.transform(
                     F.col("_p"), lambda s: s["o_orderkey"].cast("string")
                 ),
             ).alias("order_keys_csv"),
-            F.size("_p").alias("n_orders"),
+            F.size("_p").cast("long").alias("n_orders"),
         )
     )
 
 
 CUSTOMER_ORDER_HISTORY_SQL = """
 SELECT o_custkey AS customer_key,
-       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
        string_agg(CAST(o_orderkey AS VARCHAR), ','
                   ORDER BY o_orderdate, o_orderkey) AS order_keys_csv,
        count(*) AS n_orders

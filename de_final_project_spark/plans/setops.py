@@ -277,11 +277,11 @@ UNION ALL
 SELECT 'not_null:o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL), count(*) FROM orders
 UNION ALL
 SELECT 'unique_key:c_custkey',
-       coalesce(sum(n - 1), 0), coalesce(sum(n), 0)
+       coalesce(sum(n - 1), 0)::BIGINT, coalesce(sum(n), 0)::BIGINT
 FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
 UNION ALL
 SELECT 'unique_key:o_orderkey',
-       coalesce(sum(n - 1), 0), coalesce(sum(n), 0)
+       coalesce(sum(n - 1), 0)::BIGINT, coalesce(sum(n), 0)::BIGINT
 FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
 UNION ALL
 SELECT 'fk:c_nationkey',

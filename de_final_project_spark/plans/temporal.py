@@ -282,11 +282,11 @@ WITH minute AS (
   FROM events GROUP BY 1
 )
 SELECT 'hour' AS grain, date_trunc('hour', bucket_start) AS bucket_start,
-       sum(event_count) AS event_count, CAST(sum(s) AS DOUBLE) AS sum_value
+       sum(event_count)::BIGINT AS event_count, CAST(sum(s) AS DOUBLE) AS sum_value
 FROM minute GROUP BY 2
 UNION ALL
 SELECT 'day', date_trunc('day', bucket_start),
-       sum(event_count), CAST(sum(s) AS DOUBLE)
+       sum(event_count)::BIGINT, CAST(sum(s) AS DOUBLE)
 FROM minute GROUP BY 2
 """
 
@@ -445,7 +445,7 @@ WITH signups AS (
 )
 SELECT CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
        count(*) AS n_signups,
-       sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+       sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
        round(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
 FROM signups s LEFT JOIN converted c USING (user_id)

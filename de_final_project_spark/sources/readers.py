@@ -77,7 +77,14 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
     long, converted here to a microsecond timestamp (truncation — the
     same conversion DuckDB applies reading NANOS into its us timestamps).
+
+    The conf is set here at runtime (it is a dynamic SQLConf), not only in
+    the session factory, so the read works under *any* caller-provided
+    SparkSession — including a plain ``SparkSession.builder.getOrCreate()``
+    with no custom configuration.
     """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
