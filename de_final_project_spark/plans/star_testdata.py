@@ -245,20 +245,22 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("order_status"),
         F.col("o_totalprice").alias("order_total_price"),
     )
-    # (order_key, line_number) alone is not unique in the synthetic data,
-    # but adding (part_key, supplier_key) is — a 4-long-column total
-    # order, much cheaper to sort than the full 16-column projection
-    # (strings included). Mirrors the oracle's ORDER BY exactly.
+    # The sequence ordering is EVERY output column, not just the business
+    # key: (order_key, line_number, part_key, supplier_key) is not
+    # guaranteed unique in the synthetic data (sf0.001 has a duplicate
+    # group), and any tie among rows that differ in some other column
+    # would let two engines assign the ids differently. Ordering by all
+    # columns makes remaining ties full-duplicate rows, where assignment
+    # is value-indistinguishable. Runtime cost is nil — lexicographic
+    # comparison is decided at the first differing column, almost always
+    # order_key. Mirrors the oracle's ORDER BY exactly (both sides sort
+    # ASC NULLS LAST).
     # Sequence-key strategy (SURVEY.md §7.4 risk 1): the single-window
     # global row_number is cheapest at this scale (one sort, measured
     # faster than the range-partitioned variant's two shuffles at sf0.1);
     # past ~10^8 rows switch to add_sequence_key_distributed, which keeps
     # every stage distributed at the cost of one persisted pass.
-    return add_sequence_key(
-        projected,
-        "sales_record_id",
-        ["order_key", "line_number", "part_key", "supplier_key"],
-    )
+    return add_sequence_key(projected, "sales_record_id", projected.columns)
 
 
 FACT_LINEITEM_SQL = """
@@ -271,7 +273,10 @@ WITH dd AS (
   )
 )
 SELECT row_number() OVER (ORDER BY
-         l_orderkey, l_linenumber, l_partkey, l_suppkey) AS sales_record_id,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey, o_custkey,
+         l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+         l_linestatus, dd_ship.date_id, dd_ord.date_id, o_orderstatus,
+         o_totalprice) AS sales_record_id,
        l_orderkey     AS order_key,
        l_linenumber   AS line_number,
        l_partkey      AS part_key,

@@ -25,3 +25,77 @@ def test_query_signatures():
     for name, fn in entry_mod.queries().items():
         params = list(inspect.signature(fn).parameters)
         assert params[:2] == ["spark", "sf_dir"], name
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# DuckDB result types a pandas-based result hasher cannot compare against
+# Spark output: HUGEINT/DECIMAL arrive as float64/object (int64 on the
+# Spark side), nested types are unhashable. Every one of these was (or
+# would be) a confirmed red under the external correctness gate.
+_BAD_DUCK_TYPES = ("HUGEINT", "DECIMAL", "STRUCT", "MAP", "[]", "LIST")
+
+
+def test_query_outputs_are_scalar_only(spark):
+    """Array/map/struct output columns break pandas-based canonicalizers
+    (unhashable cells). Schema-only check: nothing is executed."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, SF_DIR).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_oracle_dtypes_map_to_pandas_scalars():
+    """DESCRIBE every oracle in DuckDB: no HUGEINT/DECIMAL/nested output
+    columns (sum() of integers must be cast ::BIGINT, money to DOUBLE)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if any(k in ty.upper() for k in _BAD_DUCK_TYPES)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracle dtypes pandas cannot hash-compare: {offenders}"
+
+
+def test_all_queries_run_under_bare_session():
+    """The external driver builds its own plain SparkSession (no factory
+    confs) — any query relying on a builder-time conf crashes there and
+    only there. tools/driver_twin.py reproduces that environment in a
+    subprocess (a bare session cannot be built inside this JVM, where the
+    factory session already owns the SparkContext)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/driver_twin.py", SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd="/root/repo",
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-15:])
+    assert proc.returncode == 0, f"driver twin failures:\n{tail}\n{proc.stderr[-2000:]}"
