@@ -265,10 +265,84 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
+def _simhash_block_plan(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block, widths as even as possible."""
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_candidate_keys(
+    simhash: Column, bits: int = SIMHASH_BITS, max_hamming: int = 3, n_blocks: int = 6
+) -> Column:
+    """Array of (table_id, key) structs for pigeonhole LSH over Hamming
+    distance: split the ``bits``-bit hash into ``n_blocks`` blocks — a
+    pair within Hamming ``max_hamming`` differs in at most ``max_hamming``
+    blocks, so it agrees exactly on every block of at least one
+    ``n_blocks - max_hamming``-sized block subset. One table per subset
+    (C(n_blocks, max_hamming) of them), key = the subset's blocks packed
+    into one long.
+
+    Block width sets the skew/recall-cost tradeoff: keys are
+    ``(n_blocks - max_hamming) * bits/n_blocks`` bits wide — with the
+    defaults (32-bit hash, 6 blocks, k=3) that's 16-18-bit keys, i.e.
+    ~10^5 buckets, vs the naive 4×8-bit single-block scheme whose 256
+    buckets still cost O(n²/256) comparisons at cluster scale."""
+    from itertools import combinations
+
+    plan = _simhash_block_plan(bits, n_blocks)
+    keep = n_blocks - max_hamming
+    entries = []
+    for tid, subset in enumerate(combinations(range(n_blocks), keep)):
+        key = F.lit(0).cast("long")
+        for j in subset:
+            off, w = plan[j]
+            block = F.shiftright(simhash, off).bitwiseAND(F.lit((1 << w) - 1))
+            key = F.shiftleft(key, w) + block
+        entries.append(F.struct(F.lit(tid).alias("tbl"), key.alias("key")))
+    return F.array(*entries)
+
+
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= 3 (O(n²) scoring at test
-    scale; at 100 TB block on rotated-bit prefixes so candidates share a
-    prefix bucket)."""
+    """Pairs with SimHash Hamming distance <= 3 via pigeonhole-blocked
+    LSH: candidates come from an equi-join on (table_id, packed block
+    key) — C(6,3)=20 tables of 16-18-bit keys — and ``bit_count(xor)``
+    runs only on candidates. Shuffle is O(20·n) explode + one shuffled
+    equi-join; no all-pairs comparison anywhere (the O(n²) scoring form
+    survives as simhash_neardup_pairs_allpairs, a test-only oracle twin).
+
+    The simhash relation is persisted: both join sides read it, and
+    without the boundary Catalyst would recompute the 32-aggregate
+    vote pipeline twice."""
+    d = simhash_docs(spark, sf_dir).persist()
+    keyed = d.select(
+        "doc_id",
+        "simhash",
+        F.explode(simhash_candidate_keys(F.col("simhash"))).alias("tk"),
+    ).select("doc_id", "simhash", "tk.tbl", "tk.key")
+    a = keyed.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("h_a"), "tbl", "key"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("h_b"), "tbl", "key"
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["tbl", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n²) exact scoring — correctness baseline for the blocked form
+    (tests assert set equality); never the default path."""
     d = simhash_docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("h_a"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("h_b"))

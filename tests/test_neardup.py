@@ -89,3 +89,62 @@ def test_connected_components_matches_bfs(spark):
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_simhash_blocked_pairs_match_allpairs(spark):
+    """Pigeonhole-blocked candidate generation loses NO pair within the
+    Hamming threshold: set-equal to the O(n²) exact scoring."""
+    from de_final_project_spark.operators.neardup import (
+        simhash_neardup_pairs,
+        simhash_neardup_pairs_allpairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    banded = {tuple(r) for r in simhash_neardup_pairs(spark, sf).collect()}
+    exact = {tuple(r) for r in simhash_neardup_pairs_allpairs(spark, sf).collect()}
+    assert banded == exact
+
+
+def test_simhash_pairs_plan_has_no_nested_loop(spark):
+    from de_final_project_spark.operators.neardup import simhash_neardup_pairs
+
+    plan = (
+        simhash_neardup_pairs(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_simhash_candidate_keys_cover_hamming_ball():
+    """Any two 32-bit values within Hamming 3 share at least one
+    (table, key) entry — pigeonhole guarantee, checked directly on the
+    block plan without Spark."""
+    from itertools import combinations
+
+    from de_final_project_spark.operators.neardup import _simhash_block_plan
+
+    plan = _simhash_block_plan(32, 6)
+    keep = 6 - 3
+
+    def keys(v):
+        out = set()
+        for tid, subset in enumerate(combinations(range(6), keep)):
+            key = 0
+            for j in subset:
+                off, w = plan[j]
+                key = (key << w) | ((v >> off) & ((1 << w) - 1))
+            out.add((tid, key))
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        v = rng.getrandbits(32)
+        flips = rng.sample(range(32), rng.randint(0, 3))
+        u = v
+        for f in flips:
+            u ^= 1 << f
+        assert keys(v) & keys(u), f"uncovered pair v={v:#x} u={u:#x}"
