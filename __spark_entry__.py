@@ -140,8 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "capped_per_language": sampling.CAPPED_PER_LANGUAGE_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "embedding_neardup_exact": similarity.EMBEDDING_NEARDUP_SQL,
-        # knn_lsh_candidates: no oracle — LSH bucketing is engine-defined
-        # (hyperplane constants); driver records a rows-only check.
+        "knn_lsh_candidates": similarity.KNN_LSH_CANDIDATES_SQL,
         "minhash_bands": neardup.MINHASH_BANDS_SQL,
         "neardup_pairs_minhash": neardup.NEARDUP_PAIRS_MINHASH_SQL,
         "neardup_clusters": neardup.NEARDUP_CLUSTERS_SQL,
@@ -163,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_percentiles": setops.QUANTITY_PERCENTILES_SQL,
         "source_quality_report": setops.SOURCE_QUALITY_REPORT_SQL,
         "user_value_salted": setops.USER_VALUE_SALTED_SQL,
-        # approx_distinct_users: no oracle — HLL estimate is engine-specific.
+        "approx_distinct_users": setops.APPROX_DISTINCT_USERS_SQL,
         "customer_order_running": temporal.CUSTOMER_ORDER_RUNNING_SQL,
         "order_gaps": temporal.ORDER_GAPS_SQL,
         "orders_priority_pivot": temporal.ORDERS_PRIORITY_PIVOT_SQL,

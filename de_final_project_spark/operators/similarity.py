@@ -202,6 +202,36 @@ def knn_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sql(seed: int, dim: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _plane(seed, dim)) + "]"
+
+
+# The hyperplanes are LCG-deterministic, so the oracle restates them as
+# literal constants (the same way IVF_KNN_SQL restates its fixed
+# centroids) — upgrading this query from a rows-only driver check to a
+# full value-hash comparison. The bucket fold mirrors simhash_bucket:
+# bit i (plane seed i+1) lands at weight 2^(N_PLANES-1-i).
+KNN_LSH_CANDIDATES_SQL = (
+    "WITH e AS (\n"
+    "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+    "), h AS (\n"
+    "  SELECT vec_id, v, (0\n"
+    + "".join(
+        f"    + (CASE WHEN list_dot_product(v, {_plane_sql(i + 1, 64)}) >= 0"
+        f" THEN {1 << (N_PLANES - 1 - i)} ELSE 0 END)\n"
+        for i in range(N_PLANES)
+    )
+    + "  )::BIGINT AS bucket\n"
+    "  FROM e\n"
+    ")\n"
+    "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,\n"
+    "       round(list_dot_product(a.v, b.v)\n"
+    "             / (sqrt(list_dot_product(a.v, a.v))\n"
+    "                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim\n"
+    "FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id\n"
+)
+
+
 # ----------------------------------------------------------------------
 # Scale path 2: IVF (inverted-file) cell-probed ANN.
 # ----------------------------------------------------------------------

@@ -169,15 +169,37 @@ GROUP BY 1
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-count per event type, with the exact count
-    alongside. The approx value is engine-specific (no oracle — the
-    driver records a rows-only check); at 100 TB the HLL sketch is the
-    only affordable distinct-count."""
+    """HyperLogLog distinct-count per event type, checked against the
+    exact count. The raw HLL estimate is engine-specific, so the output
+    carries it as a bounded-error assertion (within 5% of exact — rsd is
+    configured at 2%) rather than a raw number; that makes the query
+    fully oracle-checkable while still exercising the sketch, which at
+    100 TB is the only affordable distinct-count."""
     events = read_testdata(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY 1
+"""
 
 
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,8 +9,8 @@ import __spark_entry__ as entry_mod
 def test_every_oracle_has_a_query():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # named exceptions only for the rows-only checks
-    assert set(qs) - set(oracles) == {"knn_lsh_candidates", "approx_distinct_users"}
+    # every query is fully oracle-checked — no rows-only entries
+    assert set(qs) == set(oracles)
 
 
 def test_queries_md_is_fresh():
