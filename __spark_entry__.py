@@ -20,6 +20,7 @@ from de_final_project_spark.operators import (
     similarity,
     textdedup,
     textquality,
+    trainprep,
 )
 from de_final_project_spark.plans import analytics, setops, star_testdata, temporal
 
@@ -80,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textquality.top_terms,
         "tfidf_top_terms": textquality.tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
+        "doc_chunks": trainprep.doc_chunks,
+        "contamination_check": trainprep.contamination_check,
+        "sequence_packing": trainprep.sequence_packing,
+        "cross_source_dupes": trainprep.cross_source_dupes,
+        "source_overlap_neardup": trainprep.source_overlap_neardup,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
         "idle_rich_customers": setops.idle_rich_customers,
@@ -154,6 +160,11 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textquality.TOP_TERMS_SQL,
         "tfidf_top_terms": textquality.TFIDF_TOP_TERMS_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        "doc_chunks": trainprep.DOC_CHUNKS_SQL,
+        "contamination_check": trainprep.CONTAMINATION_CHECK_SQL,
+        "sequence_packing": trainprep.SEQUENCE_PACKING_SQL,
+        "cross_source_dupes": trainprep.CROSS_SOURCE_DUPES_SQL,
+        "source_overlap_neardup": trainprep.SOURCE_OVERLAP_NEARDUP_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "idle_rich_customers": setops.IDLE_RICH_CUSTOMERS_SQL,
         "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,

@@ -1,0 +1,281 @@
+"""Training-corpus preparation operators: context-window chunking,
+train/test contamination detection, token-budget sequence packing, and
+cross-source duplicate detection.
+
+These extend the engine beyond the reference's surface (the reference
+stops at star-schema transforms — src/process_lambda.py) with the
+document-pipeline stages an LLM training corpus needs between "deduped
+documents" and "token stream": chunk to the context length, verify the
+eval split is not contaminated by train-set text, pack documents into
+fixed-token bins, and find content syndicated across sources.
+
+Every operator is a pure column-expression DataFrame plan (no UDFs) with
+a DuckDB oracle restating the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.neardup import (
+    _SHINGLES_CTE,
+    _norm_tokens,
+    shingle_set,
+)
+from de_final_project_spark.operators.sampling import hash_bucket
+from de_final_project_spark.sources.readers import read_testdata
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+# ----------------------------------------------------------------------
+# Context-window chunking
+# ----------------------------------------------------------------------
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per document: chunk i covers tokens
+    [i*stride, i*stride + chunk); the last start is the smallest stride
+    multiple whose window reaches the end, so there are no degenerate
+    tail chunks and every token is covered.
+
+    Shape: tokenize once, generate the start indices with ``F.sequence``
+    (an array of ints — no join, no shuffle), ``slice`` the token array
+    per start, explode. Entirely narrow: chunking any corpus is a single
+    map stage, and output partitioning follows the input — at 100 TB the
+    only knob is input split size. All expressions stay in codegen."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = _norm_tokens(F.col("text"))
+    with_toks = docs.select("doc_id", toks.alias("_toks"), F.size(toks).alias("_n"))
+    last = F.ceil(
+        F.greatest(F.col("_n") - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    ex = with_toks.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * CHUNK_STRIDE).alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0,
+           CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                     / {float(CHUNK_STRIDE)}) AS INT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       (chunk_id * {CHUNK_STRIDE})::BIGINT AS chunk_start,
+       len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}])::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                            chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+# ----------------------------------------------------------------------
+# Train/test contamination
+# ----------------------------------------------------------------------
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination report: test-split documents sharing at
+    least one word 3-shingle with any train-split document, with how many
+    shingles and how many train docs overlap.
+
+    Shape: one shingle inverted index (explode), split assignment is the
+    same pure hash expression as dataset_splits (no join against a split
+    table), then an equi-join train-side × test-side on the shingle —
+    the posting-list join, O(sum of per-shingle train×test postings),
+    never all-pairs. At 100 TB the standard guard applies: drop
+    stop-shingles above a document-frequency cap before the join (they
+    dominate cost and signal nothing); the cap is omitted here because
+    the oracle must stay threshold-exact."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    shingled = docs.select(
+        "doc_id",
+        b.alias("_bucket"),
+        F.explode(shingle_set(F.col("text"))).alias("shingle"),
+    )
+    train = shingled.where(F.col("_bucket") < 80).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    test = shingled.where(F.col("_bucket") >= 90).select("doc_id", "shingle")
+    return (
+        test.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH {_SHINGLES_CTE.strip()},
+b AS (
+  SELECT doc_id, shingles,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+              AS INT) AS bucket
+  FROM shingled
+),
+posting AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM b)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle)::BIGINT AS n_shared_shingles,
+       count(DISTINCT tr.doc_id)::BIGINT AS n_train_docs
+FROM (SELECT * FROM posting WHERE bucket >= 90) t
+JOIN (SELECT * FROM posting WHERE bucket < 80) tr USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Token-budget sequence packing
+# ----------------------------------------------------------------------
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin:
+    bin = floor(cumulative tokens before this doc / budget), documents in
+    doc_id order — the concat-then-split packing of a pretraining token
+    stream (documents straddle bin boundaries; no padding waste).
+
+    Shape: one token-count projection, one running sum. The global
+    window here is the single-partition sort, fine to ~10^8 rows; at
+    corpus scale swap in the add_sequence_key_distributed shape
+    (operators/surrogate.py): range-partition by doc_id, per-partition
+    cumsum, broadcast the per-partition token totals as offsets — every
+    stage distributed."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", F.size(_norm_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin_id"),
+        (cum_before % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' '))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {PACK_BUDGET})::BIGINT AS bin_id,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        % {PACK_BUDGET})::BIGINT AS bin_offset
+FROM c
+"""
+
+
+# ----------------------------------------------------------------------
+# Cross-source duplicate content
+# ----------------------------------------------------------------------
+
+def cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content syndicated across sources: exact text hashes that appear
+    under more than one ``source``, with doc/source counts and the
+    canonical (minimum) doc id. One hash aggregate — the map-side
+    partials shrink the shuffle to one row per distinct hash."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_sources") > 1)
+    )
+
+
+CROSS_SOURCE_DUPES_SQL = """
+SELECT md5(text) AS content_hash,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(DISTINCT source) > 1
+"""
+
+# ----------------------------------------------------------------------
+# Near-dup source overlap (syndication report)
+# ----------------------------------------------------------------------
+
+def source_overlap_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources syndicate each other's content: MinHash near-dup
+    pairs joined back to each document's source, counted per unordered
+    source pair (self-pairs included — within-source duplication is the
+    common case and worth seeing).
+
+    Shape: reuses the banded-LSH pair pipeline (never all-pairs), then
+    two broadcast-sized joins to the (doc_id, source) projection and one
+    small aggregate — the report is |sources|² rows at most."""
+    from de_final_project_spark.operators.neardup import neardup_pairs_minhash
+
+    pairs = neardup_pairs_minhash(spark, sf_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("a_id"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("b_id"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    )
+
+
+def _source_overlap_sql() -> str:
+    from de_final_project_spark.operators.neardup import NEARDUP_PAIRS_MINHASH_SQL
+
+    return f"""
+WITH pairs AS ({NEARDUP_PAIRS_MINHASH_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_neardup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.a_id
+JOIN documents db ON db.doc_id = p.b_id
+GROUP BY 1, 2
+"""
+
+
+SOURCE_OVERLAP_NEARDUP_SQL = _source_overlap_sql()

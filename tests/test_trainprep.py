@@ -1,0 +1,94 @@
+"""Semantic invariants for the training-corpus prep operators (the
+oracle twin checks value parity; these pin the semantics themselves)."""
+
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.trainprep import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    PACK_BUDGET,
+    contamination_check,
+    cross_source_dupes,
+    doc_chunks,
+    sequence_packing,
+    source_overlap_neardup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_doc_chunks_cover_every_token(spark):
+    rows = doc_chunks(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+                )
+            ).alias("n"),
+        )
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = docs[doc_id]
+        # ids are 0..k dense; starts advance by the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * CHUNK_STRIDE
+            assert 1 <= c.n_chunk_tokens <= CHUNK_TOKENS
+        # the last chunk reaches the end of the doc: full coverage
+        last = chunks[-1]
+        assert last.chunk_start + last.n_chunk_tokens == n
+        # no start beyond what coverage needs (no degenerate tail)
+        if len(chunks) > 1:
+            assert chunks[-2].chunk_start + CHUNK_TOKENS < n
+
+
+def test_contamination_only_flags_test_split(spark):
+    from de_final_project_spark.operators.sampling import dataset_splits
+
+    splits = {
+        r.doc_id: r.split for r in dataset_splits(spark, SF_DIR).collect()
+    }
+    rows = contamination_check(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus should have some shingle overlap"
+    for r in rows:
+        assert splits[r.doc_id] == "test"
+        assert r.n_shared_shingles >= 1 and r.n_train_docs >= 1
+
+
+def test_sequence_packing_invariants(spark):
+    rows = sorted(sequence_packing(spark, SF_DIR).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.bin_id == cum // PACK_BUDGET
+        assert r.bin_offset == cum % PACK_BUDGET
+        cum += r.n_tokens
+    # bins are dense and nondecreasing
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+
+
+def test_cross_source_dupes_finds_known_dupes(spark):
+    # sf0.1 is the smallest SF with syndicated content (8 hashes)
+    rows = cross_source_dupes(spark, "/root/testdata/sf0.1").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_sources > 1 and r.n_docs >= r.n_sources
+
+
+def test_source_overlap_totals_match_pair_count(spark):
+    from de_final_project_spark.operators.neardup import neardup_pairs_minhash
+
+    n_pairs = neardup_pairs_minhash(spark, SF_DIR).count()
+    overlap = source_overlap_neardup(spark, SF_DIR).collect()
+    assert sum(r.n_neardup_pairs for r in overlap) == n_pairs
+    for r in overlap:
+        assert r.source_a <= r.source_b
