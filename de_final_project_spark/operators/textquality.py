@@ -277,3 +277,104 @@ FROM (
 )
 WHERE term_rank <= {TFIDF_TOP_N}
 """
+
+
+def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-family repetition
+    filters): duplicate-2-gram and duplicate-3-gram fractions and the
+    most-frequent-token share. High values mark boilerplate/spam docs a
+    training corpus should drop.
+
+    Shape: the n-gram fractions are pure narrow expressions (sequence +
+    slice + array_distinct — no shuffle; guarded so short docs yield
+    empty gram arrays, since ``F.sequence`` DESCENDS when start > stop).
+    The top-token share needs per-(doc, token) counts, which no
+    per-row expression gives without an O(distinct×n) interpreted HOF
+    scan — so it is the codegen explode → two hash aggregates path, then
+    one join back on doc_id. Two shuffles total, both map-side partial."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+
+    def grams(k: int) -> Column:
+        return F.when(
+            F.col("n_tokens") < k, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (k - 1)).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+            )
+        )
+
+    def dup_frac(g: Column) -> Column:
+        total = F.size(g)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / total.cast("double")
+        )
+
+    narrow = base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac(grams(2)), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(grams(3)), 6).alias("dup_3gram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"))
+    )
+    return (
+        narrow.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.round(
+                F.when(F.col("n_tokens") <= 0, F.lit(0.0)).otherwise(
+                    F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("top_token_frac"),
+        )
+    )
+
+
+REPETITION_REPORT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS g3
+  FROM t
+), top AS (
+  SELECT doc_id, max(c) AS top FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT g.doc_id, g.n_tokens,
+       round(CASE WHEN len(g2) <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             END, 6) AS dup_2gram_frac,
+       round(CASE WHEN len(g3) <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             END, 6) AS dup_3gram_frac,
+       round(CASE WHEN g.n_tokens <= 0 THEN 0.0
+                  ELSE CAST(coalesce(top.top, 0) AS DOUBLE) / g.n_tokens
+             END, 6) AS top_token_frac
+FROM g LEFT JOIN top USING (doc_id)
+"""
