@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dupes": trainprep.cross_source_dupes,
         "source_overlap_neardup": trainprep.source_overlap_neardup,
         "repetition_report": textquality.repetition_report,
+        "quality_gate": textquality.quality_gate,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
         "idle_rich_customers": setops.idle_rich_customers,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dupes": trainprep.CROSS_SOURCE_DUPES_SQL,
         "source_overlap_neardup": trainprep.SOURCE_OVERLAP_NEARDUP_SQL,
         "repetition_report": textquality.REPETITION_REPORT_SQL,
+        "quality_gate": textquality.QUALITY_GATE_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "idle_rich_customers": setops.IDLE_RICH_CUSTOMERS_SQL,
         "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,

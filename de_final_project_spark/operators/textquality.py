@@ -378,3 +378,68 @@ SELECT g.doc_id, g.n_tokens,
              END, 6) AS top_token_frac
 FROM g LEFT JOIN top USING (doc_id)
 """
+
+
+# Gate thresholds, set against the corpus distributions so each rule
+# flags a real tail (roughly the worst ~5%) rather than nothing.
+GATE_MIN_TOKENS = 20
+GATE_MAX_DUP3 = 0.01
+GATE_MAX_TOP_TOKEN = 0.16
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision of a corpus pipeline: composes the quality
+    and repetition signals into a boolean plus a deterministic
+    reasons CSV (fixed rule order; concat_ws drops the NULLs of rules
+    that pass).
+
+    Shape: one join on doc_id between the narrow quality projection and
+    the repetition aggregate — the repetition branch already needs its
+    explode/agg shuffle, so the gate adds no new wide stage beyond the
+    join itself."""
+    rep = repetition_report(spark, sf_dir).select(
+        "doc_id", "n_tokens", "dup_3gram_frac", "top_token_frac"
+    )
+    q = doc_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < GATE_MIN_TOKENS, F.lit("too_short")),
+        F.when(F.col("dup_3gram_frac") > GATE_MAX_DUP3, F.lit("high_repetition")),
+        F.when(
+            F.col("top_token_frac") > GATE_MAX_TOP_TOKEN, F.lit("dominant_token")
+        ),
+        F.when(F.col("stopword_ratio") == 0.0, F.lit("no_stopwords")),
+    )
+    return (
+        rep.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            reasons.alias("drop_reasons"),
+        )
+        .withColumn("keep", F.col("drop_reasons") == "")
+    )
+
+
+def _quality_gate_sql() -> str:
+    return f"""
+WITH rep AS ({REPETITION_REPORT_SQL}),
+q AS ({DOC_QUALITY_SQL})
+SELECT rep.doc_id, rep.n_tokens,
+       concat_ws(',',
+         CASE WHEN rep.n_tokens < {GATE_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN rep.dup_3gram_frac > {GATE_MAX_DUP3} THEN 'high_repetition' END,
+         CASE WHEN rep.top_token_frac > {GATE_MAX_TOP_TOKEN} THEN 'dominant_token' END,
+         CASE WHEN q.stopword_ratio = 0.0 THEN 'no_stopwords' END
+       ) AS drop_reasons,
+       concat_ws(',',
+         CASE WHEN rep.n_tokens < {GATE_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN rep.dup_3gram_frac > {GATE_MAX_DUP3} THEN 'high_repetition' END,
+         CASE WHEN rep.top_token_frac > {GATE_MAX_TOP_TOKEN} THEN 'dominant_token' END,
+         CASE WHEN q.stopword_ratio = 0.0 THEN 'no_stopwords' END
+       ) = '' AS keep
+FROM rep JOIN q USING (doc_id)
+"""
+
+
+QUALITY_GATE_SQL = _quality_gate_sql()

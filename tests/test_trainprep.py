@@ -147,3 +147,29 @@ def test_repetition_report_known_values(spark):
             exp3,
             exp_top,
         ), r.doc_id
+
+
+def test_quality_gate_reasons_consistent(spark):
+    from de_final_project_spark.operators.textquality import (
+        GATE_MAX_DUP3,
+        GATE_MAX_TOP_TOKEN,
+        GATE_MIN_TOKENS,
+        quality_gate,
+        repetition_report,
+    )
+
+    gate = {r.doc_id: r for r in quality_gate(spark, SF_DIR).collect()}
+    rep = {r.doc_id: r for r in repetition_report(spark, SF_DIR).collect()}
+    assert set(gate) == set(rep)
+    dropped = [g for g in gate.values() if not g.keep]
+    assert dropped, "gate should flag a tail of the corpus"
+    for g in gate.values():
+        r = rep[g.doc_id]
+        assert ("too_short" in g.drop_reasons) == (r.n_tokens < GATE_MIN_TOKENS)
+        assert ("high_repetition" in g.drop_reasons) == (
+            r.dup_3gram_frac > GATE_MAX_DUP3
+        )
+        assert ("dominant_token" in g.drop_reasons) == (
+            r.top_token_frac > GATE_MAX_TOP_TOKEN
+        )
+        assert g.keep == (g.drop_reasons == "")
