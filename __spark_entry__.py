@@ -18,6 +18,7 @@ from de_final_project_spark.operators import (
     neardup,
     sampling,
     similarity,
+    sketches,
     textdedup,
     textquality,
     trainprep,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_neardup": trainprep.source_overlap_neardup,
         "repetition_report": textquality.repetition_report,
         "quality_gate": textquality.quality_gate,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # --- set ops / grouping sets / order statistics ---
         "customers_without_orders": setops.customers_without_orders,
         "idle_rich_customers": setops.idle_rich_customers,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_neardup": trainprep.SOURCE_OVERLAP_NEARDUP_SQL,
         "repetition_report": textquality.REPETITION_REPORT_SQL,
         "quality_gate": textquality.QUALITY_GATE_SQL,
+        "cms_heavy_hitters": sketches.CMS_HEAVY_HITTERS_SQL,
         "customers_without_orders": setops.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "idle_rich_customers": setops.IDLE_RICH_CUSTOMERS_SQL,
         "parts_both_ordered_and_stocked": setops.PARTS_INTERSECT_SQL,

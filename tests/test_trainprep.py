@@ -173,3 +173,20 @@ def test_quality_gate_reasons_consistent(spark):
             r.top_token_frac > GATE_MAX_TOP_TOKEN
         )
         assert g.keep == (g.drop_reasons == "")
+
+
+def test_cms_never_undercounts_and_matches_exact_top(spark):
+    from de_final_project_spark.operators.sketches import (
+        CMS_TOP_K,
+        cms_heavy_hitters,
+    )
+    from de_final_project_spark.operators.textquality import top_terms
+
+    rows = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == CMS_TOP_K
+    for r in rows:
+        assert r.cms_estimate >= r.n  # CMS upper-bound property
+        assert r.overestimate == r.cms_estimate - r.n
+    # the K terms are exactly the corpus top-K by count
+    exact = {r.term for r in top_terms(spark, SF_DIR).limit(CMS_TOP_K).collect()}
+    assert {r.term for r in rows} == exact
