@@ -760,3 +760,177 @@ FROM (
 )
 GROUP BY col_name
 """
+
+
+def shipment_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation (shipmode is absent from
+    the synthetic schema, so the group key is the ship-latency bucket):
+    per latency bucket, how many lineitems belong to urgent/high-priority
+    orders vs the rest. lineitem⋈orders shuffles on orderkey; the two
+    priority counts are a single aggregate pass (CASE sums, map-side
+    partial), never two scans."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    lat = F.datediff(F.to_date(li["l_shipdate"]), F.to_date(o["o_orderdate"]))
+    bucket = (
+        F.when(lat <= 30, "0-30d").when(lat <= 60, "31-60d").otherwise("61d+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(bucket.alias("latency_bucket"), high.alias("_high"))
+        .groupBy("latency_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+SHIPMENT_LATENCY_BUCKETS_SQL = """
+SELECT CASE WHEN lat <= 30 THEN '0-30d'
+            WHEN lat <= 60 THEN '31-60d'
+            ELSE '61d+' END AS latency_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lat,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY 1
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregation: the distribution of
+    per-customer order counts, customers with zero orders included (the
+    LEFT join is the point — an inner join silently drops the zero
+    bucket). First aggregate shuffles on custkey, second on the tiny
+    count domain."""
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+LARGE_ORDER_MIN_QTY = 250
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds a
+    threshold, with their customer. The HAVING runs on the lineitem-side
+    aggregate FIRST (one shuffle on orderkey, output shrinks to the few
+    qualifying orders), and only that small survivor set joins orders and
+    broadcast-customer — never the other way around."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    c = read_testdata(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date_str"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = f"""
+SELECT c_custkey AS customer_key,
+       c_name AS customer_name,
+       o_orderkey AS order_key,
+       o_orderdate AS order_date_str,
+       o_totalprice AS total_price,
+       total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         > {LARGE_ORDER_MIN_QTY}
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped multi-way join: profit per supplier nation per
+    order year (the synthetic schema has no partsupp, so part retail
+    price × quantity stands in for supply cost). Join order matters at
+    scale and is explicit here: lineitem⋈orders is the one big shuffle
+    (orderkey); part joins on the lineitem side's partkey (second
+    shuffle — partsupp-sized in real TPC-H, bucketable); supplier and
+    nation broadcast. Profit accumulates in exact decimal, cast to
+    double only at the end."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+        - _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).cast("long").alias("order_year"),
+        )
+        .agg(profit.cast("double").alias("profit"))
+    )
+
+
+NATION_YEAR_PROFIT_SQL = """
+SELECT n_name AS nation,
+       year(CAST(o_orderdate AS DATE))::BIGINT AS order_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""

@@ -115,3 +115,27 @@ def test_dataset_splits_no_shuffle(plans):
     # Pure narrow projection: no exchange anywhere.
     p = plans("dataset_splits")
     assert "Exchange" not in p
+
+
+def test_large_volume_orders_aggregates_before_joins(plans):
+    p = plans("large_volume_orders")
+    # customer enrichment broadcasts; no sort-merge on a dimension
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the quantity aggregate is map-side partial (shuffle carries one
+    # row per orderkey per partition, not one per lineitem)
+    assert "partial_sum(cast(l_quantity" in p
+
+
+def test_nation_year_profit_broadcasts_small_dims(plans):
+    p = plans("nation_year_profit")
+    # supplier and nation ride broadcast joins; the only shuffles are the
+    # two big-side equi-joins (orderkey, partkey) and the final aggregate
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_customer_order_distribution_left_join_preserved(plans):
+    p = plans("customer_order_distribution")
+    # the LEFT join must survive optimization (zero-order customers count)
+    assert "LeftOuter" in p
