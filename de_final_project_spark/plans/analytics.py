@@ -934,3 +934,96 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1, 2
 """
+
+
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue shipped between DIFFERENT customer and
+    supplier nations, per (supplier nation, customer nation, year).
+    Both nation lookups broadcast (joined via supplier/customer keys that
+    themselves broadcast at dim scale); the inequality is a residual on
+    the already-joined row, never a join condition — so the only wide
+    stage is lineitem⋈orders on orderkey plus the final group-by."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = read_testdata(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_testdata(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("o_orderdate")).cast("long").alias("trade_year"),
+        )
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+NATION_PAIR_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(CAST(o_orderdate AS DATE))::BIGINT AS trade_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct suppliers per part class (brand, type,
+    size), EXCLUDING flagged suppliers (negative account balance stands
+    in for the complaints subquery). The exclusion is a broadcast LEFT
+    ANTI join applied to the supplier side BEFORE the big join — the
+    cheapest place to drop rows; the count-distinct shuffles once on the
+    part-class key."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_testdata(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    s = read_testdata(spark, sf_dir, "supplier")
+    flagged = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ok_li = li.join(
+        F.broadcast(flagged), li["l_suppkey"] == flagged["s_suppkey"], "left_anti"
+    )
+    return (
+        ok_li.join(p, ok_li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").cast("long").alias("part_size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_DIVERSITY_SQL = """
+SELECT p_brand AS brand,
+       p_type AS part_type,
+       p_size::BIGINT AS part_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""

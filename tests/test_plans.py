@@ -139,3 +139,17 @@ def test_customer_order_distribution_left_join_preserved(plans):
     p = plans("customer_order_distribution")
     # the LEFT join must survive optimization (zero-order customers count)
     assert "LeftOuter" in p
+
+
+def test_nation_pair_trade_inequality_is_residual(plans):
+    p = plans("nation_pair_trade")
+    # the nation inequality must be a filter/residual on equi-joined
+    # rows, never a nested-loop join condition
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_supplier_diversity_anti_join_before_big_join(plans):
+    p = plans("supplier_diversity")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
