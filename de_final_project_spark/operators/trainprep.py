@@ -279,3 +279,66 @@ GROUP BY 1, 2
 
 
 SOURCE_OVERLAP_NEARDUP_SQL = _source_overlap_sql()
+
+# ----------------------------------------------------------------------
+# End-to-end corpus curation (the capstone composition)
+# ----------------------------------------------------------------------
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: quality gate
+    (repetition + quality signals) ∧ near-dup canonical selection
+    (MinHash-LSH → connected components), with the train/val/test split
+    carried through and every drop explained (gate reasons plus
+    'near_duplicate' for non-canonical cluster members).
+
+    Composing the stages as DataFrames means Catalyst sees the union of
+    all their plans at once — the documents scan is shared, the three
+    doc-id-keyed joins co-partition, and nothing materializes between
+    stages. This is the query a corpus owner actually runs; the pieces
+    exist separately for inspection."""
+    from de_final_project_spark.operators.neardup import neardup_clusters
+    from de_final_project_spark.operators.sampling import dataset_splits
+    from de_final_project_spark.operators.textquality import quality_gate
+
+    gate = quality_gate(spark, sf_dir).select("doc_id", "drop_reasons", "keep")
+    clusters = neardup_clusters(spark, sf_dir)
+    splits = dataset_splits(spark, sf_dir).select("doc_id", "split")
+    return (
+        gate.join(clusters, "doc_id")
+        .join(splits, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            "cluster_id",
+            F.col("keep").alias("quality_keep"),
+            "is_canonical",
+            (F.col("keep") & F.col("is_canonical")).alias("keep_final"),
+            F.concat_ws(
+                ",",
+                F.nullif(F.col("drop_reasons"), F.lit("")),
+                F.when(~F.col("is_canonical"), F.lit("near_duplicate")),
+            ).alias("drop_reasons"),
+        )
+    )
+
+
+def _corpus_curation_sql() -> str:
+    from de_final_project_spark.operators.neardup import NEARDUP_CLUSTERS_SQL
+    from de_final_project_spark.operators.sampling import DATASET_SPLITS_SQL
+    from de_final_project_spark.operators.textquality import QUALITY_GATE_SQL
+
+    return f"""
+WITH gate AS ({QUALITY_GATE_SQL}),
+clusters AS ({NEARDUP_CLUSTERS_SQL}),
+splits AS ({DATASET_SPLITS_SQL})
+SELECT g.doc_id, s.split, c.cluster_id, g.keep AS quality_keep,
+       c.is_canonical,
+       (g.keep AND c.is_canonical) AS keep_final,
+       concat_ws(',', nullif(g.drop_reasons, ''),
+                 CASE WHEN NOT c.is_canonical THEN 'near_duplicate' END)
+         AS drop_reasons
+FROM gate g JOIN clusters c USING (doc_id) JOIN splits s USING (doc_id)
+"""
+
+
+CORPUS_CURATION_SQL = _corpus_curation_sql()

@@ -190,3 +190,21 @@ def test_cms_never_undercounts_and_matches_exact_top(spark):
     # the K terms are exactly the corpus top-K by count
     exact = {r.term for r in top_terms(spark, SF_DIR).limit(CMS_TOP_K).collect()}
     assert {r.term for r in rows} == exact
+
+
+def test_corpus_curation_composes_its_stages(spark):
+    from de_final_project_spark.operators.neardup import neardup_clusters
+    from de_final_project_spark.operators.textquality import quality_gate
+    from de_final_project_spark.operators.trainprep import corpus_curation
+
+    cur = {r.doc_id: r for r in corpus_curation(spark, SF_DIR).collect()}
+    gate = {r.doc_id: r for r in quality_gate(spark, SF_DIR).collect()}
+    clus = {r.doc_id: r for r in neardup_clusters(spark, SF_DIR).collect()}
+    assert set(cur) == set(gate) == set(clus)
+    for d, r in cur.items():
+        assert r.quality_keep == gate[d].keep
+        assert r.is_canonical == clus[d].is_canonical
+        assert r.keep_final == (r.quality_keep and r.is_canonical)
+        assert ("near_duplicate" in r.drop_reasons) == (not r.is_canonical)
+    kept = sum(1 for r in cur.values() if r.keep_final)
+    assert 0 < kept < len(cur)
