@@ -153,3 +153,15 @@ def test_supplier_diversity_anti_join_before_big_join(plans):
     p = plans("supplier_diversity")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_doc_chunks_is_narrow(plans):
+    # chunking must stay a single map stage — no exchange anywhere
+    p = plans("doc_chunks")
+    assert "Exchange" not in p
+
+
+def test_contamination_and_curation_never_nested_loop(plans):
+    for q in ("contamination_check", "corpus_curation"):
+        p = plans(q)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, q
