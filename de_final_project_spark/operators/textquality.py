@@ -443,3 +443,155 @@ FROM rep JOIN q USING (doc_id)
 
 
 QUALITY_GATE_SQL = _quality_gate_sql()
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the perplexity-proxy
+    filter of a corpus pipeline (improbable-token documents score high).
+
+    Cross-engine float stability is the design constraint here: a plain
+    avg(-ln p) sums doubles in partition order, which is not associative
+    — so each token's -ln p is rounded to 6 places FIRST (deterministic
+    per token), summed in exact DECIMAL (associative, any partitioning),
+    and only the final mean rounds again. Shape: one vocabulary count
+    aggregate (vocabulary-sized → broadcast), one explode-join-agg over
+    the corpus; both aggregates map-side partial."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    total = terms.count()
+    neglogp = F.round(
+        -F.log(F.col("_c").cast("double") / F.lit(float(total))), 6
+    ).cast("decimal(18,6)")
+    return (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(neglogp).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SCORES_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), t AS (
+  SELECT doc_id, term FROM terms WHERE term <> ''
+), vocab AS (
+  SELECT term, count(*) AS c FROM t GROUP BY 1
+), n AS (SELECT count(*) AS total FROM t)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(CAST(sum(CAST(round(-ln(vocab.c::DOUBLE / n.total), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS cross_entropy
+FROM t JOIN vocab USING (term) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-token bigrams by pointwise mutual information —
+    the phrase-detection statistic (word2vec-style preprocessing).
+    PMI = ln((c_ab/N_bigrams) / ((c_a/N_uni)(c_b/N_uni))), low-count
+    bigrams excluded. All inputs to ln are ratios of exact integer
+    counts, so the score is deterministic on any engine; scores round to
+    6 places before ranking.
+
+    Shape: bigrams come from one narrow transform+explode (no
+    self-join); unigram counts broadcast twice into the bigram relation;
+    the top-K is a global sort of the already-aggregated bigram table."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(toks.alias("_toks"), F.size(toks).alias("_n"))
+    bigrams = base.where(F.col("_n") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("_n") - 1).cast("int")),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c")).collect()[0][0]
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_bg = bg.agg(F.sum("c_ab")).collect()[0][0]
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.lit(float(n_bg)))
+            / (
+                (F.col("c_a").cast("double") / F.lit(float(n_uni)))
+                * (F.col("c_b").cast("double") / F.lit(float(n_uni)))
+            )
+        ),
+        6,
+    )
+    return (
+        bg.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").alias("bigram_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP_K)
+    )
+
+
+TOP_PMI_BIGRAMS_SQL = f"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM t) WHERE term <> '' GROUP BY 1
+), bg AS (
+  SELECT w1, w2, count(*) AS c_ab
+  FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+          FROM t WHERE len(toks) >= 2)
+  )
+  WHERE w1 <> '' AND w2 <> ''
+  GROUP BY 1, 2
+), nu AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+nb AS (SELECT sum(c_ab)::DOUBLE AS n FROM bg)
+SELECT w1, w2, c_ab::BIGINT AS bigram_count,
+       round(ln((c_ab / nb.n) / ((a.c / nu.n) * (b.c / nu.n))), 6) AS pmi
+FROM bg
+JOIN uni a ON bg.w1 = a.term
+JOIN uni b ON bg.w2 = b.term
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""

@@ -208,3 +208,55 @@ def test_corpus_curation_composes_its_stages(spark):
         assert ("near_duplicate" in r.drop_reasons) == (not r.is_canonical)
     kept = sum(1 for r in cur.values() if r.keep_final)
     assert 0 < kept < len(cur)
+
+
+def test_unigram_cross_entropy_bounds(spark):
+    import math
+
+    from de_final_project_spark.operators.textquality import (
+        unigram_logprob_scores,
+    )
+
+    rows = unigram_logprob_scores(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    # cross-entropy of a unigram LM is bounded by ln(total corpus tokens)
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert 0.0 < r.cross_entropy <= math.log(total) + 1e-6
+
+
+def test_pmi_bigrams_recompute(spark):
+    """Recompute PMI in python from raw counts for the returned rows."""
+    import collections
+    import math
+
+    from de_final_project_spark.operators.textquality import (
+        PMI_MIN_COUNT,
+        top_pmi_bigrams,
+    )
+
+    docs = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    uni: collections.Counter = collections.Counter()
+    bg: collections.Counter = collections.Counter()
+    for text in docs:
+        toks = text.strip().split()
+        uni.update(t for t in toks if t)
+        bg.update(
+            (a, b) for a, b in zip(toks, toks[1:]) if a and b
+        )
+    n_uni, n_bg = sum(uni.values()), sum(bg.values())
+    rows = top_pmi_bigrams(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bigram_count == bg[(r.w1, r.w2)] >= PMI_MIN_COUNT
+        exp = round(
+            math.log(
+                (r.bigram_count / n_bg)
+                / ((uni[r.w1] / n_uni) * (uni[r.w2] / n_uni))
+            ),
+            6,
+        )
+        assert abs(r.pmi - exp) < 2e-6, (r.w1, r.w2)
