@@ -415,3 +415,57 @@ SELECT t.query_id, t.k,
 FROM (SELECT query_id, count(*) AS k FROM truth GROUP BY 1) t
 LEFT JOIN hits h USING (query_id)
 """
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space in long form
+    (label, dim_idx, mean_value, n_vectors) — the class-balance /
+    cluster-quality diagnostic of an embedding table.
+
+    Double summation is not associative, so per-dimension means
+    accumulate in exact DECIMAL(18,9) (the elements are cast once,
+    deterministically, from the same float32 values on both engines)
+    and round to 6 places at the end — hash-identical under any
+    partitioning. Shape: posexplode to (label, dim, value) rows, one
+    hash aggregate; shuffle is |labels|·dim rows after map-side
+    partials."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "_v"
+        ),
+    )
+    return (
+        ex.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("_v").cast("decimal(18,9)")).alias("_s"),
+        )
+        .select(
+            "label",
+            "dim_idx",
+            "n_vectors",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_vectors").cast("double"), 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+SELECT label::BIGINT AS label,
+       (dim_idx - 1)::BIGINT AS dim_idx,
+       count(*)::BIGINT AS n_vectors,
+       round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS mean_value
+FROM (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim_idx
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""

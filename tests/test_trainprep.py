@@ -260,3 +260,23 @@ def test_pmi_bigrams_recompute(spark):
             6,
         )
         assert abs(r.pmi - exp) < 2e-6, (r.w1, r.w2)
+
+
+def test_embedding_label_centroids_recompute(spark):
+    import numpy as np
+
+    from de_final_project_spark.operators.similarity import (
+        embedding_label_centroids,
+    )
+
+    rows = embedding_label_centroids(spark, SF_DIR).collect()
+    raw = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    assert len(rows) == len(by_label) * 64
+    for r in rows:
+        vecs = by_label[r.label]
+        assert r.n_vectors == len(vecs)
+        exp = float(np.mean([v[r.dim_idx] for v in vecs]))
+        assert abs(r.mean_value - exp) < 2e-6, (r.label, r.dim_idx)
