@@ -377,7 +377,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the report is oracle-checkable. At sf0.01 with
     N_PROBE=2 of N_CELLS=8 the measured mean recall@5 is 0.80 — raise
     nprobe to trade compute back for recall."""
-    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # truth feeds BOTH the hits join and the per-query k aggregate —
+    # without the boundary Catalyst recomputes the entire brute-force
+    # subtree twice (it is the expensive branch of this plan).
+    truth = (
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
     approx = ivf_knn(spark, sf_dir).select("query_id", "neighbor_id")
     hits = truth.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
