@@ -315,6 +315,15 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; no all-pairs comparison anywhere (the O(n²) scoring form
     survives as simhash_neardup_pairs_allpairs, a test-only oracle twin).
 
+    Honest measurement: on the synthetic corpus the match density is
+    extreme (~0.8% of ALL pairs at sf0.1), so the exact form is locally
+    faster (2.7s vs 15.9s at sf0.1) — candidate dedup across 20 tables
+    dominates when nearly everything collides. The blocked form is the
+    scale path anyway: at n=10⁹ the n² form is infeasible at ANY constant
+    factor, while banded cost tracks Σ(bucket²) which shrinks as real
+    corpora are sparse. n_blocks is the knob: more blocks → wider keys →
+    smaller buckets but more tables.
+
     The simhash relation is persisted: both join sides read it, and
     without the boundary Catalyst would recompute the 32-aggregate
     vote pipeline twice."""
