@@ -99,3 +99,34 @@ def test_all_queries_run_under_bare_session():
     )
     tail = "\n".join(proc.stdout.splitlines()[-15:])
     assert proc.returncode == 0, f"driver twin failures:\n{tail}\n{proc.stderr[-2000:]}"
+
+
+def test_testdata_key_assumptions():
+    """Window orderings across the query surface are total BECAUSE these
+    keys are unique (o_orderkey breaks order-window ties, event_id breaks
+    event-time ties, ...). If regenerated testdata ever violates one,
+    the affected rank becomes engine-dependent — fail here, at the
+    assumption, not as a mystery hash mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    uniques = {
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "nation": "n_nationkey",
+        "region": "r_regionkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "events": "event_id",
+    }
+    for sf in ("sf0.001", "sf0.01"):
+        for table, key in uniques.items():
+            dupes = con.execute(
+                f"""SELECT count(*) FROM (
+                      SELECT {key} FROM read_parquet(
+                        '/root/testdata/{sf}/{table}.parquet')
+                      GROUP BY 1 HAVING count(*) > 1)"""
+            ).fetchone()[0]
+            assert dupes == 0, f"{sf}/{table}.{key} no longer unique"
