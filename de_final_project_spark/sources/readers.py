@@ -153,3 +153,27 @@ def read_csv_robust(
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     corrupt = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, corrupt
+
+
+def read_jsonl_robust(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+):
+    """JSON-lines scan with the same quarantine contract as
+    read_csv_robust: malformed lines land in the corrupt column instead
+    of failing the batch; returns (clean_df, corrupt_df). A declared
+    schema is mandatory — schema inference is a full extra pass over the
+    data at 100 TB and produces run-dependent types. Multiline JSON is
+    deliberately unsupported: one record per line is the only JSON shape
+    that splits across workers."""
+    from pyspark.sql.types import StringType
+
+    full_schema = schema.add(corrupt_col, StringType(), True)
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .json(path)
+    ).cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, corrupt

@@ -87,3 +87,27 @@ def test_jdbc_pushdown_query_construction():
         )
         == "SELECT staff_id FROM staff WHERE last_updated > '2024-01-01'"
     )
+
+
+def test_read_jsonl_robust_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        "this is not json\n"
+        '{"id": "not a number", "name": "type error"}\n'
+    )
+    schema = (
+        StructType()
+        .add("id", LongType(), True)
+        .add("name", StringType(), True)
+    )
+    from de_final_project_spark.sources.readers import read_jsonl_robust
+
+    clean, corrupt = read_jsonl_robust(spark, str(p), schema)
+    rows = {r.id: r.name for r in clean.collect()}
+    assert rows == {1: "ok", 2: "also ok"}
+    bad = [r[0] for r in corrupt.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
