@@ -177,3 +177,9 @@ def read_jsonl_robust(
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     corrupt = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, corrupt
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the parquet reader's twin; Catalyst pushes filters and
+    prunes columns into ORC scans the same way."""
+    return spark.read.orc(path)

@@ -108,3 +108,10 @@ def write_parquet_partitioned(
         .partitionBy(*partition_cols)
         .parquet(os.path.join(out_dir, name))
     )
+
+
+def write_orc_overwrite(df: DataFrame, out_dir: str, name: str) -> None:
+    """ORC overwrite sink — same contract as the parquet sink for stacks
+    standardized on ORC (both are JVM-native columnar formats with
+    predicate pushdown; no extra packages needed)."""
+    df.write.mode("overwrite").orc(os.path.join(out_dir, name))

@@ -111,3 +111,24 @@ def test_read_jsonl_robust_roundtrip_and_quarantine(spark, tmp_path):
     assert rows == {1: "ok", 2: "also ok"}
     bad = [r[0] for r in corrupt.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from de_final_project_spark.sources.readers import read_orc_table
+    from de_final_project_spark.sources.sinks import write_orc_overwrite
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    write_orc_overwrite(df, str(tmp_path), "t")
+    back = read_orc_table(spark, str(tmp_path / "t"))
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # filter pushdown reaches the ORC scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.where(back.id > 1).select("id").explain("formatted")
+    p = buf.getvalue()
+    assert "GreaterThan(id,1)" in p and "ReadSchema: struct<id:bigint>" in p
