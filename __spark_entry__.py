@@ -33,6 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is the driver's sampling order (it checks the first 50
+    entries). Slots 1-6 pin the reference-parity star surface; slots 7-41
+    hold the entries that had never earned a driver row before round 3
+    (multimodal/trainprep/setops/temporal/IVF); the remaining slots up to
+    50 carry this round's new queries. Twice-driver-green analytics
+    entries rotate to the back (still twin-checked every round)."""
     return {
         # --- star-schema parity surface (SURVEY.md §2.12 plan shapes) ---
         "dim_customer": star_testdata.dim_customer,
@@ -41,6 +47,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_date": star_testdata.dim_date,
         "keep_latest_events": star_testdata.keep_latest_events,
         "fact_lineitem": star_testdata.fact_lineitem,
+        # --- never-driver-checked until round 3: multimodal + trainprep ---
+        "multimodal_features": multimodal.multimodal_features,
+        "doc_chunks": trainprep.doc_chunks,
+        "contamination_check": trainprep.contamination_check,
+        "sequence_packing": trainprep.sequence_packing,
+        "cross_source_dupes": trainprep.cross_source_dupes,
+        "source_overlap_neardup": trainprep.source_overlap_neardup,
+        "repetition_report": textquality.repetition_report,
+        "quality_gate": textquality.quality_gate,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        "corpus_curation": trainprep.corpus_curation,
+        "unigram_logprob_scores": textquality.unigram_logprob_scores,
+        "top_pmi_bigrams": textquality.top_pmi_bigrams,
+        "embedding_label_centroids": similarity.embedding_label_centroids,
+        # --- set ops / grouping sets / order statistics ---
+        "customers_without_orders": setops.customers_without_orders,
+        "idle_rich_customers": setops.idle_rich_customers,
+        "parts_both_ordered_and_stocked": setops.parts_both_ordered_and_stocked,
+        "revenue_rollup_region_nation": setops.revenue_rollup_region_nation,
+        "events_cube": setops.events_cube,
+        "quantity_percentiles": setops.quantity_percentiles,
+        "approx_distinct_users": setops.approx_distinct_users,
+        "source_quality_report": setops.source_quality_report,
+        "user_value_salted": setops.user_value_salted,
+        # --- temporal / window / reshape extensions ---
+        "customer_order_running": temporal.customer_order_running,
+        "order_gaps": temporal.order_gaps,
+        "orders_priority_pivot": temporal.orders_priority_pivot,
+        "late_shipment_orders": temporal.late_shipment_orders,
+        "purchases_asof_view": temporal.purchases_asof_view,
+        "parts_price_band_join": temporal.parts_price_band_join,
+        "events_multires_rollup": temporal.events_multires_rollup,
+        "events_sliding_windows": temporal.events_sliding_windows,
+        "events_anomalies": temporal.events_anomalies,
+        "signup_conversion_funnel": temporal.signup_conversion_funnel,
+        "weekly_retention": temporal.weekly_retention,
+        "ivf_knn": similarity.ivf_knn,
+        "ann_recall_report": similarity.ann_recall_report,
         # --- aggregation / window / event analytics extensions ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -87,43 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textquality.doc_fingerprints,
         "top_terms": textquality.top_terms,
         "tfidf_top_terms": textquality.tfidf_top_terms,
-        "multimodal_features": multimodal.multimodal_features,
-        "doc_chunks": trainprep.doc_chunks,
-        "contamination_check": trainprep.contamination_check,
-        "sequence_packing": trainprep.sequence_packing,
-        "cross_source_dupes": trainprep.cross_source_dupes,
-        "source_overlap_neardup": trainprep.source_overlap_neardup,
-        "repetition_report": textquality.repetition_report,
-        "quality_gate": textquality.quality_gate,
-        "cms_heavy_hitters": sketches.cms_heavy_hitters,
-        "corpus_curation": trainprep.corpus_curation,
-        "unigram_logprob_scores": textquality.unigram_logprob_scores,
-        "top_pmi_bigrams": textquality.top_pmi_bigrams,
-        "embedding_label_centroids": similarity.embedding_label_centroids,
-        # --- set ops / grouping sets / order statistics ---
-        "customers_without_orders": setops.customers_without_orders,
-        "idle_rich_customers": setops.idle_rich_customers,
-        "parts_both_ordered_and_stocked": setops.parts_both_ordered_and_stocked,
-        "revenue_rollup_region_nation": setops.revenue_rollup_region_nation,
-        "events_cube": setops.events_cube,
-        "quantity_percentiles": setops.quantity_percentiles,
-        "approx_distinct_users": setops.approx_distinct_users,
-        "source_quality_report": setops.source_quality_report,
-        "user_value_salted": setops.user_value_salted,
-        # --- temporal / window / reshape extensions ---
-        "customer_order_running": temporal.customer_order_running,
-        "order_gaps": temporal.order_gaps,
-        "orders_priority_pivot": temporal.orders_priority_pivot,
-        "late_shipment_orders": temporal.late_shipment_orders,
-        "purchases_asof_view": temporal.purchases_asof_view,
-        "parts_price_band_join": temporal.parts_price_band_join,
-        "events_multires_rollup": temporal.events_multires_rollup,
-        "events_sliding_windows": temporal.events_sliding_windows,
-        "events_anomalies": temporal.events_anomalies,
-        "signup_conversion_funnel": temporal.signup_conversion_funnel,
-        "weekly_retention": temporal.weekly_retention,
-        "ivf_knn": similarity.ivf_knn,
-        "ann_recall_report": similarity.ann_recall_report,
     }
 
 
