@@ -168,18 +168,28 @@ GROUP BY 1
 """
 
 
+# HLL accuracy contract: tolerance is derived from the configured rsd with
+# 4x headroom (4 sigma), so an engine HLL change or an unlucky group shows
+# up as a sketch-accuracy signal, not an arbitrary-constant mismatch.
+HLL_RSD = 0.02
+HLL_REL_TOL = 4 * HLL_RSD
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count per event type, checked against the
     exact count. The raw HLL estimate is engine-specific, so the output
-    carries it as a bounded-error assertion (within 5% of exact — rsd is
-    configured at 2%) rather than a raw number; that makes the query
-    fully oracle-checkable while still exercising the sketch, which at
-    100 TB is the only affordable distinct-count."""
+    carries it as a bounded-error assertion (within 4x the configured
+    rsd of exact) rather than a raw number; that makes the query fully
+    oracle-checkable while still exercising the sketch, which at 100 TB
+    is the only affordable distinct-count. The oracle necessarily states
+    the bound as TRUE (DuckDB cannot reproduce Spark's HLL estimate);
+    the 4-sigma headroom makes a spurious flip vanishingly unlikely
+    while a real sketch regression still trips it."""
     events = read_testdata(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.approx_count_distinct("user_id", HLL_RSD).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
@@ -187,8 +197,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("approx_within_5pct"),
+                <= HLL_REL_TOL * F.col("exact_users")
+            ).alias("approx_within_tol"),
         )
     )
 
@@ -196,7 +206,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_DISTINCT_USERS_SQL = """
 SELECT event_type,
        count(DISTINCT user_id)::BIGINT AS exact_users,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_tol
 FROM events
 GROUP BY 1
 """

@@ -82,8 +82,19 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the session factory, so the read works under *any* caller-provided
     SparkSession — including a plain ``SparkSession.builder.getOrCreate()``
     with no custom configuration.
+
+    NOTE the conf change is STICKY for the session: the returned DataFrame
+    is lazy, and the scan consults the conf again at plan/execution time,
+    so restoring it here would break the very read it enables. The
+    session-wide effect is benign for other reads because a NANOS column
+    only *arrives* as bigint (never silently wrong for non-NANOS files),
+    and the dtypes-based fallback below converts it where it matters. A
+    caller needing strict isolation should read events through a
+    dedicated session.
     """
-    if table == "events":
+    if table == "events" and spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false"
+    ) != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
