@@ -326,7 +326,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The simhash relation is persisted: both join sides read it, and
     without the boundary Catalyst would recompute the 32-aggregate
-    vote pipeline twice."""
+    vote pipeline twice. The cache is deliberately NOT unpersisted —
+    the result is lazy, so the persist must outlive this call; the
+    blocks are evictable (MEMORY_AND_DISK default) and bounded at one
+    row per doc. Long-lived sessions wanting strict cleanup should
+    ``df.unpersist()`` via ``spark.catalog.clearCache()`` between
+    query batches (the driver twin does per-process isolation instead)."""
     d = simhash_docs(spark, sf_dir).persist()
     keyed = d.select(
         "doc_id",

@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 from de_final_project_spark.sources.readers import read_testdata
 
 
+# Split boundaries over the 100 hash buckets: [0, TRAIN_UPPER) = train,
+# [TRAIN_UPPER, TEST_LOWER) = val, [TEST_LOWER, 100) = test. Shared by
+# dataset_splits, contamination_check (operators/trainprep.py) and both
+# of their SQL oracles so a split change cannot desynchronize them.
+TRAIN_UPPER = 80
+TEST_LOWER = 90
+
+
 def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of
     the stringified id, as an integer, mod n_buckets."""
@@ -40,15 +48,17 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
     split = (
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        F.when(b < TRAIN_UPPER, "train")
+        .when(b < TEST_LOWER, "val")
+        .otherwise("test")
     )
     return docs.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
 
 
-DATASET_SPLITS_SQL = """
+DATASET_SPLITS_SQL = f"""
 SELECT doc_id, lang, bucket,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
+       CASE WHEN bucket < {TRAIN_UPPER} THEN 'train'
+            WHEN bucket < {TEST_LOWER} THEN 'val'
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id, lang,

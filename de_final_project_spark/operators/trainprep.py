@@ -23,7 +23,11 @@ from de_final_project_spark.operators.neardup import (
     _norm_tokens,
     shingle_set,
 )
-from de_final_project_spark.operators.sampling import hash_bucket
+from de_final_project_spark.operators.sampling import (
+    TEST_LOWER,
+    TRAIN_UPPER,
+    hash_bucket,
+)
 from de_final_project_spark.sources.readers import read_testdata
 
 CHUNK_TOKENS = 64
@@ -120,10 +124,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("_bucket"),
         F.explode(shingle_set(F.col("text"))).alias("shingle"),
     )
-    train = shingled.where(F.col("_bucket") < 80).select(
+    train = shingled.where(F.col("_bucket") < TRAIN_UPPER).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
-    test = shingled.where(F.col("_bucket") >= 90).select("doc_id", "shingle")
+    test = shingled.where(F.col("_bucket") >= TEST_LOWER).select(
+        "doc_id", "shingle"
+    )
     return (
         test.join(train, "shingle")
         .groupBy("doc_id")
@@ -146,8 +152,8 @@ posting AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM b)
 SELECT t.doc_id,
        count(DISTINCT t.shingle)::BIGINT AS n_shared_shingles,
        count(DISTINCT tr.doc_id)::BIGINT AS n_train_docs
-FROM (SELECT * FROM posting WHERE bucket >= 90) t
-JOIN (SELECT * FROM posting WHERE bucket < 80) tr USING (shingle)
+FROM (SELECT * FROM posting WHERE bucket >= {TEST_LOWER}) t
+JOIN (SELECT * FROM posting WHERE bucket < {TRAIN_UPPER}) tr USING (shingle)
 GROUP BY t.doc_id
 """
 
