@@ -23,7 +23,7 @@ from de_final_project_spark.operators import (
     textquality,
     trainprep,
 )
-from de_final_project_spark.plans import analytics, setops, star_testdata, temporal
+from de_final_project_spark.plans import analytics, oltp, setops, star_testdata, temporal
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -85,6 +85,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_retention": temporal.weekly_retention,
         "ivf_knn": similarity.ivf_knn,
         "ann_recall_report": similarity.ann_recall_report,
+        # --- REAL OLTP builders (SURVEY §2.12) over derived bronze: slots
+        # 42-50 put the highest-value 9 inside the driver's window this
+        # round (counterparty FK join, the 3 facts' date-role joins, the
+        # melt-built dim_date, staff lookup join); the 2 trivial dims sit
+        # at the back, twin-checked ---
+        "oltp_dim_counterparty": oltp.oltp_dim_counterparty,
+        "oltp_fact_sales_order": oltp.oltp_fact_sales_order,
+        "oltp_fact_payment": oltp.oltp_fact_payment,
+        "oltp_fact_purchase_order": oltp.oltp_fact_purchase_order,
+        "oltp_dim_date": oltp.oltp_dim_date,
+        "oltp_dim_staff": oltp.oltp_dim_staff,
+        "oltp_dim_location": oltp.oltp_dim_location,
+        "oltp_dim_design": oltp.oltp_dim_design,
+        "oltp_dim_transaction": oltp.oltp_dim_transaction,
         # --- aggregation / window / event analytics extensions ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -131,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textquality.doc_fingerprints,
         "top_terms": textquality.top_terms,
         "tfidf_top_terms": textquality.tfidf_top_terms,
+        "oltp_dim_currency": oltp.oltp_dim_currency,
+        "oltp_dim_payment_type": oltp.oltp_dim_payment_type,
     }
 
 
@@ -221,4 +237,15 @@ def oracle_sql() -> dict[str, str]:
         "weekly_retention": temporal.WEEKLY_RETENTION_SQL,
         "ivf_knn": similarity.IVF_KNN_SQL,
         "ann_recall_report": similarity.ANN_RECALL_REPORT_SQL,
+        "oltp_dim_location": oltp.OLTP_DIM_LOCATION_SQL,
+        "oltp_dim_counterparty": oltp.OLTP_DIM_COUNTERPARTY_SQL,
+        "oltp_dim_currency": oltp.OLTP_DIM_CURRENCY_SQL,
+        "oltp_dim_design": oltp.OLTP_DIM_DESIGN_SQL,
+        "oltp_dim_payment_type": oltp.OLTP_DIM_PAYMENT_TYPE_SQL,
+        "oltp_dim_staff": oltp.OLTP_DIM_STAFF_SQL,
+        "oltp_dim_transaction": oltp.OLTP_DIM_TRANSACTION_SQL,
+        "oltp_dim_date": oltp.OLTP_DIM_DATE_SQL,
+        "oltp_fact_payment": oltp.OLTP_FACT_PAYMENT_SQL,
+        "oltp_fact_purchase_order": oltp.OLTP_FACT_PURCHASE_ORDER_SQL,
+        "oltp_fact_sales_order": oltp.OLTP_FACT_SALES_ORDER_SQL,
     }
