@@ -4,20 +4,23 @@ pipeline surface.
 Media travel as opaque ``binary`` payload columns plus typed metadata,
 and decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 (the one place Python UDFs are justified: per-item binary decoding that
-no built-in expression covers). The container has no image/audio codecs,
-so the decode step is a clearly-marked deterministic STUB (STUB_DECODE):
-every derived feature is pure md5 arithmetic on the payload. The Spark
-plumbing — schema, Arrow batch shape, partition independence — is real
-and tested, and precisely because the stub is hash-arithmetic the whole
-pandas-UDF path is still oracle-checkable against DuckDB.
+no built-in expression covers). The decode step is REAL: payloads are
+actual 24-bit BMP images, PCM-16 RIFF/WAVE audio, and a length-prefixed
+multi-frame video container of BMP frames — all encoded and decoded with
+stdlib-only parsers (header fields, row stride padding, bottom-up BGR
+order, RIFF chunk walk). Because the synthetic pixels are a deterministic
+function of ``doc_id``, every decoded statistic has an exact closed-form
+DuckDB oracle — the decoder must get stride, row order, and channel
+order right to reproduce them.
 
-Swapping in a real decoder later = replacing ``_stub_decode_one`` with
-PIL/ffmpeg calls behind the same signature.
+Container formats not available in this environment (JPEG/PNG/MP3/MP4
+need codec libraries) would slot in behind the same ``_decode_*``
+signatures via PIL / soundfile / pyav.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,65 +28,229 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.sources.readers import read_testdata
 
-STUB_DECODE = True  # no codec libraries in this environment
+STUB_DECODE = False  # payloads are real BMP / WAV / VID0 bytes
 
 MEDIA_TYPES = ("image", "audio", "video")
 
+# Synthetic-corpus geometry: small enough that a 16x16x5 bounded cross
+# join restates the pixel sums in the oracle, varied enough that BMP row
+# padding (stride % 4) and multi-frame offsets change per doc.
+AUDIO_RATE = 8000
+VIDEO_FPS = 4.0
+
+
+def _geom(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, n_samples) for a doc — shared by the
+    encoder, and restated literally in the oracle SQL."""
+    return (
+        5 + doc_id % 12,
+        5 + (doc_id * 3) % 12,
+        2 + doc_id % 3,
+        400 + doc_id % 800,
+    )
+
+
+def _pixel(doc_id: int, f: int, x: int, y: int) -> tuple[int, int, int]:
+    """(r, g, b) at frame f, column x, row y (top-left origin). The three
+    channels differ so a BGR/RGB mixup shows up in the per-channel sums;
+    row order (sum-invariant) is pinned by the resize tests instead."""
+    return (
+        (doc_id + f + x + 2 * y) % 256,
+        (doc_id + f + 2 * x + y) % 256,
+        (doc_id + f + x + y) % 256,
+    )
+
+
+# ----------------------------------------------------------------------
+# Real stdlib codecs
+# ----------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """24bpp uncompressed BMP: 14-byte file header + 40-byte info header,
+    rows stored bottom-up, BGR, each row padded to a 4-byte boundary."""
+    stride = (3 * width + 3) // 4 * 4
+    size = 54 + height * stride
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       height * stride, 2835, 2835, 0, 0)
+    pad = b"\x00" * (stride - 3 * width)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixels[y][x]
+            out += bytes((b, g, r))  # BGR
+        out += pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a 24bpp BMP: returns (width, height, sum_r, sum_g, sum_b)
+    summed over all pixels in image (top-left) orientation."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={compression}")
+    stride = (3 * width + 3) // 4 * 4
+    sum_r = sum_g = sum_b = 0
+    for row in range(height):
+        base = offset + row * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            sum_r += r
+            sum_g += g
+            sum_b += b
+    return width, height, sum_r, sum_g, sum_b
+
+
+def encode_wav(n_samples: int, rate: int = AUDIO_RATE) -> bytes:
+    """Minimal PCM-16 mono RIFF/WAVE file (silent samples)."""
+    data = b"\x00\x00" * n_samples
+    out = bytearray()
+    out += b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return bytes(out)
+
+
+def decode_wav(payload: bytes) -> float:
+    """Walk the RIFF chunk list; duration in seconds from the fmt chunk's
+    sample rate + block align and the data chunk's byte length."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, block_align, n_bytes = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            _, channels, rate, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            n_bytes = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or n_bytes is None:
+        raise ValueError("missing fmt/data chunk")
+    return (n_bytes // block_align) / float(rate)
+
+
+VID_MAGIC = b"VID0"
+
+
+def encode_vid(frames: list[bytes]) -> bytes:
+    """Toy video container: magic + u32 frame count + concatenated BMPs
+    (each frame self-describes its length via the BMP file header)."""
+    out = bytearray(VID_MAGIC + struct.pack("<I", len(frames)))
+    for fr in frames:
+        out += fr
+    return bytes(out)
+
+
+def decode_vid(payload: bytes) -> list[bytes]:
+    """Split a VID0 container back into its BMP frames by walking each
+    frame's self-declared file size."""
+    if payload[:4] != VID_MAGIC:
+        raise ValueError("not a VID0 payload")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    frames, pos = [], 8
+    for _ in range(n_frames):
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        frames.append(payload[pos:pos + size])
+        pos += size
+    return frames
+
+
+def _make_payload(doc_id: int, media_type: str) -> bytes:
+    width, height, n_frames, n_samples = _geom(doc_id)
+    if media_type == "audio":
+        return encode_wav(n_samples)
+    if media_type == "image":
+        px = [[_pixel(doc_id, 0, x, y) for x in range(width)] for y in range(height)]
+        return encode_bmp(width, height, px)
+    frames = []
+    for f in range(n_frames):
+        px = [[_pixel(doc_id, f, x, y) for x in range(width)] for y in range(height)]
+        frames.append(encode_bmp(width, height, px))
+    return encode_vid(frames)
+
+
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, width int, height int, "
-    "duration_s double, brightness double"
+    "n_frames int, duration_s double, sum_r long, sum_g long, sum_b long, "
+    "brightness double"
 )
 
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media table from the documents table: payload is the
-    utf-8 text bytes (an opaque blob as far as the pipeline is concerned),
-    media_type assigned round-robin by doc_id."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    mt = F.element_at(
-        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+    """Deterministic media table from the documents table: real encoded
+    payloads (BMP / WAV / VID0), media_type assigned round-robin by
+    doc_id. Encoding runs Arrow-batched on the workers."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            mts = [MEDIA_TYPES[i % 3] for i in ids]
+            yield pd.DataFrame({
+                "doc_id": ids.values,
+                "media_type": mts,
+                "payload": [_make_payload(int(i), mt) for i, mt in zip(ids, mts)],
+            })
+
+    return docs.mapInPandas(
+        encode, schema="doc_id long, media_type string, payload binary"
     )
-    return docs.select(
-        "doc_id",
-        mt.alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
 
 
-def _stub_decode_one(payload: bytes) -> dict:
-    """STUB decode: deterministic pseudo-metadata from the payload's md5.
-
-    A real implementation would decode the codec here (PIL.Image.open /
-    soundfile / pyav); raise NotImplementedError if that is required.
-    """
-    h = hashlib.md5(payload).hexdigest()
-    return {
-        "n_bytes": len(payload),
-        "width": 16 + int(h[0:4], 16) % 1024,
-        "height": 16 + int(h[4:8], 16) % 1024,
-        "duration_s": round((int(h[8:12], 16) % 36000) / 100.0, 6),
-        "brightness": round(int(h[12:16], 16) / 65535.0, 6),
+def _decode_one(doc_id: int, media_type: str, payload: bytes) -> dict:
+    """Dispatch to the real decoder; all stats come from the parsed
+    bytes, never from doc_id."""
+    out = {
+        "doc_id": doc_id, "media_type": media_type, "n_bytes": len(payload),
+        "width": None, "height": None, "n_frames": None, "duration_s": None,
+        "sum_r": None, "sum_g": None, "sum_b": None, "brightness": None,
     }
+    if media_type == "audio":
+        out["duration_s"] = decode_wav(payload)
+        return out
+    if media_type == "image":
+        frames = [payload]
+    else:
+        frames = decode_vid(payload)
+        out["duration_s"] = len(frames) / VIDEO_FPS
+    sum_r = sum_g = sum_b = n_px = 0
+    for fr in frames:
+        w, h, r, g, b = decode_bmp(fr)
+        sum_r, sum_g, sum_b, n_px = sum_r + r, sum_g + g, sum_b + b, n_px + w * h
+    out.update(
+        width=w, height=h, n_frames=len(frames),
+        sum_r=sum_r, sum_g=sum_g, sum_b=sum_b,
+        brightness=(sum_r + sum_g + sum_b) / (3.0 * 255.0 * n_px),
+    )
+    return out
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column.
-
-    mapInPandas streams record batches through the worker — constant
-    memory per batch, no per-row Python overhead, and the output schema
-    is declared up front so the plan stays well-typed."""
+    """Arrow-batched real decode over the payload column. mapInPandas
+    streams record batches through the worker — constant memory per
+    batch; the brightness round happens JVM-side (F.round, HALF_UP) so
+    both engines round the identical double."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [_stub_decode_one(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "media_type", pdf["media_type"].values)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            yield pd.DataFrame([
+                _decode_one(int(i), mt, bytes(p))
+                for i, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"])
+            ])
 
-    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA).withColumn(
+        "brightness", F.round("brightness", 6)
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,61 +258,129 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, sf_dir))
 
 
-# The stub decode is md5 arithmetic, so even the pandas-UDF path has an
-# exact DuckDB oracle (md5 of the text == md5 of its utf-8 payload).
+# The payload generator is a closed-form function of doc_id, so the REAL
+# decoded stats (file sizes with stride padding, per-channel pixel sums,
+# durations) have an exact DuckDB restatement. A decoder bug — wrong
+# stride, RGB/BGR swap, top-down rows, off-by-one chunk walk — breaks the
+# hash match.
 MULTIMODAL_FEATURES_SQL = """
-SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-         AS media_type,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       (16 + ('0x' || substr(md5(text), 1, 4))::INT % 1024)::INT AS width,
-       (16 + ('0x' || substr(md5(text), 5, 4))::INT % 1024)::INT AS height,
-       round((('0x' || substr(md5(text), 9, 4))::INT % 36000) / 100.0, 6)
-         AS duration_s,
-       round(('0x' || substr(md5(text), 13, 4))::INT / 65535.0, 6) AS brightness
-FROM documents
+WITH g AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         5 + doc_id % 12 AS w,
+         5 + (doc_id * 3) % 12 AS h,
+         2 + doc_id % 3 AS nf,
+         400 + doc_id % 800 AS ns
+  FROM documents
+),
+b AS (SELECT *, 54 + h * ((3 * w + 3) // 4 * 4) AS bmp_bytes FROM g),
+image_sums AS (
+  SELECT b.doc_id,
+         sum((b.doc_id + x + 2 * y) % 256)::BIGINT AS sum_r,
+         sum((b.doc_id + 2 * x + y) % 256)::BIGINT AS sum_g,
+         sum((b.doc_id + x + y) % 256)::BIGINT AS sum_b
+  FROM b, range(16) tx(x), range(16) ty(y)
+  WHERE b.k = 0 AND x < b.w AND y < b.h
+  GROUP BY b.doc_id
+),
+video_sums AS (
+  SELECT b.doc_id,
+         sum((b.doc_id + f + x + 2 * y) % 256)::BIGINT AS sum_r,
+         sum((b.doc_id + f + 2 * x + y) % 256)::BIGINT AS sum_g,
+         sum((b.doc_id + f + x + y) % 256)::BIGINT AS sum_b
+  FROM b, range(5) tf(f), range(16) tx(x), range(16) ty(y)
+  WHERE b.k = 2 AND f < b.nf AND x < b.w AND y < b.h
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id, 'image' AS media_type, b.bmp_bytes::BIGINT AS n_bytes,
+       b.w::INT AS width, b.h::INT AS height, 1::INT AS n_frames,
+       NULL::DOUBLE AS duration_s, s.sum_r, s.sum_g, s.sum_b,
+       round((s.sum_r + s.sum_g + s.sum_b) / (3.0 * 255.0 * b.w * b.h), 6)
+         AS brightness
+FROM b JOIN image_sums s USING (doc_id) WHERE b.k = 0
+UNION ALL
+SELECT doc_id, 'audio', (44 + 2 * ns)::BIGINT, NULL::INT, NULL::INT,
+       NULL::INT, ns / 8000.0, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE
+FROM b WHERE k = 1
+UNION ALL
+SELECT b.doc_id, 'video', (8 + b.nf * b.bmp_bytes)::BIGINT, b.w::INT,
+       b.h::INT, b.nf::INT, b.nf / 4.0, s.sum_r, s.sum_g, s.sum_b,
+       round((s.sum_r + s.sum_g + s.sum_b) / (3.0 * 255.0 * b.w * b.h * b.nf), 6)
+FROM b JOIN video_sums s USING (doc_id) WHERE b.k = 2
 """
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Per-video frame sampling: fan one payload row out to n_frames
-    pseudo-frames (frame_idx, frame_hash). Pure expression fan-out via
-    explode — the distributed shape of real frame extraction (one row per
-    sampled frame), with the actual pixel decode stubbed as md5."""
-    frames = F.transform(
-        F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("frame_idx"),
-            F.md5(F.concat(F.base64("payload"), i.cast("string"))).alias("frame_hash"),
-        ),
+    """Per-video frame sampling: decode the VID0 container and emit up to
+    ``n_frames`` evenly-spaced REAL frames as (doc_id, frame_idx, width,
+    height, brightness). The distributed shape of real frame extraction —
+    one output row per sampled frame, Arrow-batched decode, no
+    driver-side state."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, frame_idx int, width int, height int, brightness double"
     )
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_vid(bytes(payload))
+                total = len(frames)
+                take = min(n_frames, total)
+                idxs = sorted({(i * total) // take for i in range(take)})
+                for idx in idxs:
+                    w, h, r, g, b = decode_bmp(frames[idx])
+                    rows.append({
+                        "doc_id": int(doc_id), "frame_idx": idx,
+                        "width": w, "height": h,
+                        "brightness": (r + g + b) / (3.0 * 255.0 * w * h),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height",
+                               "brightness"],
+            )
+
     return (
         media.where(F.col("media_type") == "video")
-        .select("doc_id", F.explode(frames).alias("f"))
-        .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
-                F.col("f.frame_hash").alias("frame_hash"))
+        .select("doc_id", "payload")
+        .mapInPandas(sample, schema)
+        .withColumn("brightness", F.round("brightness", 6))
     )
 
 
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image/frame resize plumbing: Arrow-batched ``mapInPandas`` mapping
-    payload -> resized payload + updated dimension metadata. The pixel
-    resample itself is stubbed (md5 re-hash standing in for the new
-    pixel buffer — STUB_DECODE); schema, batch shape, and partition
-    independence are the real contract. Swap the body for PIL
-    ``Image.resize`` when codecs are available."""
+    """Real image resize: decode the BMP, nearest-neighbor resample the
+    pixel grid, re-encode a valid BMP at the target geometry.
+    Arrow-batched ``mapInPandas``; the output payload is itself
+    decodable, so downstream stages see a normal image column."""
+    import pandas as pd
+
     out_schema = (
         "doc_id long, media_type string, payload binary, "
         "width int, height int"
     )
 
+    def resize_one(payload: bytes) -> bytes:
+        w, h, *_ = decode_bmp(payload)
+        (offset,) = struct.unpack_from("<I", payload, 10)
+        stride = (3 * w + 3) // 4 * 4
+        grid = []
+        for ty in range(target_h):
+            sy = (ty * h) // target_h
+            base = offset + (h - 1 - sy) * stride  # source is bottom-up
+            row = []
+            for tx in range(target_w):
+                sx = (tx * w) // target_w
+                bb, gg, rr = payload[base + 3 * sx: base + 3 * sx + 3]
+                row.append((rr, gg, bb))
+            grid.append(row)
+        return encode_bmp(target_w, target_h, grid)
+
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            resized = pdf["payload"].map(
-                lambda b: hashlib.md5(
-                    b + f":{target_w}x{target_h}".encode()
-                ).digest()
-            )
+            resized = pdf["payload"].map(lambda b: resize_one(bytes(b)))
             yield pdf.assign(
                 payload=resized, width=target_w, height=target_h
             )[["doc_id", "media_type", "payload", "width", "height"]]

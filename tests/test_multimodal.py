@@ -1,15 +1,73 @@
-"""Multimodal plumbing tests: schema, Arrow batch shape, partition
-independence, frame fan-out."""
+"""Multimodal tests: REAL codec round-trips (BMP stride/orientation/BGR,
+RIFF chunk walk, VID0 frame walk) plus the Spark plumbing — schema,
+Arrow batch shape, partition independence, frame fan-out."""
+
+import pytest
 
 from de_final_project_spark.operators.multimodal import (
+    AUDIO_RATE,
+    _geom,
+    _pixel,
+    decode_bmp,
+    decode_vid,
+    decode_wav,
+    encode_bmp,
+    encode_vid,
+    encode_wav,
     extract_features,
     frame_sample,
     multimodal_features,
+    resize_media,
     synthesize_media,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+# ---------------------------------------------------------------- codecs
+
+def test_bmp_roundtrip_and_padding():
+    # width 5 -> stride 16 (padding exercised); known pixel sums
+    px = [[(x, 2 * x, y) for x in range(5)] for y in range(3)]
+    payload = encode_bmp(5, 3, px)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + 3 * 16
+    w, h, sr, sg, sb = decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert sr == sum(x for y in range(3) for x in range(5))
+    assert sg == sum(2 * x for y in range(3) for x in range(5))
+    assert sb == sum(y for y in range(3) for x in range(5))
+
+
+def test_bmp_channel_order_not_swapped():
+    # a single red pixel: BGR storage means byte 54 is BLUE=0, byte 56 RED
+    payload = encode_bmp(1, 1, [[(200, 10, 3)]])
+    assert payload[54:57] == bytes((3, 10, 200))
+    assert decode_bmp(payload)[2:] == (200, 10, 3)
+
+
+def test_wav_roundtrip():
+    payload = encode_wav(1234)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * 1234
+    assert decode_wav(payload) == 1234 / float(AUDIO_RATE)
+
+
+def test_vid_roundtrip():
+    frames = [
+        encode_bmp(2, 2, [[(f, f, f)] * 2] * 2) for f in range(3)
+    ]
+    payload = encode_vid(frames)
+    assert decode_vid(payload) == frames
+
+
+def test_decoders_reject_garbage():
+    for fn in (decode_bmp, decode_wav, decode_vid):
+        with pytest.raises(ValueError):
+            fn(b"\x00" * 64)
+
+
+# ------------------------------------------------------------- plumbing
 
 def test_media_schema(spark):
     media = synthesize_media(spark, SF_DIR)
@@ -26,45 +84,70 @@ def test_features_deterministic_and_partition_independent(spark):
     b = sorted(tuple(r) for r in extract_features(media.repartition(11)).collect())
     assert a == b
     assert len(a) == media.count()
-    row = dict(zip([f[0] for f in extract_features(media).dtypes], a[0]))
-    assert 16 <= row["width"] < 16 + 1024
-    assert 0.0 <= row["brightness"] <= 1.0
 
 
-def test_multimodal_features_entrypoint(spark):
-    out = multimodal_features(spark, SF_DIR)
-    assert out.columns == [
-        "doc_id", "media_type", "n_bytes", "width", "height",
-        "duration_s", "brightness",
-    ]
-    assert out.count() == 500
+def test_features_match_generator_formulas(spark):
+    """The decoded stats must equal the closed-form generator values —
+    the property the DuckDB oracle relies on."""
+    out = multimodal_features(spark, SF_DIR).collect()
+    assert len(out) == 500
+    for r in out:
+        w, h, nf, ns = _geom(r.doc_id)
+        if r.media_type == "audio":
+            assert r.n_bytes == 44 + 2 * ns
+            assert r.duration_s == ns / float(AUDIO_RATE)
+            assert r.width is None and r.sum_r is None
+            continue
+        stride = (3 * w + 3) // 4 * 4
+        bmp_bytes = 54 + h * stride
+        frames = range(1) if r.media_type == "image" else range(nf)
+        exp = [0, 0, 0]
+        for f in frames:
+            for y in range(h):
+                for x in range(w):
+                    p = _pixel(r.doc_id, f, x, y)
+                    for i in range(3):
+                        exp[i] += p[i]
+        assert (r.width, r.height) == (w, h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp)
+        if r.media_type == "image":
+            assert r.n_frames == 1 and r.n_bytes == bmp_bytes
+        else:
+            assert r.n_frames == nf and r.n_bytes == 8 + nf * bmp_bytes
+            assert r.duration_s == nf / 4.0
 
 
-def test_frame_sample_fanout(spark):
+def test_frame_sample_real_frames(spark):
     media = synthesize_media(spark, SF_DIR)
-    n_videos = media.where("media_type = 'video'").count()
-    frames = frame_sample(media, n_frames=4)
-    assert frames.count() == n_videos * 4
-    per_doc = frames.groupBy("doc_id").count().select("count").distinct().collect()
-    assert [r["count"] for r in per_doc] == [4]
-    # frame hashes are distinct per frame
-    assert frames.select("frame_hash").distinct().count() == n_videos * 4
+    videos = {r.doc_id for r in media.where("media_type = 'video'").collect()}
+    frames = frame_sample(media, n_frames=4).collect()
+    assert {r.doc_id for r in frames} == videos
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        w, h, nf, _ = _geom(doc_id)
+        assert len(rows) == min(4, nf)  # videos have 2-4 frames
+        assert sorted(r.frame_idx for r in rows) == [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)]
+        assert all((r.width, r.height) == (w, h) for r in rows)
+        assert all(0.0 <= r.brightness <= 1.0 for r in rows)
 
 
-def test_resize_media_plumbing(spark):
-    from de_final_project_spark.operators.multimodal import (
-        resize_media,
-        synthesize_media,
-    )
-
+def test_resize_media_real(spark):
     media = synthesize_media(spark, SF_DIR)
-    out = resize_media(media, 224, 224)
+    out = resize_media(media, 8, 6)
     rows = out.collect()
     n_images = media.where("media_type = 'image'").count()
     assert len(rows) == n_images
-    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
-    # deterministic: payload is a pure function of input payload + target
-    again = {r["doc_id"]: r["payload"] for r in resize_media(media, 224, 224).collect()}
-    assert all(again[r["doc_id"]] == r["payload"] for r in rows)
-    # schema contract holds
-    assert dict(out.dtypes)["payload"] == "binary"
+    for r in rows:
+        w, h, sr, sg, sb = decode_bmp(bytes(r.payload))
+        assert (w, h) == (8, 6) == (r.width, r.height)
+        # nearest-neighbor: expected sums from the source pixel formula
+        sw, sh, _, _ = _geom(r.doc_id)
+        exp = [0, 0, 0]
+        for ty in range(6):
+            for tx in range(8):
+                p = _pixel(r.doc_id, 0, (tx * sw) // 8, (ty * sh) // 6)
+                for i in range(3):
+                    exp[i] += p[i]
+        assert (sr, sg, sb) == tuple(exp)
