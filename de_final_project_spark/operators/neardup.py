@@ -356,8 +356,15 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_neardup_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(n²) exact scoring — correctness baseline for the blocked form
-    (tests assert set equality); never the default path."""
-    d = simhash_docs(spark, sf_dir)
+    (tests assert set equality); never the default path. Size-guarded;
+    simhash_neardup_pairs (pigeonhole blocks) is the scale path."""
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    d = guard_exact_baseline(
+        simhash_docs(spark, sf_dir),
+        "simhash_neardup_pairs_allpairs",
+        "simhash_neardup_pairs",
+    )
     a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("h_a"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("h_b"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

@@ -32,10 +32,17 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query side is tiny -> broadcast; the corpus side streams through
     the broadcast nested-loop join without shuffling. Ranking: row_number
-    per query over (rounded similarity desc, neighbor id asc)."""
+    per query over (rounded similarity desc, neighbor id asc).
+
+    O(n·q) correctness baseline — size-guarded; ivf_knn is the scale
+    path."""
     from pyspark.sql import Window
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        read_testdata(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn"
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -141,8 +148,15 @@ def unit_vectors(emb: DataFrame) -> DataFrame:
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact O(n²) scoring — correctness
     baseline for the LSH-bucketed variant below. Vectors are unit-
-    normalized once (one pass), so each pair costs one dot product."""
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    normalized once (one pass), so each pair costs one dot product.
+    Size-guarded; knn_lsh_candidates is the scale path."""
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        read_testdata(spark, sf_dir, "embeddings"),
+        "embedding_neardup_exact",
+        "knn_lsh_candidates",
+    )
     u = unit_vectors(emb)
     a = u.select(F.col("vec_id").alias("a_id"), F.col("u").alias("u_a"))
     b = u.select(F.col("vec_id").alias("b_id"), F.col("u").alias("u_b"))

@@ -1,0 +1,56 @@
+"""Exact-baseline size guard: refuses oversized inputs, names the scale
+path, and is raisable only by explicit conf."""
+
+import pytest
+
+from de_final_project_spark.operators.guards import (
+    MAX_ROWS_CONF,
+    ExactBaselineTooLarge,
+    guard_exact_baseline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_guard_passes_small_input(spark):
+    df = spark.range(100)
+    assert guard_exact_baseline(df, "op", "scale_op") is df
+
+
+def test_guard_raises_over_threshold(spark):
+    old = spark.conf.get(MAX_ROWS_CONF, None)
+    spark.conf.set(MAX_ROWS_CONF, "50")
+    try:
+        with pytest.raises(ExactBaselineTooLarge) as e:
+            guard_exact_baseline(spark.range(100), "knn_bruteforce", "ivf_knn")
+        assert "ivf_knn" in str(e.value)
+        assert MAX_ROWS_CONF in str(e.value)
+    finally:
+        spark.conf.unset(MAX_ROWS_CONF)
+        if old is not None:
+            spark.conf.set(MAX_ROWS_CONF, old)
+
+
+def test_guarded_operators_refuse_when_limit_lowered(spark):
+    from de_final_project_spark.operators.neardup import (
+        simhash_neardup_pairs_allpairs,
+    )
+    from de_final_project_spark.operators.similarity import (
+        embedding_neardup_exact,
+        knn_bruteforce,
+    )
+
+    spark.conf.set(MAX_ROWS_CONF, "10")
+    try:
+        for op in (knn_bruteforce, embedding_neardup_exact,
+                   simhash_neardup_pairs_allpairs):
+            with pytest.raises(ExactBaselineTooLarge):
+                op(spark, SF_DIR)
+    finally:
+        spark.conf.unset(MAX_ROWS_CONF)
+
+
+def test_guarded_operators_run_at_default_limit(spark):
+    from de_final_project_spark.operators.similarity import knn_bruteforce
+
+    assert knn_bruteforce(spark, SF_DIR).count() > 0
