@@ -43,7 +43,15 @@ BENCH_QUERIES = [
     "top_terms",
     "tfidf_top_terms",
     "dataset_splits",
+    # round 3 additions (r1/r2 set above is frozen for A/B comparability):
+    # the nanos-fixed events family gets a regression signal...
+    "events_sessionized",
+    "events_cube",
+    "events_multires_rollup",
 ]
+# ...and the bucketed-write path is MEASURED against its shuffled twin
+# (same join+agg; broadcast disabled for both so the delta isolates the
+# exchange, the shape that matters when neither fact side fits broadcast).
 
 
 def main() -> None:
@@ -62,6 +70,24 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    from de_final_project_spark.plans import bucketing
+
+    bucketing.build_bucketed_tables(spark, sf_dir)  # amortized write, untimed
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in (
+            ("order_revenue_shuffled", bucketing.shuffled_order_revenue(spark, sf_dir)),
+            ("order_revenue_bucketed", bucketing.colocated_order_revenue(spark)),
+        ):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        bucketing.drop_bucketed_tables(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -68,6 +68,25 @@ def colocated_order_revenue(spark: SparkSession) -> DataFrame:
     )
 
 
+def shuffled_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join/aggregate from plain parquet scans — both fact sides
+    pay an exchange on orderkey. Benchmarked next to
+    ``colocated_order_revenue`` so the bucketed write's amortized payoff
+    is measured, not just plan-asserted."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("gross_revenue"),
+        )
+    )
+
+
 def drop_bucketed_tables(spark: SparkSession) -> None:
     for t in (LINEITEM_TBL, ORDERS_TBL):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
