@@ -97,8 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oltp_dim_date": oltp.oltp_dim_date,
         "oltp_dim_staff": oltp.oltp_dim_staff,
         "oltp_dim_location": oltp.oltp_dim_location,
-        "oltp_dim_design": oltp.oltp_dim_design,
-        "oltp_dim_transaction": oltp.oltp_dim_transaction,
+        # --- new operator classes this round: int8 embedding quantization
+        # and incremental batch-vs-corpus near-dup (oltp_dim_design /
+        # oltp_dim_transaction — shape twins of oltp_dim_location — sit at
+        # the back, twin-checked) ---
+        "embedding_quantize": similarity.embedding_quantize,
+        "incremental_neardup": neardup.incremental_neardup,
         # --- aggregation / window / event analytics extensions ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -147,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": textquality.tfidf_top_terms,
         "oltp_dim_currency": oltp.oltp_dim_currency,
         "oltp_dim_payment_type": oltp.oltp_dim_payment_type,
+        "oltp_dim_design": oltp.oltp_dim_design,
+        "oltp_dim_transaction": oltp.oltp_dim_transaction,
     }
 
 
@@ -248,4 +254,6 @@ def oracle_sql() -> dict[str, str]:
         "oltp_fact_payment": oltp.OLTP_FACT_PAYMENT_SQL,
         "oltp_fact_purchase_order": oltp.OLTP_FACT_PURCHASE_ORDER_SQL,
         "oltp_fact_sales_order": oltp.OLTP_FACT_SALES_ORDER_SQL,
+        "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
+        "incremental_neardup": neardup.INCREMENTAL_NEARDUP_SQL,
     }

@@ -155,6 +155,46 @@ def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the shape a
+    continuously-fed training pipeline actually runs: candidates come
+    only from incoming-bands ⋈ existing-bands, so per ingest cycle the
+    work is O(batch·B) probes of the corpus band index, never a corpus
+    self-join and never re-clustering history. At 100 TB the existing
+    bands relation is a materialized table partitioned by
+    (band_idx, band_hash); each batch probes it with a shuffle of
+    batch-size, not corpus-size.
+
+    Batch membership is deterministic here (doc_id % 10 == 0 plays the
+    incoming batch) so the operator is oracle-checkable; production
+    callers pass any predicate/batch column the same way.
+    """
+    is_incoming = F.col("doc_id") % 10 == 0
+    sh = _docs_with_shingles(spark, sf_dir).persist()
+    bands = minhash_bands(spark, sf_dir).persist()
+    new_bands = bands.where(is_incoming).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    old_bands = bands.where(~is_incoming).select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        new_bands.join(old_bands, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    sh_old = sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    union = F.size(F.col("sh_n")) + F.size(F.col("sh_o")) - inter
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_old, "old_id")
+        .select("new_id", "old_id", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def ngram_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT shingle-Jaccard pairs at threshold 0.3 via an inverted-index
     candidate join — not an approximation: Jaccard > 0 requires at least
@@ -439,6 +479,26 @@ JOIN shingled sb ON sb.doc_id = b_id
 WHERE round(len(list_intersect(sa.shingles, sb.shingles))
             / (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+INCREMENTAL_NEARDUP_SQL = f"""
+WITH {_SHINGLES_CTE}, {_BANDS_CTE},
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+)
+SELECT new_id, old_id,
+       round(len(list_intersect(sn.shingles, so.shingles))
+             / (len(sn.shingles) + len(so.shingles)
+                - len(list_intersect(sn.shingles, so.shingles))), 6) AS jaccard
+FROM cands
+JOIN shingled sn ON sn.doc_id = new_id
+JOIN shingled so ON so.doc_id = old_id
+WHERE round(len(list_intersect(sn.shingles, so.shingles))
+            / (len(sn.shingles) + len(so.shingles)
+               - len(list_intersect(sn.shingles, so.shingles))), 6) >= {JACCARD_THRESHOLD}
 """
 
 # Same inverted-index candidate generation as the Spark side (exact:

@@ -488,3 +488,80 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    memory/bandwidth lever for embedding storage and ANN serving at
+    corpus scale (float32 -> int8 + one float scale per vector).
+
+    q_i = round(v_i / scale), scale = max|v| / 127, so |q_i| <= 127 by
+    construction (no clipping branch). Output reports the quantization
+    contract per vector: the scale, an exact integer checksum of the
+    codes (sum_q — bit-identical across engines, so the oracle pins every
+    code), and the reconstruction cosine (how much angular information
+    int8 kept). Pure column expressions over the array — narrow
+    projection, no shuffle, embarrassingly parallel at any corpus size.
+    """
+    from de_final_project_spark.functions.vector import cosine as vcos
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(v, F.abs))
+    staged = (
+        emb.select("vec_id", v.alias("v"))
+        .withColumn("scale", F.array_max(F.transform(F.col("v"), F.abs)) / 127.0)
+        .withColumn(
+            "q",
+            F.transform(
+                F.col("v"),
+                lambda x: F.when(F.col("scale") == 0, F.lit(0))
+                .otherwise(F.round(x / F.col("scale"), 0))
+                .cast("int"),
+            ),
+        )
+        .withColumn(
+            "recon", F.transform(F.col("q"), lambda x: x.cast("double") * F.col("scale"))
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("sum_q"),
+        F.when(F.col("scale") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(vcos(F.col("v"), F.col("recon")), 6))
+        .alias("recon_cosine"),
+    )
+
+
+# The oracle restates the identical quantize arithmetic; sum_q is an
+# exact integer so any per-code divergence (rounding mode, scale
+# computation) breaks the hash, and recon_cosine reuses the
+# normalize-then-dot pattern proven stable across engines above.
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(
+           v, x -> CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(round(x / scale, 0) AS INT) END) AS q
+  FROM s
+),
+r AS (SELECT *, list_transform(q, x -> x * scale) AS recon FROM q)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_sum(q)::BIGINT AS sum_q,
+       CASE WHEN scale = 0 THEN NULL
+            ELSE round(list_dot_product(v, recon)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(recon, recon))), 6)
+       END AS recon_cosine
+FROM r
+"""

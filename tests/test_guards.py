@@ -54,3 +54,25 @@ def test_guarded_operators_run_at_default_limit(spark):
     from de_final_project_spark.operators.similarity import knn_bruteforce
 
     assert knn_bruteforce(spark, SF_DIR).count() > 0
+
+
+def test_embedding_quantize_contract(spark):
+    """Codes bounded by int8, reconstruction nearly angle-preserving, and
+    sum_q matches an independent numpy recompute."""
+    import numpy as np
+
+    from de_final_project_spark.operators.similarity import embedding_quantize
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.vec_id: r for r in embedding_quantize(spark, sf).collect()}
+    src = read_testdata(spark, sf, "embeddings").collect()
+    assert len(out) == len(src)
+    for row in src[:50]:
+        v = np.asarray(row.embedding, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        q = np.zeros_like(v) if scale == 0 else np.floor(np.abs(v / scale) + 0.5) * np.sign(v)
+        assert np.abs(q).max() <= 127
+        got = out[row.vec_id]
+        assert got.sum_q == int(q.sum())
+        assert got.recon_cosine is None or got.recon_cosine > 0.99

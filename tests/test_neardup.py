@@ -148,3 +148,25 @@ def test_simhash_candidate_keys_cover_hamming_ball():
         for f in flips:
             u ^= 1 << f
         assert keys(v) & keys(u), f"uncovered pair v={v:#x} u={u:#x}"
+
+
+def test_incremental_neardup_is_cross_batch_slice_of_full_pairs(spark):
+    """incremental (batch-vs-corpus) pairs must equal exactly the full
+    minhash pairs having one endpoint in the incoming batch — same bands,
+    same verification, only the candidate join is restricted."""
+    from de_final_project_spark.operators.neardup import (
+        incremental_neardup,
+        neardup_pairs_minhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (min(r.new_id, r.old_id), max(r.new_id, r.old_id), r.jaccard)
+        for r in incremental_neardup(spark, sf).collect()
+    }
+    full_cross = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in neardup_pairs_minhash(spark, sf).collect()
+        if (r.a_id % 10 == 0) != (r.b_id % 10 == 0)
+    }
+    assert inc == full_cross
