@@ -20,26 +20,46 @@ result on the same data (tests/test_streaming.py does exactly that).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 SESSION_GAP = "30 minutes"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as epoch
-    nanos under the nanosAsLong conf; converted to a micros timestamp,
-    matching the batch reader)."""
+    """File-source stream over the events parquet.
+
+    File streams require a declared schema, and the producer's physical
+    encoding for ``ts`` has varied between TIMESTAMP(NANOS) — which Spark
+    can only surface as epoch-nanos long under the nanosAsLong conf — and
+    plain TIMESTAMP(MICROS). Sniff the parquet footer (a metadata-only
+    read of one file) and declare the matching schema, converting nanos
+    to a micros timestamp exactly as the batch reader does, so the stream
+    is correct under either encoding.
+    """
+    ts_type = "timestamp"
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_t = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+        if arrow_t.startswith("timestamp[ns") or arrow_t in ("int64", "long"):
+            ts_type = "long"
+    except (ImportError, OSError, KeyError):
+        pass  # default to the current producer encoding (micros timestamp)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA.format(ts_type=ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "long":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
