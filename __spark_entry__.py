@@ -23,7 +23,14 @@ from de_final_project_spark.operators import (
     textquality,
     trainprep,
 )
-from de_final_project_spark.plans import analytics, oltp, setops, star_testdata, temporal
+from de_final_project_spark.plans import (
+    analytics,
+    oltp,
+    setops,
+    star_testdata,
+    temporal,
+    tpch_advanced,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,11 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's sampling order (it checks the first 50
-    entries). Slots 1-6 pin the reference-parity star surface; slots 7-41
-    hold the entries that had never earned a driver row before round 3
-    (multimodal/trainprep/setops/temporal/IVF); the remaining slots up to
-    50 carry this round's new queries. Twice-driver-green analytics
-    entries rotate to the back (still twin-checked every round)."""
+    entries). Slots 1-6 pin the reference-parity star surface; next come
+    this round's NEW queries (the advanced TPC-H subquery shapes) and the
+    4 entries never driver-checked in rounds 1-3 (the small OLTP dims);
+    the rest of the window rotates once-checked entries forward.
+    Multiply-driver-green entries sit at the back (still twin-checked
+    every round)."""
     return {
         # --- star-schema parity surface (SURVEY.md §2.12 plan shapes) ---
         "dim_customer": star_testdata.dim_customer,
@@ -47,7 +55,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_date": star_testdata.dim_date,
         "keep_latest_events": star_testdata.keep_latest_events,
         "fact_lineitem": star_testdata.fact_lineitem,
-        # --- never-driver-checked until round 3: multimodal + trainprep ---
+        # --- NEW this round: correlated/scalar-subquery TPC-H shapes ---
+        "q2_min_cost_supplier": tpch_advanced.q2_min_cost_supplier,
+        "q4_order_priority": tpch_advanced.q4_order_priority,
+        "q8_market_share": tpch_advanced.q8_market_share,
+        "q11_important_stock": tpch_advanced.q11_important_stock,
+        "q15_top_supplier": tpch_advanced.q15_top_supplier,
+        "q20_dominant_suppliers": tpch_advanced.q20_dominant_suppliers,
+        "q21_waiting_suppliers": tpch_advanced.q21_waiting_suppliers,
+        "q22_sales_opportunity": tpch_advanced.q22_sales_opportunity,
+        # --- never driver-checked rounds 1-3: the 4 small OLTP dims ---
+        "oltp_dim_currency": oltp.oltp_dim_currency,
+        "oltp_dim_payment_type": oltp.oltp_dim_payment_type,
+        "oltp_dim_design": oltp.oltp_dim_design,
+        "oltp_dim_transaction": oltp.oltp_dim_transaction,
+        # --- once-checked entries rotated into the window ---
         "multimodal_features": multimodal.multimodal_features,
         "doc_chunks": trainprep.doc_chunks,
         "contamination_check": trainprep.contamination_check,
@@ -149,10 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textquality.doc_fingerprints,
         "top_terms": textquality.top_terms,
         "tfidf_top_terms": textquality.tfidf_top_terms,
-        "oltp_dim_currency": oltp.oltp_dim_currency,
-        "oltp_dim_payment_type": oltp.oltp_dim_payment_type,
-        "oltp_dim_design": oltp.oltp_dim_design,
-        "oltp_dim_transaction": oltp.oltp_dim_transaction,
     }
 
 
@@ -256,4 +274,12 @@ def oracle_sql() -> dict[str, str]:
         "oltp_fact_sales_order": oltp.OLTP_FACT_SALES_ORDER_SQL,
         "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
         "incremental_neardup": neardup.INCREMENTAL_NEARDUP_SQL,
+        "q2_min_cost_supplier": tpch_advanced.Q2_SQL,
+        "q4_order_priority": tpch_advanced.Q4_SQL,
+        "q8_market_share": tpch_advanced.Q8_SQL,
+        "q11_important_stock": tpch_advanced.Q11_SQL,
+        "q15_top_supplier": tpch_advanced.Q15_SQL,
+        "q20_dominant_suppliers": tpch_advanced.Q20_SQL,
+        "q21_waiting_suppliers": tpch_advanced.Q21_SQL,
+        "q22_sales_opportunity": tpch_advanced.Q22_SQL,
     }

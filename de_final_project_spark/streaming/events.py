@@ -43,15 +43,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a micros timestamp exactly as the batch reader does, so the stream
     is correct under either encoding.
     """
-    ts_type = "timestamp"
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = None
     try:
         import pyarrow.parquet as pq
 
-        arrow_t = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
-        if arrow_t.startswith("timestamp[ns") or arrow_t in ("int64", "long"):
-            ts_type = "long"
-    except (ImportError, OSError, KeyError):
-        pass  # default to the current producer encoding (micros timestamp)
+        arrow_t = str(pq.read_schema(path).field("ts").type)
+        # int64 here means the producer wrote raw epoch integers; every
+        # producer of this table has meant epoch-NANOS by that (the same
+        # assumption the batch reader makes), and timestamp[ns] always
+        # surfaces as nanos-long under the conf set below.
+        ts_type = "long" if (arrow_t.startswith("timestamp[ns") or arrow_t == "int64") else "timestamp"
+    except Exception:
+        # pyarrow missing, or an unreadable/corrupt footer (ArrowInvalid is
+        # a ValueError, so a narrow except would let it escape raw).
+        # Conf-aware batch probe instead — under a session that already has
+        # nanosAsLong=true a NANOS column arrives as bigint, which the
+        # fixed "timestamp" default would misdeclare.
+        try:
+            ts_type = "long" if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint" else "timestamp"
+        except Exception:
+            ts_type = "timestamp"  # let the stream surface Spark's read error
+    if ts_type == "long" and spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false"
+    ) != "true":
+        # Mirror read_testdata (sources/readers.py): the conf must be live
+        # before the scan or a plain caller session fails with
+        # "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))".
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA.format(ts_type=ts_type))
         .option("pathGlobFilter", "events.parquet")
