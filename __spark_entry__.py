@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from de_final_project_spark.operators import (
+    corpusops,
     multimodal,
     neardup,
     sampling,
@@ -69,6 +70,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oltp_dim_payment_type": oltp.oltp_dim_payment_type,
         "oltp_dim_design": oltp.oltp_dim_design,
         "oltp_dim_transaction": oltp.oltp_dim_transaction,
+        # --- NEW this round: corpus ops (vocab/BM25/keep-best/PageRank) ---
+        "vocab_coverage": corpusops.vocab_coverage,
+        "bm25_scores": corpusops.bm25_scores,
+        "neardup_keep_best": corpusops.neardup_keep_best,
+        "copurchase_pagerank": corpusops.copurchase_pagerank,
         # --- once-checked entries rotated into the window ---
         "multimodal_features": multimodal.multimodal_features,
         "doc_chunks": trainprep.doc_chunks,
@@ -282,4 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_dominant_suppliers": tpch_advanced.Q20_SQL,
         "q21_waiting_suppliers": tpch_advanced.Q21_SQL,
         "q22_sales_opportunity": tpch_advanced.Q22_SQL,
+        "vocab_coverage": corpusops.VOCAB_COVERAGE_SQL,
+        "bm25_scores": corpusops.BM25_SCORES_SQL,
+        "neardup_keep_best": corpusops.NEARDUP_KEEP_BEST_SQL,
+        "copurchase_pagerank": corpusops.COPURCHASE_PAGERANK_SQL,
     }

@@ -1,0 +1,357 @@
+"""Corpus-level training-data operators: vocabulary coverage / OOV rates,
+BM25 relevance scoring, quality-aware near-dup canonicalization, and a
+fixed-point PageRank over the copurchase graph.
+
+These extend the dedup/quality family (operators/textdedup.py,
+textquality.py, neardup.py) with the remaining ops a pretraining corpus
+pipeline runs between "dedup" and "pack": pick a tokenizer vocabulary and
+measure what it misses, rank documents against a probe query, choose WHICH
+duplicate to keep (highest quality, not lowest id), and compute a
+link-structure importance score usable as a sampling weight.
+
+Scale shapes: everything is explode→hash-aggregate or equi-join keyed on
+doc/term/part ids; the vocabulary and query-term tables are tiny and
+broadcast. PageRank is the one iterative op — each iteration is a single
+edges⋈ranks shuffle on the node key, the classic distributed formulation;
+ranks are fixed-point BIGINTs so results are bit-identical across engines
+and partitionings (no float accumulation-order drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.functions.text import tokens
+from de_final_project_spark.sources.readers import read_testdata
+
+# ----------------------------------------------------------------------
+# Vocabulary coverage / OOV
+# ----------------------------------------------------------------------
+
+VOCAB_SIZE = 20
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_SIZE`` corpus vocabulary (by frequency, ties broken by
+    term) and the per-document out-of-vocabulary rate against it — the
+    standard check before committing to a tokenizer vocab.
+
+    Two passes over the exploded tokens: a vocabulary-sized aggregate
+    (map-side partial, then TakeOrdered — never a full vocabulary sort),
+    and a per-doc aggregate with the vocab broadcast as a membership
+    probe. The corpus-sized explode stays on the executors both times.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_SIZE)
+        .select(F.col("term").alias("v_term"))
+    )
+    flagged = terms.join(
+        F.broadcast(vocab), terms["term"] == vocab["v_term"], "left"
+    ).select("doc_id", F.col("v_term").isNull().cast("long").alias("oov"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), t AS (SELECT * FROM terms WHERE term <> ''),
+vocab AS (
+  SELECT term FROM t GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT {VOCAB_SIZE}
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM t LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# BM25 probe-query scoring
+# ----------------------------------------------------------------------
+
+BM25_QUERY = ("join", "hash", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of every document against the fixed probe query
+    ``BM25_QUERY``, top-``BM25_TOP_K`` (deterministic tie-break on
+    doc_id).
+
+    Statistics pipeline: per-(doc, term) tf for the query terms only
+    (the filter lands before the aggregate, so the shuffle carries just
+    query-term hits), doc lengths from a narrow projection, df and avgdl
+    as 1-row/[q]-row broadcasts. Scores round to 6 places before the
+    TakeOrdered so ranking is identical across engines' libm.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    q = F.array(*[F.lit(t) for t in BM25_QUERY])
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doclen = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    qtf = (
+        terms.where(F.array_contains(q, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    return (
+        qtf.join(F.broadcast(dfc), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+
+
+_BM25_Q_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+BM25_SCORES_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), doclen AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS dl
+  FROM documents
+), qtf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM terms WHERE term IN ({_BM25_Q_LIST})
+  GROUP BY 1, 2
+), dfc AS (SELECT term, count(*)::BIGINT AS df FROM qtf GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl FROM doclen),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       round(sum(
+         ln((n.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+         * (qtf.tf * ({BM25_K1} + 1.0))
+         / (qtf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen.dl::DOUBLE / stats.avgdl))
+       ), 6) AS bm25
+FROM qtf
+JOIN dfc USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats CROSS JOIN n
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+# ----------------------------------------------------------------------
+# Quality-aware near-dup canonicalization ("keep best", not "keep first")
+# ----------------------------------------------------------------------
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each MinHash near-dup cluster keep the HIGHEST-QUALITY member
+    (quality_score from textquality.doc_quality; ties -> lowest doc_id)
+    instead of neardup_clusters' lowest-id canonical — the curation
+    policy real pipelines want (keep the cleanest copy, drop the rest).
+
+    Composition of two existing surfaces: cluster assignment joins the
+    per-doc quality projection on doc_id (co-keyed, one shuffle), then a
+    per-cluster argmax window. Output is one row per KEPT document.
+    """
+    from pyspark.sql import Window
+
+    from de_final_project_spark.operators.neardup import neardup_clusters
+    from de_final_project_spark.operators.textquality import doc_quality
+
+    clusters = neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "quality_score")
+    )
+
+
+def _neardup_keep_best_sql() -> str:
+    from de_final_project_spark.operators.neardup import NEARDUP_CLUSTERS_SQL
+    from de_final_project_spark.operators.textquality import DOC_QUALITY_SQL
+
+    return f"""
+SELECT cluster_id, doc_id AS kept_doc_id, quality_score
+FROM (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS _rk
+  FROM ({NEARDUP_CLUSTERS_SQL}) c
+  JOIN ({DOC_QUALITY_SQL}) q USING (doc_id)
+)
+WHERE _rk = 1
+"""
+
+
+NEARDUP_KEEP_BEST_SQL = _neardup_keep_best_sql()
+
+
+# ----------------------------------------------------------------------
+# Fixed-point PageRank over the copurchase graph
+# ----------------------------------------------------------------------
+
+PR_ITERATIONS = 3
+PR_SCALE = 1_000_000_000_000  # ranks are BIGINT multiples of 1e-12
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected copurchase graph: distinct part pairs sharing an order
+    (both directions). One self-join of the order→part projection keyed
+    on orderkey — at scale this is the standard market-basket edge build
+    and shuffles once on orderkey."""
+    op = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("b_partkey")
+    )
+    return (
+        a.join(b, (F.col("a.l_orderkey") == b["b_orderkey"]))
+        .where(F.col("a.l_partkey") != F.col("b_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PR_ITERATIONS`` rounds of PageRank over the copurchase graph in
+    fixed-point BIGINT arithmetic.
+
+    rank_0 = SCALE for every part; each round
+    rank(v) = floor(0.15·SCALE) + Σ_{{u→v}} floor(0.85·rank(u)) intdiv outdeg(u).
+    All operations are exact integer multiply/divide/sum, so the result
+    is bit-identical regardless of partitioning, join order, or engine —
+    the reason to prefer fixed-point over float ranks for an oracle-
+    checked iterative op (float PageRank differs in the last ulps per
+    summation order). Isolated parts keep the base rank.
+
+    Each iteration is one edges⋈ranks equi-join + hash aggregate on the
+    node key — the canonical distributed PageRank step. The edge list is
+    reused across iterations (persist); the rank frame stays
+    node-cardinality-sized.
+    """
+    edges = copurchase_edges(spark, sf_dir).persist()
+    outdeg = edges.groupBy(F.col("src").alias("d_node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nodes = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    base = PR_SCALE * 15 // 100
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERATIONS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, edges["src"] == outdeg["d_node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({PR_DAMP_NUM} * rank) div ({PR_DAMP_DEN} * outdeg)").alias(
+                    "contrib"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    out = ranks.select(F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"))
+    return out
+
+
+def _pagerank_sql() -> str:
+    base = PR_SCALE * 15 // 100
+    cte = [
+        """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)
+""".format(scale=PR_SCALE)
+    ]
+    for i in range(PR_ITERATIONS):
+        cte.append(
+            f"""
+c{i + 1} AS (
+  SELECT e.dst AS node,
+         sum(({PR_DAMP_NUM} * r.rank) // ({PR_DAMP_DEN} * o.outdeg))::BIGINT AS inflow
+  FROM edges e JOIN r{i} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT n.node, ({base}::BIGINT + coalesce(c.inflow, 0))::BIGINT AS rank
+  FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
+)
+"""
+        )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"\nSELECT node AS part_key, rank AS rank_fp FROM r{PR_ITERATIONS}"
+    )
+
+
+COPURCHASE_PAGERANK_SQL = _pagerank_sql()
