@@ -388,3 +388,48 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return media.where(F.col("media_type") == "image").mapInPandas(
         resize, out_schema
     )
+
+
+MEDIA_EXTENSIONS = {"image": "bmp", "audio": "wav", "video": "vid"}
+_EXT_TO_TYPE = {v: k for k, v in MEDIA_EXTENSIONS.items()}
+
+
+def write_media_files(media: DataFrame, out_dir: str) -> int:
+    """Materialize a media frame as one file per item, named
+    ``{doc_id}.{ext}`` — the object-store layout the binaryFile ingest
+    path reads back. Files are written from the executors via
+    foreachPartition (no driver collect); returns the row count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = F.element_at(
+        F.create_map(*[F.lit(x) for kv in MEDIA_EXTENSIONS.items() for x in kv]),
+        F.col("media_type"),
+    )
+    rows = media.select("doc_id", ext.alias("ext"), "payload")
+
+    def dump(it):
+        for row in it:
+            with open(os.path.join(out_dir, f"{row['doc_id']}.{row['ext']}"), "wb") as f:
+                f.write(bytes(row["payload"]))
+
+    rows.foreachPartition(dump)
+    return media.count()
+
+
+def media_from_binary_files(files: DataFrame) -> DataFrame:
+    """Adapt a ``binaryFile`` scan (sources/readers.read_binary_files)
+    into the (doc_id, media_type, payload) shape the decode operators
+    consume: doc_id from the file stem, media_type from the extension —
+    both JVM-side expressions; `content` is just renamed, so the binary
+    body is never copied through Python."""
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.([a-z0-9]+)$", 1)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"([^/]+)\.([a-z0-9]+)$", 2))
+    type_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_TO_TYPE.items() for x in kv]
+    )
+    return files.select(
+        stem.cast("long").alias("doc_id"),
+        F.element_at(type_map, ext).alias("media_type"),
+        F.col("content").alias("payload"),
+    )

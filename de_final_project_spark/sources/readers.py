@@ -102,6 +102,32 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingest via Spark's built-in ``binaryFile`` source —
+    (path, modificationTime, length, content) per file, the ingestion
+    front door for the multimodal family (operators/multimodal.py) when
+    media arrive as object-store files rather than a payload column.
+
+    Scale notes: the source lists files on the driver but reads contents
+    on executors, one task per file group; ``pathGlobFilter`` prunes at
+    listing time so a `*.bmp` ingest never opens the `.wav` siblings, and
+    a LIMIT or `length < N` filter applies before content fetch
+    (ReadSchema drops `content` when unselected — binary bodies are only
+    read when the column is used).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

@@ -151,3 +151,47 @@ def test_resize_media_real(spark):
                 for i in range(3):
                     exp[i] += p[i]
         assert (sr, sg, sb) == tuple(exp)
+
+
+def test_binaryfile_roundtrip_matches_inmemory(spark, tmp_path):
+    """write media files -> binaryFile scan -> decode == in-memory decode."""
+    from de_final_project_spark.operators.multimodal import (
+        extract_features,
+        media_from_binary_files,
+        synthesize_media,
+        write_media_files,
+    )
+    from de_final_project_spark.sources.readers import read_binary_files
+
+    media = synthesize_media(spark, "/root/testdata/sf0.001").limit(30)
+    out_dir = str(tmp_path / "media")
+    n = write_media_files(media, out_dir)
+    assert n == 30
+
+    files = read_binary_files(spark, out_dir)
+    ingested = media_from_binary_files(files)
+    got = {
+        r["doc_id"]: r
+        for r in extract_features(ingested).collect()
+    }
+    want = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_binaryfile_glob_prunes_listing(spark, tmp_path):
+    from de_final_project_spark.operators.multimodal import (
+        synthesize_media,
+        write_media_files,
+    )
+    from de_final_project_spark.sources.readers import read_binary_files
+
+    media = synthesize_media(spark, "/root/testdata/sf0.001").limit(12)
+    out_dir = str(tmp_path / "media")
+    write_media_files(media, out_dir)
+    bmps = read_binary_files(spark, out_dir, glob="*.bmp")
+    assert bmps.count() == media.where("media_type = 'image'").count()
+    # metadata-only projection must not read binary bodies
+    plan = bmps.select("path", "length")._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
