@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": corpusops.bm25_scores,
         "neardup_keep_best": corpusops.neardup_keep_best,
         "copurchase_pagerank": corpusops.copurchase_pagerank,
+        "events_gapfill": temporal.events_gapfill,
         # --- once-checked entries rotated into the window ---
         "multimodal_features": multimodal.multimodal_features,
         "doc_chunks": trainprep.doc_chunks,
@@ -292,4 +293,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": corpusops.BM25_SCORES_SQL,
         "neardup_keep_best": corpusops.NEARDUP_KEEP_BEST_SQL,
         "copurchase_pagerank": corpusops.COPURCHASE_PAGERANK_SQL,
+        "events_gapfill": temporal.EVENTS_GAPFILL_SQL,
     }

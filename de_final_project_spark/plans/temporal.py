@@ -541,3 +541,79 @@ FROM cohorts JOIN activity USING (user_id)
 WHERE active_week >= cohort_week
 GROUP BY 1, 2
 """
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (the hypertable ``time_bucket_gapfill`` /
+    ``locf`` shape): per event_type, a dense hourly grid over the type's
+    observed span, empty hours filled with count 0 and the last observed
+    hourly average carried forward.
+
+    Plan shape: one hourly pre-aggregate (map-side partial, keyed on a
+    low-cardinality composite), a tiny per-type span aggregate whose
+    ``sequence()`` explode *generates* the grid — rows proportional to
+    span-hours × types, never a scan of the raw table — and one window
+    pass per type for the carry-forward. The raw events table is read
+    exactly once. The forward fill is ``last(..., ignorenulls=True)``
+    over an unbounded-preceding frame: O(1) state per row, no self-join.
+    Averages divide as doubles after exact decimal sums, rounded to 6
+    places on both engines.
+    """
+    ev = read_testdata(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("_mn"), F.max("hour").alias("_mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    avg = F.round(F.col("_sum").cast("double") / F.col("_cnt"), 6)
+    joined = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("_cnt"), F.lit(0)).alias("event_count"),
+        F.col("_cnt").isNull().alias("is_gap"),
+        avg.alias("_avg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        "event_count",
+        "is_gap",
+        F.last("_avg", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS _cnt,
+         sum(CAST(value AS DECIMAL(18,6))) AS _sum
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hour) AS _mn, max(hour) AS _mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(_mn, _mx, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT g.event_type, g.hour,
+       coalesce(h._cnt, 0)::BIGINT AS event_count,
+       (h._cnt IS NULL) AS is_gap,
+       last_value(round(CAST(h._sum AS DOUBLE) / h._cnt, 6) IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+"""
