@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": corpusops.neardup_keep_best,
         "copurchase_pagerank": corpusops.copurchase_pagerank,
         "events_gapfill": temporal.events_gapfill,
+        "user_trailing_window": temporal.user_trailing_window,
+        "stratified_sample": sampling.stratified_sample,
         # --- once-checked entries rotated into the window ---
         "multimodal_features": multimodal.multimodal_features,
         "doc_chunks": trainprep.doc_chunks,
@@ -294,4 +296,6 @@ def oracle_sql() -> dict[str, str]:
         "neardup_keep_best": corpusops.NEARDUP_KEEP_BEST_SQL,
         "copurchase_pagerank": corpusops.COPURCHASE_PAGERANK_SQL,
         "events_gapfill": temporal.EVENTS_GAPFILL_SQL,
+        "user_trailing_window": temporal.USER_TRAILING_WINDOW_SQL,
+        "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
     }

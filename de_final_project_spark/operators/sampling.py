@@ -97,3 +97,53 @@ FROM (
 )
 WHERE pick_rank <= 50
 """
+
+
+STRATIFIED_FRAC_PCT = 20  # keep 20% of every stratum
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample: from every (lang, source)
+    stratum keep ceil(frac·n) documents, chosen by the deterministic
+    hash order — per-stratum proportions are EXACT (unlike Bernoulli
+    ``df.sample``, whose stratum sizes fluctuate), and membership is
+    reproducible under any partitioning.
+
+    One hash shuffle on the stratum key feeding a rank window; the
+    stratum size rides along as a window count over the same partition,
+    so there is no second aggregate or join. This is the sampling shape
+    corpus ablations need: shrink every (language, source) cell by the
+    same factor without distorting the mixture.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    part = Window.partitionBy("lang", "source")
+    w = part.orderBy(hash_bucket("doc_id", 1 << 30).asc(), F.col("doc_id").asc())
+    n = F.count(F.lit(1)).over(part)
+    keep = F.ceil(n * STRATIFIED_FRAC_PCT / 100)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("long").alias("pick_rank"),
+            keep.alias("stratum_keep"),
+        )
+        .where(F.col("pick_rank") <= F.col("stratum_keep"))
+        .select("doc_id", "lang", "source", "pick_rank", "stratum_keep")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, pick_rank, stratum_keep
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824 ASC,
+                    doc_id ASC)::BIGINT AS pick_rank,
+         ceil(count(*) OVER (PARTITION BY lang, source) * {STRATIFIED_FRAC_PCT} / 100.0)::BIGINT
+           AS stratum_keep
+  FROM documents
+)
+WHERE pick_rank <= stratum_keep
+"""

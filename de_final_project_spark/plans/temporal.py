@@ -617,3 +617,51 @@ SELECT g.event_type, g.hour,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
 FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
 """
+
+
+def user_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True RANGE-frame window: for every event, the count and sum of the
+    SAME user's events in the trailing hour (inclusive) — per-row
+    interval framing, not bucketed sliding windows (events_sliding_windows
+    covers those; a range frame assigns each row its own window).
+
+    The frame is ordered on MICROSECOND longs derived timezone-free from
+    the TIMESTAMP_NTZ column (``timestampdiff`` against a fixed anchor —
+    ``unix_micros`` would force an NTZ→TZ cast whose session-timezone
+    offset is engine state this query must not depend on), so the Spark
+    range bound [-3.6e9, 0] µs and the oracle's ``RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW`` cover the identical closed
+    interval at full timestamp precision. One shuffle on
+    user_id; O(1) running state per row (Spark evaluates bounded range
+    frames incrementally). Tie rows (equal timestamps) are all inside
+    each other's frames, so the result is order-insensitive; sums are
+    exact decimal.
+    """
+    ev = read_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+        )
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+USER_TRAILING_WINDOW_SQL = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS trailing_cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

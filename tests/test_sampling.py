@@ -32,3 +32,37 @@ def test_split_proportions_and_stability_on_growth(spark):
         for r in dataset_splits(spark, SF_DIR).where(F.col("doc_id") < 20).collect()
     }
     assert all(out[k] == v for k, v in sub.items())
+
+
+def test_stratified_sample_exact_proportions(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators.sampling import (
+        STRATIFIED_FRAC_PCT,
+        stratified_sample,
+    )
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_testdata(spark, sf, "documents")
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        (r["lang"], r["source"]): r["n"]
+        for r in stratified_sample(spark, sf)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(sizes)  # every stratum represented
+    for k, n in sizes.items():
+        assert got[k] == math.ceil(n * STRATIFIED_FRAC_PCT / 100)
+
+    # determinism: same membership on re-run
+    a = {r["doc_id"] for r in stratified_sample(spark, sf).collect()}
+    b = {r["doc_id"] for r in stratified_sample(spark, sf).collect()}
+    assert a == b
