@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": temporal.events_gapfill,
         "user_trailing_window": temporal.user_trailing_window,
         "stratified_sample": sampling.stratified_sample,
+        "copurchase_triangles": corpusops.copurchase_triangles,
         # --- once-checked entries rotated into the window ---
         "multimodal_features": multimodal.multimodal_features,
         "doc_chunks": trainprep.doc_chunks,
@@ -298,4 +299,5 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": temporal.EVENTS_GAPFILL_SQL,
         "user_trailing_window": temporal.USER_TRAILING_WINDOW_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "copurchase_triangles": corpusops.COPURCHASE_TRIANGLES_SQL,
     }

@@ -355,3 +355,65 @@ r{i + 1} AS (
 
 
 COPURCHASE_PAGERANK_SQL = _pagerank_sql()
+
+
+# ----------------------------------------------------------------------
+# Triangle counting (graph cohesion over the copurchase graph)
+# ----------------------------------------------------------------------
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation count over the copurchase graph —
+    the standard cohesion signal (a part in many triangles sits in a
+    dense co-buy cluster, not a chain of incidental pairings).
+
+    Classic distributed formulation: orient every undirected edge
+    low→high id, join oriented edges on the middle vertex to enumerate
+    each wedge (a<b<c) exactly once, then semi-join the closing edge.
+    Orientation bounds the wedge count by Σ outdeg² with outdeg ≤ total
+    degree — the join-based equivalent of the node-iterator-with-
+    ordering algorithm; every shuffle keys on a vertex id. Each triangle
+    is counted once per member vertex via an explode of its three
+    corners (one narrow op), then a hash aggregate.
+    """
+    edges = copurchase_edges(spark, sf_dir).where(F.col("src") < F.col("dst")).persist()
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
+    closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    corners = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("part_key")
+    )
+    nodes = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part_key"))
+        .distinct()
+    )
+    counts = corners.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nodes.join(counts, "part_key", "left")
+        .select("part_key", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+), corners AS (
+  SELECT a AS part_key FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n.part_key, coalesce(t.n_triangles, 0)::BIGINT AS n_triangles
+FROM (SELECT DISTINCT l_partkey AS part_key FROM lineitem) n
+LEFT JOIN (SELECT part_key, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1) t
+  USING (part_key)
+"""

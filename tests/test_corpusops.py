@@ -112,3 +112,25 @@ def test_pagerank_floor_and_symmetry(spark):
     base = co.PR_SCALE * 15 // 100
     out = co.copurchase_pagerank(spark, SF_DIR)
     assert out.where(F.col("rank_fp") < base).count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4}: C(3,2)=3 triangles per node; plus pendant 5-1: 0.
+    import itertools
+
+    und = list(itertools.combinations([1, 2, 3, 4], 2)) + [(1, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    oriented = edges.where(F.col("src") < F.col("dst"))
+    ab = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    got = {
+        r["node"]: r["n"]
+        for r in corners.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 absent (0 triangles)
