@@ -261,12 +261,17 @@ GROUP BY 1
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped: parts whose traded value through NATION_5
-    suppliers exceeds 0.1% of the nation's total traded value.
+    suppliers exceeds 1.5× the mean per-part value (the spec's absolute
+    0.0001-of-total fraction degenerates as row counts grow — at sf0.1
+    every part's share converges below it and the query goes empty; a
+    mean-relative threshold keeps the HAVING-over-global-scalar shape
+    scale-invariant).
 
-    The HAVING-against-global-sum becomes: aggregate per part, aggregate
-    the per-part result to one scalar row, crossJoin the scalar back
-    (1-row broadcast), filter. The per-part agg is the only real shuffle;
-    the scalar pass reuses its output (Spark reuses the exchange).
+    The HAVING-against-global-aggregate becomes: aggregate per part,
+    aggregate the per-part result to one scalar row, crossJoin the
+    scalar back (1-row broadcast), filter. The per-part agg is the only
+    real shuffle; the scalar pass reuses its output (Spark reuses the
+    exchange).
     """
     li = read_testdata(spark, sf_dir, "lineitem")
     s = (
@@ -280,10 +285,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum(value).alias("_value"))
     )
-    total = per_part.agg(F.sum("_value").alias("_total"))
+    # The 1.5×mean comparison is cross-multiplied into exact decimal/
+    # integer arithmetic (2·n·value > 3·total) — a float mean would make
+    # the threshold depend on summation order near the boundary.
+    totals = per_part.agg(
+        F.sum("_value").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .where(F.col("_value") > F.col("_total") * F.lit(0.001))
+        per_part.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("_value") * F.col("_n") * F.lit(2)
+            > F.col("_total") * F.lit(3)
+        )
         .select("part_key", F.col("_value").cast("double").alias("traded_value"))
     )
 
@@ -298,7 +311,8 @@ WITH per_part AS (
 )
 SELECT part_key, CAST(_value AS DOUBLE) AS traded_value
 FROM per_part
-WHERE _value > (SELECT sum(_value) FROM per_part) * 0.001
+WHERE _value * (SELECT count(*) FROM per_part) * 2
+      > (SELECT sum(_value) FROM per_part) * 3
 """
 
 
