@@ -1,0 +1,43 @@
+"""plans/stats.py invariants: the exact-moment formulations agree with
+the float built-ins to tolerance, and TWA stays inside the value hull."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.plans import stats
+from de_final_project_spark.sources.readers import read_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_twa_within_value_hull(spark):
+    out = stats.user_time_weighted_value(spark, SF_DIR)
+    ev = read_testdata(spark, SF_DIR, "events")
+    hull = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    # LOCF weighting can't leave the convex hull of observed values
+    # (the last observation carries no weight, hence >= min / <= max).
+    bad = out.join(hull, "user_id").where(
+        (F.col("tw_avg_value") < F.col("lo") - 1e-6)
+        | (F.col("tw_avg_value") > F.col("hi") + 1e-6)
+    )
+    assert bad.count() == 0
+    assert out.where("span_s <= 0").count() == 0
+
+
+def test_corr_matches_builtin_and_bounded(spark):
+    out = stats.brand_price_quantity_corr(spark, SF_DIR)
+    assert out.where("corr_qty_price < -1 OR corr_qty_price > 1").count() == 0
+    li = read_testdata(spark, SF_DIR, "lineitem")
+    p = read_testdata(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    builtin = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+    )
+    joined = out.join(builtin, "brand").where(
+        F.abs(F.col("corr_qty_price") - F.col("c")) > 1e-6
+    )
+    assert joined.count() == 0
