@@ -361,3 +361,48 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+LEVENSHTEIN_MAX = 2
+
+
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: part pairs whose names are
+    within Levenshtein distance ``LEVENSHTEIN_MAX``, BLOCKED on p_brand
+    so the candidate set is Σ per-brand-count² instead of n² — the
+    standard blocking-key discipline of record linkage (an unblocked
+    fuzzy join is the canonical accidental-cartesian at scale; at 10⁹
+    rows the blocking key would be sharper, e.g. name length ± 1 and a
+    first-character band, but the plan shape is identical: equi-join on
+    the block key, expensive distance only on in-block pairs).
+
+    The distance runs JVM-side (``F.levenshtein``), never in Python.
+    """
+    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, (a["brand"] == b["b_brand"]) & (a["a_key"] < b["b_key"]))
+        .withColumn("name_dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .where(F.col("name_dist") <= LEVENSHTEIN_MAX)
+        .select("brand", "a_key", "b_key", "a_name", "b_name", "name_dist")
+    )
+
+
+SIMILAR_PART_NAMES_SQL = f"""
+SELECT a.p_brand AS brand,
+       a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS name_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {LEVENSHTEIN_MAX}
+"""

@@ -665,3 +665,62 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts and row-
+    normalized probabilities of event_type -> next event_type within
+    each user's timeline — the Markov-chain summary behavioral
+    pipelines train on.
+
+    One window pass (lag over the per-user time order, event_id as the
+    deterministic tie-break) then a 25-cell hash aggregate; the
+    normalizing row total is a second tiny aggregate broadcast back.
+    Probability = count/total divides as doubles from exact BIGINTs.
+    """
+    ev = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy(F.col("from_type").alias("t_from")).agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), counts["from_type"] == totals["t_from"])
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("_row_total").cast("double"),
+                6,
+            ).alias("p_transition"),
+        )
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+         AS p_transition
+FROM counts
+"""

@@ -1,0 +1,39 @@
+"""event_transition_matrix and similar_part_names invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.plans.setops import LEVENSHTEIN_MAX, similar_part_names
+from de_final_project_spark.plans.temporal import event_transition_matrix
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_transition_rows_normalize(spark):
+    out = event_transition_matrix(spark, SF_DIR)
+    rows = out.groupBy("from_type").agg(
+        F.sum("p_transition").alias("p"), F.sum("n_transitions").alias("n")
+    )
+    # probabilities per source state sum to 1 (rounding slack 1e-4)
+    assert rows.where(F.abs(F.col("p") - 1.0) > 1e-4).count() == 0
+    # transition count conservation: total transitions = events - users
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events, n_users = ev.count(), ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_transitions")).first()[0] == n_events - n_users
+
+
+def test_similar_names_blocked_and_bounded(spark):
+    out = similar_part_names(spark, SF_DIR).cache()
+    assert out.where(F.col("a_key") >= F.col("b_key")).count() == 0
+    assert out.where(F.col("name_dist") > LEVENSHTEIN_MAX).count() == 0
+    # block discipline: every pair shares the brand
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_partkey", "p_brand")
+    joined = (
+        out.join(p, out["a_key"] == p["p_partkey"])
+        .withColumnRenamed("p_brand", "a_brand")
+        .drop("p_partkey")
+        .join(p, F.col("b_key") == p["p_partkey"])
+    )
+    assert joined.where(F.col("a_brand") != F.col("p_brand")).count() == 0
+    assert joined.where(F.col("a_brand") != F.col("brand")).count() == 0
