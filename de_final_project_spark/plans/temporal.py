@@ -724,3 +724,100 @@ SELECT from_type, to_type, n_transitions,
          AS p_transition
 FROM counts
 """
+
+
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream: each
+    user's purchase events become versioned validity intervals
+    [valid_from, valid_to) with an is_current flag — the SCD2 shape a
+    warehouse derives from CDC feeds, built here from the events table's
+    purchase stream.
+
+    One window pass per user (lead for the closing timestamp, row_number
+    for the version ordinal; event_id breaks timestamp ties so versions
+    are total-ordered); the open interval's valid_to is NULL. No joins,
+    one shuffle on the business key.
+    """
+    ev = read_testdata(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.round("value", 6).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+USER_VALUE_SCD2_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       round(value, 6) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def order_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact: one row per order carrying its
+    fulfillment milestones — first/last ship date, line counts, the
+    late-line fraction (>30 days after order), and full-shipment lag.
+    The warehouse pattern for process-tracking facts (order-to-ship
+    funnels), folded in ONE pass: every milestone is a conditional
+    aggregate over the order's lines, so the plan is a single
+    orderkey-shuffle hash aggregate joined back to orders (broadcast
+    preserved for the date columns only via the same join key).
+    """
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = (
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30)
+    ).cast("long")
+    return (
+        lo.groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderstatus").alias("order_status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(F.to_date("l_shipdate")).alias("first_ship_date"),
+            F.max(F.to_date("l_shipdate")).alias("last_ship_date"),
+            F.sum(late).alias("n_late_lines"),
+        )
+        .withColumn(
+            "late_fraction",
+            F.round(F.col("n_late_lines").cast("double") / F.col("n_lines"), 6),
+        )
+        .withColumn(
+            "days_to_complete",
+            F.datediff(F.col("last_ship_date"), F.col("order_date")).cast("long"),
+        )
+    )
+
+
+ORDER_FULFILLMENT_SNAPSHOT_SQL = """
+SELECT l_orderkey AS order_key,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderstatus AS order_status,
+       count(*)::BIGINT AS n_lines,
+       min(CAST(l_shipdate AS DATE)) AS first_ship_date,
+       max(CAST(l_shipdate AS DATE)) AS last_ship_date,
+       sum((CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::INT)::BIGINT
+         AS n_late_lines,
+       round(sum((CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::INT)::DOUBLE
+             / count(*), 6) AS late_fraction,
+       datediff('day', CAST(o_orderdate AS DATE), max(CAST(l_shipdate AS DATE)))::BIGINT
+         AS days_to_complete
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3
+"""

@@ -37,3 +37,34 @@ def test_similar_names_blocked_and_bounded(spark):
     )
     assert joined.where(F.col("a_brand") != F.col("p_brand")).count() == 0
     assert joined.where(F.col("a_brand") != F.col("brand")).count() == 0
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    from de_final_project_spark.plans.temporal import user_value_scd2
+
+    out = user_value_scd2(spark, SF_DIR).cache()
+    # exactly one open (current) version per user
+    opens = out.where("is_current").groupBy("user_id").count()
+    assert opens.where("count <> 1").count() == 0
+    # intervals are non-overlapping and contiguous: valid_to of version v
+    # equals valid_from of version v+1
+    a = out.select("user_id", "version", "valid_to")
+    b = out.select(
+        F.col("user_id").alias("u2"),
+        (F.col("version") - 1).alias("v2"),
+        F.col("valid_from").alias("next_from"),
+    )
+    j = a.join(b, (a["user_id"] == b["u2"]) & (a["version"] == b["v2"]))
+    assert j.where(F.col("valid_to") != F.col("next_from")).count() == 0
+
+
+def test_fulfillment_snapshot_invariants(spark):
+    from de_final_project_spark.plans.temporal import order_fulfillment_snapshot
+
+    out = order_fulfillment_snapshot(spark, SF_DIR).cache()
+    assert out.where("first_ship_date > last_ship_date").count() == 0
+    assert out.where("n_late_lines > n_lines").count() == 0
+    assert out.where("late_fraction < 0 OR late_fraction > 1").count() == 0
+    # one snapshot row per order that has lines
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert out.count() == li.select("l_orderkey").distinct().count()
