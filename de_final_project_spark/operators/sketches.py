@@ -125,3 +125,73 @@ SELECT p.term, p.n,
 FROM probes p JOIN sk USING (d, bucket)
 GROUP BY 1, 2
 """
+
+
+KMV_K = 64
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type, with the
+    exact count alongside as ground truth.
+
+    KMV keeps only the K smallest hash values of the keys seen; if the
+    K-th smallest of a uniform [0,1) hash is m, distinct ≈ (K−1)/m. The
+    sketch state is K values per group regardless of cardinality — the
+    mergeable bounded-state shape (union sketches = merge-and-keep-K)
+    that scales where exact distinct needs unbounded state. Like the CMS,
+    hashes are the md5-prefix trick, so the sketch — and therefore the
+    estimate — is bit-reproducible in the DuckDB oracle: a deterministic
+    sketch, not an RNG one. Groups with fewer than K distinct hashes
+    report the exact distinct count (the standard small-range fallback).
+
+    Shape: one distinct-hash aggregate, a per-group rank window over ≤
+    (groups × distinct) rows that the K-th-smallest filter immediately
+    caps, and a K-row-per-group final aggregate.
+    """
+    ev = read_testdata(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    per_group = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_exact"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("_kth"),
+        )
+    )
+    estimate = F.when(
+        F.col("_kth").isNull(), F.col("n_distinct_exact").cast("double")
+    ).otherwise(
+        F.round((F.lit(KMV_K - 1)) / (F.col("_kth").cast("double") / F.lit(float(2**32))), 6)
+    )
+    return per_group.select(
+        "event_type", "n_distinct_exact", estimate.alias("kmv_estimate")
+    )
+
+
+KMV_DISTINCT_USERS_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+  FROM hashed
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_distinct_exact,
+       CASE WHEN max(CASE WHEN rk = {KMV_K} THEN h END) IS NULL
+            THEN count(*)::DOUBLE
+            ELSE round(({KMV_K} - 1)
+                       / (max(CASE WHEN rk = {KMV_K} THEN h END)::DOUBLE / 4294967296.0), 6)
+       END AS kmv_estimate
+FROM ranked
+GROUP BY event_type
+"""

@@ -134,3 +134,17 @@ def test_triangle_count_known_graph(spark):
         for r in corners.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 absent (0 triangles)
+
+
+def test_kmv_estimate_accuracy_and_fallback(spark):
+    from de_final_project_spark.operators.sketches import KMV_K, kmv_distinct_users
+
+    rows = kmv_distinct_users(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        exact, est = r["n_distinct_exact"], r["kmv_estimate"]
+        if exact < KMV_K:
+            assert est == float(exact)  # small-range exact fallback
+        else:
+            # KMV relative std err ~ 1/sqrt(K-2) ≈ 12.7% at K=64; allow 4σ
+            assert abs(est - exact) / exact < 0.51
