@@ -65,3 +65,73 @@ def user_profile_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------------------
+# Inactivity (gap) detection via event-time timeouts
+# ----------------------------------------------------------------------
+
+INACTIVITY_GAP_MIN = 30
+
+GAP_OUTPUT_SCHEMA = (
+    "user_id long, last_seen timestamp, n_events long, went_inactive boolean"
+)
+GAP_STATE_SCHEMA = "n long, last_us long"
+
+
+def _detect_inactivity(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user gap detector: while events keep arriving, update
+    last-seen and re-arm an event-time timeout at last_seen + gap; when
+    the watermark passes that deadline with no new data, the state TIMES
+    OUT — emit the inactivity record and drop the state. This
+    emit-on-silence shape (absence of data as a signal) is exactly what
+    windowed aggregation cannot express: windows only fire where rows
+    exist."""
+    if state.hasTimedOut:
+        n, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "went_inactive": [True],
+            }
+        )
+        return
+    n, last_us = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        ts_us = pdf["ts"].astype("int64") // 1000
+        last_us = max(last_us, int(ts_us.max()))
+    state.update((n, last_us))
+    deadline_ms = last_us // 1000 + INACTIVITY_GAP_MIN * 60 * 1000
+    state.setTimeoutTimestamp(deadline_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_seen": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "went_inactive": [False],
+        }
+    )
+
+
+def user_inactivity_stateful(events: DataFrame) -> DataFrame:
+    """Gap-detection stream: emits a live profile row per touched user
+    and a terminal ``went_inactive`` row once the watermark passes their
+    last event by ``INACTIVITY_GAP_MIN`` minutes. Requires a watermark on
+    ts (event-time timeouts are measured against it)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _detect_inactivity,
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -67,3 +67,48 @@ def test_stateful_profile_matches_batch(spark, tmp_path):
         assert abs(g["total_value"] - wrow["total_value"]) < 1e-6
         assert g["first_seen"] == wrow["first_seen"]
         assert g["last_seen"] == wrow["last_seen"]
+
+
+def test_inactivity_detector_fires_on_silence(spark, tmp_path):
+    """Users present only in batch 1 must get a went_inactive row once
+    batch 2 advances the watermark past their last event + gap; users
+    active near the end must not."""
+    import pandas as pd
+
+    from de_final_project_spark.streaming.stateful import (
+        INACTIVITY_GAP_MIN,
+        user_inactivity_stateful,
+    )
+
+    src = str(tmp_path / "gap_src")
+    base = pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: users 1 and 2 at t0; batch 2: user 2 again 3 hours later
+    # (watermark advances to ~t0+3h-10m, far past user 1's deadline).
+    b1 = [(1, base, 1, "view", 1.0, "{}"), (2, base, 2, "view", 1.0, "{}")]
+    b2 = [(3, base + pd.Timedelta(hours=3), 2, "view", 1.0, "{}")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        user_inactivity_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("gap_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from gap_out").collect()
+    inactive = {r["user_id"] for r in rows if r["went_inactive"]}
+    assert 1 in inactive       # silent past the gap -> flagged
+    assert 2 not in inactive   # active at the end -> still live state
+    # the terminal row preserves the user's profile
+    term = [r for r in rows if r["went_inactive"] and r["user_id"] == 1][0]
+    assert term["n_events"] == 1 and term["last_seen"] == base
