@@ -560,12 +560,17 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     places on both engines.
     """
     ev = read_testdata(spark, sf_dir, "events")
+    # The hourly pre-aggregate feeds THREE consumers (span, grid join,
+    # fill); without a persist Catalyst re-derives the subtree per
+    # consumer and the raw table is scanned 4× (same blowup the
+    # multires rollup pins down). It is bucket-cardinality-sized —
+    # persist it and the raw scan happens exactly once.
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
-    )
+    ).persist()
     span = hourly.groupBy("event_type").agg(
         F.min("hour").alias("_mn"), F.max("hour").alias("_mx")
     )

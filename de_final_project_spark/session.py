@@ -25,6 +25,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# local[N] runs driver and executors in ONE JVM whose heap defaults to
+# 1 GiB — 32 concurrent tasks over that heap OOM on join builds that any
+# real cluster executor (multi-GB) absorbs trivially (measured: the
+# 100M-wedge triangle join at sf0.1 dies at 1g, runs at 8g). Harmless on
+# a cluster, where this sizes only the driver process.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
 
 def get_spark(
     app_name: str = "de-final-project-spark",
@@ -40,6 +47,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -165,3 +165,42 @@ def test_contamination_and_curation_never_nested_loop(plans):
     for q in ("contamination_check", "corpus_curation"):
         p = plans(q)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_gapfill_single_raw_scan(plans):
+    # the dense grid is GENERATED from the span aggregate, and the
+    # hourly pre-aggregate is cached — its three consumers must read the
+    # cache (InMemoryTableScan), not re-derive the parquet subtree. The
+    # formatted explain reprints the cached subtree under each cache
+    # read, so count cache READS, not scan strings.
+    p = plans("events_gapfill")
+    assert p.count("InMemoryTableScan") >= 3
+    assert "Generate" in p  # sequence() explode builds the grid
+
+
+def test_fulfillment_snapshot_one_wide_join(plans):
+    p = plans("order_fulfillment_snapshot")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_transition_matrix_broadcast_normalizer(plans):
+    p = plans("event_transition_matrix")
+    # the 25-row totals join must broadcast, and the lag window implies
+    # exactly one user_id shuffle for the pair build
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_similar_names_is_blocked_equi_join(plans):
+    # the brand block key must plan as an equi-join (hash or sort-merge);
+    # an unblocked fuzzy join would surface as BNLJ/cartesian.
+    p = plans("similar_part_names")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_trailing_window_single_shuffle(plans):
+    p = plans("user_trailing_window")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" in p
