@@ -348,3 +348,103 @@ FROM gate g JOIN clusters c USING (doc_id) JOIN splits s USING (doc_id)
 
 
 CORPUS_CURATION_SQL = _corpus_curation_sql()
+
+
+# ----------------------------------------------------------------------
+# Chunk-level dedup and packing efficiency (round-4 compositions)
+# ----------------------------------------------------------------------
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup across the corpus: identical token
+    windows (by md5 of chunk_text) keep one canonical copy — the level
+    real pretraining dedup operates at after document-level passes,
+    catching boilerplate shared across otherwise-distinct documents.
+    Returns one row per KEPT chunk with how many copies it represents.
+
+    Canonical = (min doc_id, then min chunk_id) within the hash group —
+    one hash shuffle on the digest, the same shape as document-level
+    exact dedup but over the chunk explosion.
+    """
+    from pyspark.sql import Window
+
+    chunks = doc_chunks(spark, sf_dir)
+    h = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy("_h").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    return (
+        chunks.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("_h")).cast("long")
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("_h").alias("chunk_hash"),
+            "n_chunk_tokens",
+            "n_copies",
+        )
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({DOC_CHUNKS_SQL}),
+hashed AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens, md5(chunk_text) AS chunk_hash
+  FROM chunks
+)
+SELECT doc_id, chunk_id, chunk_hash, n_chunk_tokens, n_copies
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id ASC, chunk_id ASC) AS _rk,
+         count(*) OVER (PARTITION BY chunk_hash)::BIGINT AS n_copies
+  FROM hashed
+)
+WHERE _rk = 1
+"""
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill report over the token-stream packing: per bin, the documents
+    that START in it, their token mass, and the fill fraction relative
+    to the bin budget — the diagnostic that decides whether a packing
+    policy wastes padding before a training run burns compute on it.
+    Fill can exceed 1 because documents straddle bin boundaries (their
+    tokens spill into the next bin); the tail bin underfills.
+
+    Pure composition: one aggregate over sequence_packing's assignment,
+    keyed on bin_id.
+    """
+    packed = sequence_packing(spark, sf_dir)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+            F.min("bin_offset").alias("first_offset"),
+        )
+        .select(
+            "bin_id",
+            "n_docs",
+            "tokens_started",
+            "first_offset",
+            F.round(
+                F.col("tokens_started").cast("double") / F.lit(float(PACK_BUDGET)), 6
+            ).alias("fill_fraction"),
+        )
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_SQL})
+SELECT bin_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS tokens_started,
+       min(bin_offset)::BIGINT AS first_offset,
+       round(sum(n_tokens)::DOUBLE / {PACK_BUDGET}, 6) AS fill_fraction
+FROM packed
+GROUP BY bin_id
+"""
