@@ -283,3 +283,36 @@ def test_embedding_label_centroids_recompute(spark):
         assert r.n_vectors == len(vecs)
         exp = float(np.mean([v[r.dim_idx] for v in vecs]))
         assert abs(r.mean_value - exp) < 2e-6, (r.label, r.dim_idx)
+
+
+def test_chunk_dedup_conserves_chunks(spark):
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators.trainprep import chunk_dedup, doc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    kept = chunk_dedup(spark, sf).cache()
+    total_chunks = doc_chunks(spark, sf).count()
+    # every source chunk is represented exactly once via its canonical
+    assert kept.agg(F.sum("n_copies")).first()[0] == total_chunks
+    # one keeper per hash
+    assert kept.groupBy("chunk_hash").count().where("count > 1").count() == 0
+    assert kept.where("n_copies < 1").count() == 0
+
+
+def test_packing_efficiency_mass_conservation(spark):
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators.trainprep import (
+        packing_efficiency,
+        sequence_packing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eff = packing_efficiency(spark, sf)
+    packed = sequence_packing(spark, sf)
+    assert (
+        eff.agg(F.sum("tokens_started")).first()[0]
+        == packed.agg(F.sum("n_tokens")).first()[0]
+    )
+    assert eff.agg(F.sum("n_docs")).first()[0] == packed.count()
