@@ -135,3 +135,51 @@ def user_inactivity_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming transition extraction (sequence state)
+# ----------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string"
+TRANSITION_STATE_SCHEMA = "last_type string, last_us long, last_id long"
+
+
+def _emit_transitions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user sequence state: remember the last event (type, ts, id)
+    across micro-batches and emit one (from, to) row per consecutive
+    pair. Events inside a batch sort by (ts, event_id) — the same total
+    order the batch transition matrix uses — so the streaming output is
+    a row-level match for the batch lag() formulation as long as arrival
+    respects event time per key (guaranteed under AvailableNow file
+    replay; with true out-of-order arrival a watermark + buffer variant
+    applies)."""
+    last_type, last_us, last_id = (
+        state.get if state.exists else (None, None, None)
+    )
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["_us", "event_id"]
+        )
+        for et, us, eid in zip(pdf["event_type"], pdf["_us"], pdf["event_id"]):
+            if last_type is not None:
+                rows.append((key[0], last_type, et))
+            last_type, last_us, last_id = et, int(us), int(eid)
+    state.update((last_type, last_us, last_id))
+    yield pd.DataFrame(rows, columns=["user_id", "from_type", "to_type"])
+
+
+def user_transitions_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/temporal.event_transition_matrix's pair
+    extraction: consecutive event-type pairs per user, emitted
+    incrementally with one tiny state tuple per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

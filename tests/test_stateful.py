@@ -112,3 +112,59 @@ def test_inactivity_detector_fires_on_silence(spark, tmp_path):
     # the terminal row preserves the user's profile
     term = [r for r in rows if r["went_inactive"] and r["user_id"] == 1][0]
     assert term["n_events"] == 1 and term["last_seen"] == base
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """Two time-split micro-batches of real events must reproduce the
+    batch lag() transition counts exactly (state carries the last event
+    across the batch boundary)."""
+    from de_final_project_spark.plans.temporal import event_transition_matrix
+    from de_final_project_spark.streaming.stateful import user_transitions_stateful
+
+    ev = read_testdata(spark, SF_DIR, "events").where(F.col("user_id") < 30)
+    src = str(tmp_path / "tr_src")
+    cut = "2024-01-15"
+    # time-split (not hash-split): within-key arrival stays time-ordered
+    ev.where(F.col("ts") < cut).coalesce(1).write.parquet(os.path.join(src, "a"))
+    ev.where(F.col("ts") >= cut).coalesce(1).write.parquet(os.path.join(src, "b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        user_transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.sql(
+            "select from_type, to_type, count(*) n from transitions_out group by 1,2"
+        ).collect()
+    }
+    # batch twin restricted to the same users
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type")
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc(), F.col("event_id").asc()
+                )
+            )
+            .alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .count()
+    )
+    want = {(r["from_type"], r["to_type"]): r["count"] for r in pairs.collect()}
+    assert got == want
