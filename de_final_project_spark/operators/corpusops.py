@@ -425,3 +425,114 @@ FROM (SELECT DISTINCT l_partkey AS part_key FROM lineitem) n
 LEFT JOIN (SELECT part_key, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1) t
   USING (part_key)
 """
+
+
+# ----------------------------------------------------------------------
+# Mixture reweighting
+# ----------------------------------------------------------------------
+
+TARGET_MIX = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sampling weight that reshapes the corpus's actual
+    language mixture into the declared ``TARGET_MIX`` — the standard
+    pretraining reweighting step (weight = target share / actual share;
+    sampling proportional to it yields the target distribution in
+    expectation).
+
+    One tiny per-lang count joined back broadcast; weights divide as
+    doubles from exact counts, rounded to 6 on both engines. Languages
+    outside the target map get weight 0 (dropped from the mixture).
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    total = docs.count()
+    by_lang = docs.groupBy(F.col("lang").alias("w_lang")).agg(
+        F.count(F.lit(1)).alias("_n_lang")
+    )
+    target = F.create_map(
+        *[F.lit(x) for kv in TARGET_MIX.items() for x in kv]
+    )
+    weight = F.round(
+        F.coalesce(F.element_at(target, F.col("lang")), F.lit(0.0))
+        / (F.col("_n_lang").cast("double") / F.lit(float(total))),
+        6,
+    )
+    return (
+        docs.join(F.broadcast(by_lang), docs["lang"] == F.col("w_lang"))
+        .select("doc_id", "lang", weight.alias("sample_weight"))
+    )
+
+
+_MIX_CASES = " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in TARGET_MIX.items()
+)
+
+SOURCE_MIXTURE_WEIGHTS_SQL = f"""
+WITH n AS (SELECT count(*) AS total FROM documents),
+by_lang AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang,
+       round((CASE d.lang {_MIX_CASES} ELSE 0.0 END)
+             / (b.n_lang::DOUBLE / n.total), 6) AS sample_weight
+FROM documents d JOIN by_lang b ON d.lang = b.lang CROSS JOIN n
+"""
+
+
+# ----------------------------------------------------------------------
+# Character-trigram language profiles
+# ----------------------------------------------------------------------
+
+TRIGRAM_TOP_K = 10
+
+
+def lang_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top character trigrams per language — the classic n-gram
+    language-ID profile (a doc is scored against each language's profile
+    by trigram overlap; this builds the profiles).
+
+    The trigram explode is generated from ``sequence`` over the text
+    length (narrow, no join); one hash aggregate on (lang, trigram) and
+    a per-lang top-K window. Rank ties break on the trigram string so
+    the profile is deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    with_text = docs.select("lang", norm.alias("_t")).where(F.length("_t") >= 3)
+    tri = with_text.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))")
+        ).alias("trigram"),
+    )
+    counts = tri.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("trigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TRIGRAM_TOP_K)
+        .select("lang", "rank", "trigram", "n")
+    )
+
+
+LANG_TRIGRAM_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS _t
+  FROM documents
+), tri AS (
+  SELECT lang,
+         substr(_t, i, 3) AS trigram
+  FROM t, unnest(generate_series(1, length(_t) - 2)) AS u(i)
+  WHERE length(_t) >= 3
+), counts AS (
+  SELECT lang, trigram, count(*)::BIGINT AS n FROM tri GROUP BY 1, 2
+)
+SELECT lang, rank, trigram, n
+FROM (
+  SELECT lang, trigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram ASC)::BIGINT
+           AS rank
+  FROM counts
+)
+WHERE rank <= {TRIGRAM_TOP_K}
+"""

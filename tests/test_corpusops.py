@@ -148,3 +148,29 @@ def test_kmv_estimate_accuracy_and_fallback(spark):
         else:
             # KMV relative std err ~ 1/sqrt(K-2) ≈ 12.7% at K=64; allow 4σ
             assert abs(est - exact) / exact < 0.51
+
+
+def test_mixture_weights_expectation(spark):
+    # Weighted language shares must equal the declared target mixture:
+    # E[share(lang)] = n_lang/N * weight(lang) = target(lang).
+    out = co.source_mixture_weights(spark, SF_DIR)
+    total_w = out.agg(F.sum("sample_weight")).first()[0]
+    shares = {
+        r["lang"]: r["w"] / total_w
+        for r in out.groupBy("lang").agg(F.sum("sample_weight").alias("w")).collect()
+    }
+    for lang, tgt in co.TARGET_MIX.items():
+        assert abs(shares.get(lang, 0.0) - tgt) < 1e-3
+
+
+def test_trigram_profiles_deterministic_topk(spark):
+    rows = co.lang_trigram_profile(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["n"], r["trigram"]))
+    for lang, entries in by_lang.items():
+        entries.sort()
+        assert [e[0] for e in entries] == list(range(1, len(entries) + 1))
+        # counts non-increasing down the ranks
+        ns = [e[1] for e in entries]
+        assert ns == sorted(ns, reverse=True)
