@@ -565,3 +565,66 @@ SELECT vec_id,
        END AS recon_cosine
 FROM r
 """
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: each query vector takes the majority label
+    of its exact top-k cosine neighbors (ties → lexicographically
+    smallest label, then highest vote-weight determinism via the label
+    ordering) — the standard embedding-quality eval (a good embedding
+    space classifies well with plain k-NN).
+
+    Pure composition over knn_bruteforce: one join of the k×q neighbor
+    list against the label projection (broadcast — label table is
+    corpus-sized but the join is on the tiny neighbor list side), one
+    (query, label) vote aggregate, one argmax window.
+    """
+    from pyspark.sql import Window
+
+    neighbors = knn_bruteforce(spark, sf_dir)
+    labels = read_testdata(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("neighbor_label")
+    )
+    truth = read_testdata(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        neighbors.join(labels, neighbors["neighbor_id"] == labels["n_id"])
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "votes",
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH knn AS ({KNN_BRUTEFORCE_SQL}),
+votes AS (
+  SELECT k.query_id, e.label AS neighbor_label, count(*)::BIGINT AS votes
+  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+)
+SELECT v.query_id, t.label AS true_label,
+       v.neighbor_label AS predicted_label, v.votes,
+       (v.neighbor_label = t.label) AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, neighbor_label ASC) AS _rk
+  FROM votes
+) v
+JOIN embeddings t ON v.query_id = t.vec_id
+WHERE v._rk = 1
+"""
