@@ -220,3 +220,24 @@ def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — the parquet reader's twin; Catalyst pushes filters and
     prunes columns into ORC scans the same way."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, renames: dict[str, str] | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant lake scan: merge the footer schemas of
+    every file (columns added by newer batches surface as nullable for
+    older files) and optionally apply a rename map for columns that
+    drifted names between producer versions.
+
+    ``mergeSchema`` pays one footer read per file at planning time —
+    acceptable for batch lake reads, which is why it is an explicit
+    reader here rather than a session default (streaming scans and hot
+    paths should pin their schema instead). Renames are metadata-only
+    projections; no data moves.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for old, new in (renames or {}).items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df

@@ -132,3 +132,22 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         back.where(back.id > 1).select("id").explain("formatted")
     p = buf.getvalue()
     assert "GreaterThan(id,1)" in p and "ReadSchema: struct<id:bigint>" in p
+
+
+def test_read_parquet_evolving_merges_and_renames(spark, tmp_path):
+    from de_final_project_spark.sources.readers import read_parquet_evolving
+
+    base = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a")], "id long, old_name string"
+    ).write.parquet(base + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, old_name string, score double"
+    ).write.parquet(base + "/batch=2")
+
+    out = read_parquet_evolving(spark, base, renames={"old_name": "name"})
+    assert set(out.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None  # old batch: evolved column nullable
+    assert rows[2]["score"] == 9.5
+    assert rows[1]["name"] == "a"
