@@ -21,42 +21,23 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Queries whose BNLJ is the documented intended shape (1-row scalar pin
-# or broadcast query/centroid side against a streamed corpus).
+# EXACTLY the queries whose plan carries a BNLJ today, each a documented
+# tiny-build-side shape (1-row scalar pin, broadcast query/centroid side
+# against a streamed corpus, or a literal band table). Adding a BNLJ to
+# any other query — or a new one here without a docstring rationale —
+# fails the sweep.
 BNLJ_ALLOWED = {
-    "knn_bruteforce",
-    "embedding_neardup_exact",
-    "knn_lsh_candidates",
-    "ivf_knn",
-    "ann_recall_report",
-    "embedding_label_centroids",
-    "incremental_neardup",
-    "embedding_quantize",
-    "knn_classify",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q22_sales_opportunity",
-    "cms_heavy_hitters",
-    "unigram_logprob_scores",
-    "top_pmi_bigrams",
-    "bm25_scores",
-    "quantity_percentiles",
-    "approx_distinct_users",
-    "source_quality_report",
-    "repetition_report",
-    "quality_gate",
-    "corpus_curation",
-    "contamination_check",
-    "sequence_packing",
-    "packing_efficiency",
-    "dedup_method_agreement",
-    "source_overlap_neardup",
-    "cross_source_dupes",
-    "doc_length_histogram",
-    "customer_value_tiles",
-    "tfidf_top_terms",
+    "ann_recall_report",  # offline diagnostic; broadcast ground-truth side
+    "bm25_scores",  # 1-row avgdl scalar pin
+    "embedding_neardup_exact",  # guarded O(n²) baseline, broadcast side
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
-    "parts_price_band_join",  # literal band table broadcast (plans/temporal.py)
+    "ivf_knn",  # 8 broadcast centroids
+    "knn_bruteforce",  # broadcast query side, streamed corpus
+    "knn_classify",  # composes knn_bruteforce
+    "parts_price_band_join",  # literal band table broadcast
+    "q11_important_stock",  # HAVING-over-global scalar pin
+    "q22_sales_opportunity",  # avg-balance scalar pin
+    "source_quality_report",  # corpus-stat scalar pin
 }
 
 
