@@ -826,3 +826,82 @@ SELECT l_orderkey AS order_key,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2, 3
 """
+
+
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, order revenue accumulated by months-since-acquisition — the
+    (cohort × age) LTV grid every subscription/commerce warehouse
+    reports. Complements weekly_retention (presence counts) with exact
+    revenue mass.
+
+    Two shuffles: the per-customer min-date aggregate (broadcast back —
+    customer-cardinality), then the (cohort, age) hash aggregate.
+    Revenue is exact decimal; the running cumulative across ages is a
+    window over the tiny matrix, not the fact table.
+    """
+    o = read_testdata(spark, sf_dir, "orders")
+    first = o.groupBy(F.col("o_custkey").alias("f_cust")).agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    aged = o.join(first, o["o_custkey"] == first["f_cust"]).select(
+        "cohort_month",
+        (
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.col("cohort_month")
+            ).cast("long")
+        ).alias("months_since"),
+        _dec("o_totalprice").alias("_rev"),
+    )
+    cohort_sizes = first.groupBy("cohort_month").agg(
+        F.countDistinct("f_cust").alias("cohort_customers")
+    )
+    cell = aged.groupBy("cohort_month", "months_since").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("_rev").alias("_rev_sum")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(cohort_sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "cohort_customers",
+            "n_orders",
+            F.col("_rev_sum").cast("double").alias("revenue"),
+            F.round(
+                F.sum("_rev_sum").over(w).cast("double")
+                / F.col("cohort_customers").cast("double"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+CUSTOMER_LTV_COHORT_SQL = """
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY 1
+), sizes AS (
+  SELECT cohort_month, count(DISTINCT o_custkey)::BIGINT AS cohort_customers
+  FROM first GROUP BY 1
+), cell AS (
+  SELECT f.cohort_month,
+         datediff('month', f.cohort_month,
+                  date_trunc('month', o.o_orderdate))::BIGINT AS months_since,
+         count(*)::BIGINT AS n_orders,
+         sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS _rev_sum
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c.cohort_month, c.months_since, s.cohort_customers, c.n_orders,
+       CAST(c._rev_sum AS DOUBLE) AS revenue,
+       round(CAST(sum(c._rev_sum) OVER (PARTITION BY c.cohort_month
+                                        ORDER BY c.months_since
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / s.cohort_customers, 6) AS cum_ltv_per_customer
+FROM cell c JOIN sizes s ON c.cohort_month = s.cohort_month
+"""
