@@ -905,3 +905,75 @@ SELECT c.cohort_month, c.months_since, s.cohort_customers, c.n_orders,
                   AS DOUBLE) / s.cohort_customers, 6) AS cum_ltv_per_customer
 FROM cell c JOIN sizes s ON c.cohort_month = s.cohort_month
 """
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    against the corpus max date so the result is reproducible), frequency
+    (order count), monetary (exact-decimal revenue), each cut into
+    quartiles via ntile with fully deterministic orderings (metric, then
+    custkey), concatenated into the familiar '432'-style segment code.
+
+    One per-customer aggregate, then three ntile windows over the SAME
+    single customer-cardinality partition (one exchange feeds all
+    three), plus a 1-row max-date broadcast. ntile ties are pinned by
+    the custkey tie-break so both engines cut identical quartiles.
+    """
+    o = read_testdata(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.max(F.to_date("o_orderdate")).alias("_last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("_monetary"),
+    )
+    maxdate = o.agg(F.max(F.to_date("o_orderdate")).alias("_corpus_max"))
+    base = per_cust.crossJoin(F.broadcast(maxdate)).select(
+        "cust_key",
+        F.datediff(F.col("_corpus_max"), F.col("_last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.col("_monetary").cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("cust_key").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("cust_key").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("cust_key").asc())
+    return base.select(
+        "cust_key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+        ),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust_key,
+         max(CAST(o_orderdate AS DATE)) AS _last_order,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS _monetary
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS _corpus_max FROM orders),
+base AS (
+  SELECT cust_key,
+         datediff('day', _last_order, _corpus_max)::BIGINT AS recency_days,
+         frequency,
+         CAST(_monetary AS DOUBLE) AS monetary
+  FROM per_cust CROSS JOIN mx
+)
+SELECT cust_key, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days ASC, cust_key ASC)::BIGINT AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, cust_key ASC)::BIGINT AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary DESC, cust_key ASC)::BIGINT AS m_quartile,
+       ntile(4) OVER (ORDER BY recency_days ASC, cust_key ASC)::VARCHAR
+       || ntile(4) OVER (ORDER BY frequency DESC, cust_key ASC)::VARCHAR
+       || ntile(4) OVER (ORDER BY monetary DESC, cust_key ASC)::VARCHAR AS segment
+FROM base
+"""
