@@ -68,3 +68,28 @@ def test_fulfillment_snapshot_invariants(spark):
     # one snapshot row per order that has lines
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     assert out.count() == li.select("l_orderkey").distinct().count()
+
+
+def test_ltv_cumulative_monotone(spark):
+    from de_final_project_spark.plans.temporal import customer_ltv_cohort
+
+    out = customer_ltv_cohort(spark, SF_DIR).orderBy("cohort_month", "months_since")
+    last = {}
+    for r in out.collect():
+        k = r["cohort_month"]
+        if k in last:
+            assert r["cum_ltv_per_customer"] >= last[k] - 1e-9
+        last[k] = r["cum_ltv_per_customer"]
+        assert r["months_since"] >= 0
+
+
+def test_rfm_quartiles_balanced(spark):
+    from de_final_project_spark.plans.temporal import customer_rfm_segments
+
+    out = customer_rfm_segments(spark, SF_DIR).cache()
+    n = out.count()
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        sizes = {r[col]: r["count"] for r in out.groupBy(col).count().collect()}
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
+    assert out.where("length(segment) <> 3").count() == 0
