@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q11_important_stock",  # HAVING-over-global scalar pin
     "q22_sales_opportunity",  # avg-balance scalar pin
     "source_quality_report",  # corpus-stat scalar pin
+    "customer_rfm_segments",  # 1-row corpus-max-date scalar pin
 }
 
 
