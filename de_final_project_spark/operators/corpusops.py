@@ -279,6 +279,15 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node key — the canonical distributed PageRank step. The edge list is
     reused across iterations (persist); the rank frame stays
     node-cardinality-sized.
+
+    Int64 headroom constraint: the damping multiply computes
+    ``PR_DAMP_NUM * rank`` in BIGINT, and a hub's rank is bounded by
+    ~0.85·N·PR_SCALE (all mass funneled to one node), so the scheme
+    requires ``N · PR_SCALE · PR_DAMP_NUM < 2^63``. At PR_SCALE=10^12 /
+    damp 85 that caps N at ~10^5 nodes; for larger graphs derive
+    PR_SCALE from node count (e.g. PR_SCALE = 2^62 // (N·PR_DAMP_NUM))
+    — with ANSI off an overflow would wrap/null silently rather than
+    raise.
     """
     edges = copurchase_edges(spark, sf_dir)
     outdeg = edges.groupBy(F.col("src").alias("d_node")).agg(

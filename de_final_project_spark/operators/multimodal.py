@@ -398,10 +398,18 @@ def write_media_files(media: DataFrame, out_dir: str) -> int:
     """Materialize a media frame as one file per item, named
     ``{doc_id}.{ext}`` — the object-store layout the binaryFile ingest
     path reads back. Files are written from the executors via
-    foreachPartition (no driver collect); returns the row count."""
+    foreachPartition (no driver collect); returns the row count.
+
+    ``out_dir`` must be a filesystem path visible to every executor — a
+    shared mount (NFS, FUSE-mounted object store) on a real cluster, or
+    any local path in local mode. The directory is created inside the
+    partition task (not only on the driver) so each executor's view of
+    the target exists before it opens files; on a cluster with
+    executor-local disks and no shared mount, each executor would write
+    to its OWN filesystem and the layout is not a single corpus — use a
+    distributed-FS/object-store client there instead."""
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
     ext = F.element_at(
         F.create_map(*[F.lit(x) for kv in MEDIA_EXTENSIONS.items() for x in kv]),
         F.col("media_type"),
@@ -409,6 +417,7 @@ def write_media_files(media: DataFrame, out_dir: str) -> int:
     rows = media.select("doc_id", ext.alias("ext"), "payload")
 
     def dump(it):
+        os.makedirs(out_dir, exist_ok=True)
         for row in it:
             with open(os.path.join(out_dir, f"{row['doc_id']}.{row['ext']}"), "wb") as f:
                 f.write(bytes(row["payload"]))

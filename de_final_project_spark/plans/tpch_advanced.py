@@ -398,7 +398,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_testdata(spark, sf_dir, "nation")
     return (
         per_ps.join(per_p, per_ps["l_partkey"] == per_p["tp_partkey"])
-        .where(F.col("_supp_qty") > F.col("_total_qty") * F.lit(0.3))
+        # 30% threshold cross-multiplied into exact integer-scaled decimal
+        # form (supp*10 > total*3) so Spark and the DuckDB oracle agree at
+        # the boundary — decimal*0.3 would evaluate in double on the Spark
+        # side but exact decimal in DuckDB (same rule Q11 follows).
+        .where(F.col("_supp_qty") * F.lit(10) > F.col("_total_qty") * F.lit(3))
         .select("l_suppkey")
         .distinct()
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
@@ -429,7 +433,7 @@ FROM per_ps
 JOIN per_p USING (l_partkey)
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE _supp_qty > _total_qty * 0.3
+WHERE _supp_qty * 10 > _total_qty * 3
 """
 
 
@@ -520,8 +524,12 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_testdata(spark, sf_dir, "customer").where(
         F.col("c_nationkey").isin(nations)
     )
+    # The scalar pin is rounded to 6 places on both sides (repo float-pin
+    # convention): Spark's partition-order-dependent double accumulation and
+    # DuckDB's sequential sum can differ in the last ulp, which would flip a
+    # customer sitting exactly at the mean.
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        F.round(F.avg("c_acctbal"), 6).alias("_avg_bal")
     )
     o = read_testdata(spark, sf_dir, "orders").where(
         F.to_date("o_orderdate") >= F.lit("2000-01-01")
@@ -549,7 +557,7 @@ SELECT c_nationkey::BIGINT AS nation_key,
        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
 FROM customer
 WHERE c_nationkey IN (3, 7, 11, 15, 19)
-  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+  AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
                    WHERE c_nationkey IN (3, 7, 11, 15, 19) AND c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
