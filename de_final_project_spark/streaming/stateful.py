@@ -183,3 +183,80 @@ def user_transitions_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def event_transitions_streamed(spark, sf_dir: str) -> DataFrame:
+    """Driver-checkable streaming query: run the stateful transition
+    extraction as a REAL stream and return its batch-aggregated output.
+
+    The events table is replayed as an AvailableNow file stream in two
+    time-split micro-batches (split before/after the corpus midpoint, so
+    within-user arrival respects event time — the precondition
+    ``_emit_transitions`` documents). The keyed state tuple carries each
+    user's last event across the batch boundary; the memory-sink rows
+    are then aggregated to (from_type, to_type, n_transitions), which
+    must equal the batch ``lag()`` formulation exactly — the oracle
+    restates that batch form, so this is the correctness gate for the
+    streaming family's semantics, not a batch stand-in.
+
+    Reference analog: the event-notification-chained warehouse hop
+    (SURVEY.md §2.10); the state tuple is the per-key generalization of
+    its single global watermark record.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # Median event time as the batch cut: both halves non-trivial at any
+    # SF, and a time split keeps per-user arrival ordered by event time.
+    cut = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("cut")
+    ).collect()[0]["cut"]
+    src = tempfile.mkdtemp(prefix="transitions_replay_")
+    # Written a/ then b/ so file-source mtime order replays time order.
+    ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = f"transitions_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVENT_TRANSITIONS_STREAMED_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
