@@ -121,3 +121,67 @@ def zip_with_index_key(df: DataFrame, key_name: str, start: int = 1) -> DataFram
         )
         .select(key_name, *df.columns)
     )
+
+
+def add_global_rank_distributed(
+    df: DataFrame,
+    order_exprs: Sequence,
+    rank_name: str = "_grank",
+    n_name: str = "_gn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over a TOTAL ordering, plus the total row
+    count, without a single-partition sort — the primitive behind the
+    de-funneled order statistics (ntile/percent_rank/cume_dist all have
+    closed forms in (rank, n) when the ordering has a tie-break).
+
+    Same shape as ``add_sequence_key_distributed``: range-partition on
+    the ordering, rank locally, broadcast the O(partitions) cumulative
+    offsets back — here the offset table also carries the grand total so
+    no extra scalar pin (and no extra BNLJ) is needed downstream.
+
+    ``order_exprs`` are Column sort expressions (e.g.
+    ``[F.col("v").desc(), F.col("k").asc()]``) so descending metrics
+    work; the caller must include a unique tie-break column for the
+    rank to be deterministic.
+    """
+    order_exprs = list(order_exprs)
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
+    # Persist: range boundaries come from sampling; the offset branch
+    # must see the same partitioning as the rank branch.
+    local = ranged.withColumn("_lrank", F.row_number().over(w_local)).persist()
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)))
+        .withColumn(n_name, F.sum("_cnt").over(w_all))
+        .select("_pid", "_off", n_name)
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .select(*df.columns, rank_name, n_name)
+    )
+
+
+def ntile_from_rank(rank, n, k: int):
+    """SQL-standard ``ntile(k)`` as a closed-form expression over a
+    1-based total rank and row count: the first ``n mod k`` tiles get
+    ``n div k + 1`` rows, the rest ``n div k`` — exactly the tile
+    boundaries ntile draws, so the result is bit-identical to the
+    window form whenever the rank came from a total ordering."""
+    q = F.floor(n / k)
+    rem = n % k
+    big = (q + F.lit(1)) * rem  # rows covered by the (q+1)-sized tiles
+    return F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((rank - big - 1) / q) + 1
+    )

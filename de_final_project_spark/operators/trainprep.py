@@ -168,23 +168,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order — the concat-then-split packing of a pretraining token
     stream (documents straddle bin boundaries; no padding waste).
 
-    Shape: one token-count projection, one running sum. The global
-    window here is the single-partition sort, fine to ~10^8 rows; at
-    corpus scale swap in the add_sequence_key_distributed shape
-    (operators/surrogate.py): range-partition by doc_id, per-partition
-    cumsum, broadcast the per-partition token totals as offsets — every
-    stage distributed."""
+    Shape: one token-count projection, then a DISTRIBUTED running sum —
+    the add_sequence_key_distributed pattern (operators/surrogate.py):
+    range-partition by doc_id (partition p holds a contiguous doc_id
+    range), per-partition token cumsum, then add each partition's
+    cumulative token total as a broadcast offset. Every stage is
+    distributed; the only global structure is the O(partitions) offset
+    table, so the op survives a corpus that would kill the naive
+    unpartitioned ``Window.orderBy`` form in a single-partition sort.
+    Output is identical to that form: cumulative-before totals don't
+    depend on where the range boundaries fall."""
     docs = read_testdata(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id", F.size(_norm_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return counted.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin_id"),
-        (cum_before % PACK_BUDGET).cast("long").alias("bin_offset"),
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = counted.repartitionByRange(n, F.col("doc_id").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Persist: the offset branch re-reads this relation, and range
+    # boundaries come from sampling — a recompute could repartition
+    # differently and corrupt the offsets (same pin as surrogate.py).
+    w_local = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn(
+        "_local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    ).persist()
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_ptoks"))
+        .withColumn("_off", F.coalesce(F.sum("_ptoks").over(w_cum), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    cum_before = F.col("_off") + F.col("_local_before")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin_id"),
+            (cum_before % PACK_BUDGET).cast("long").alias("bin_offset"),
+        )
     )
 
 

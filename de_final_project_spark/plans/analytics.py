@@ -467,24 +467,38 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value distribution: total spend per customer,
     then quartile (ntile), percent_rank, and cume_dist over the spend
-    ordering. The aggregate shuffles on custkey; the ranking windows
-    share ONE global ordering — acceptable because the windowed relation
-    is already one-row-per-customer (dimension-sized); the raw orders
-    table never passes through a global window."""
-    from pyspark.sql import Window
+    ordering. The aggregate shuffles on custkey; the three order
+    statistics come from ONE distributed global-rank pass
+    (operators/surrogate.add_global_rank_distributed) — the custkey
+    tie-break makes the ordering total, so ntile has its closed form in
+    (rank, n), percent_rank = (rank-1)/(n-1), and cume_dist = rank/n,
+    all bit-identical to the window forms with no single-partition sort
+    at any customer cardinality."""
+    from de_final_project_spark.operators.surrogate import (
+        add_global_rank_distributed,
+        ntile_from_rank,
+    )
 
     o = read_testdata(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("_spend"), F.count(F.lit(1)).alias("n_orders")
     )
-    w = Window.orderBy(F.col("_spend").asc(), F.col("o_custkey").asc())
-    return spend.select(
+    ranked = add_global_rank_distributed(
+        spend, [F.col("_spend").asc(), F.col("o_custkey").asc()]
+    )
+    r, n = F.col("_grank"), F.col("_gn")
+    return ranked.select(
         "o_custkey",
         "n_orders",
         F.col("_spend").cast("double").alias("total_spend"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(r, n, 4).cast("int").alias("quartile"),
+        F.round(
+            F.when(n > 1, (r - 1).cast("double") / (n - 1).cast("double")).otherwise(
+                F.lit(0.0)  # percent_rank of a single row is 0, not 0/0
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(r.cast("double") / n.cast("double"), 6).alias("cume"),
     )
 
 

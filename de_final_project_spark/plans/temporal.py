@@ -914,11 +914,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles via ntile with fully deterministic orderings (metric, then
     custkey), concatenated into the familiar '432'-style segment code.
 
-    One per-customer aggregate, then three ntile windows over the SAME
-    single customer-cardinality partition (one exchange feeds all
-    three), plus a 1-row max-date broadcast. ntile ties are pinned by
-    the custkey tie-break so both engines cut identical quartiles.
+    One per-customer aggregate, then three DISTRIBUTED rank passes
+    (operators/surrogate.add_global_rank_distributed: range-partition on
+    the metric ordering, local row_number, broadcast O(partitions)
+    offsets) with ntile(4) recovered in closed form from (rank, n) —
+    bit-identical to the window ntile because the custkey tie-break
+    makes each ordering total, but with no single-partition sort at any
+    customer cardinality. Plus a 1-row max-date broadcast.
     """
+    from de_final_project_spark.operators.surrogate import (
+        add_global_rank_distributed,
+        ntile_from_rank,
+    )
     o = read_testdata(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.max(F.to_date("o_orderdate")).alias("_last_order"),
@@ -934,18 +941,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("_monetary").cast("double").alias("monetary"),
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("cust_key").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("cust_key").asc())
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("cust_key").asc())
-    return base.select(
-        "cust_key",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
-        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
-        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
-    ).withColumn(
+    orderings = {
+        "r_quartile": [F.col("recency_days").asc(), F.col("cust_key").asc()],
+        "f_quartile": [F.col("frequency").desc(), F.col("cust_key").asc()],
+        "m_quartile": [F.col("monetary").desc(), F.col("cust_key").asc()],
+    }
+    out = base
+    for name, order in orderings.items():
+        keep = out.columns
+        ranked = add_global_rank_distributed(out, order)
+        out = ranked.select(
+            *keep,
+            ntile_from_rank(F.col("_grank"), F.col("_gn"), 4)
+            .cast("long")
+            .alias(name),
+        )
+    return out.withColumn(
         "segment",
         F.concat_ws(
             "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")

@@ -93,3 +93,27 @@ def test_rfm_quartiles_balanced(spark):
         assert set(sizes) == {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
     assert out.where("length(segment) <> 3").count() == 0
+
+
+def test_ntile_closed_form_matches_window(spark):
+    """ntile_from_rank must reproduce F.ntile bit-for-bit for every
+    (n, k) shape — including n < k, n divisible by k, and ragged
+    remainders — since the de-funneled RFM/value-tiles plans rely on
+    the closed form being exact."""
+    from pyspark.sql import Window
+
+    from de_final_project_spark.operators.surrogate import ntile_from_rank
+
+    for n, k in [(1, 4), (3, 4), (4, 4), (5, 4), (17, 4), (100, 7), (2, 10)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+        w = Window.orderBy("r")
+        got = (
+            df.select(
+                "r",
+                F.ntile(k).over(w).cast("long").alias("want"),
+                ntile_from_rank(F.col("r"), F.lit(n), k).cast("long").alias("got"),
+            )
+            .where(F.col("want") != F.col("got"))
+            .count()
+        )
+        assert got == 0, f"ntile mismatch at n={n}, k={k}"
