@@ -135,19 +135,76 @@ def read_jdbc_table(
     properties: dict[str, str] | None = None,
     predicate: str | None = None,
     columns: list[str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
 ) -> DataFrame:
-    """JDBC scan (S1/S9 equivalent) with projection/predicate pushdown.
+    """JDBC scan (S1/S9 equivalent) with projection/predicate pushdown
+    and optional PARALLEL range partitioning.
 
     The reference builds the pushdown SQL by hand
     (src/ingestion_lambda.py:164-169); with the Spark JDBC source the same
     pushdown happens by passing a derived-table query, and Catalyst prunes
     further.
+
+    A single JDBC connection serializes the whole extract through one
+    task — the 100-TB failure mode of the reference's single-threaded
+    pattern. Pass ``partition_column`` (a numeric/date/timestamp column,
+    which must survive the ``columns`` projection) to split the scan into
+    ``num_partitions`` parallel range queries via Spark's
+    partitionColumn/lowerBound/upperBound contract. Bounds default to a
+    min/max probe against the source — one cheap aggregate round-trip,
+    the same shape as the S2 watermark probe — honoring ``predicate`` so
+    the stride matches the rows actually read. An empty probe (no rows)
+    falls back to the single-connection scan.
     """
+    dbtable = f"({jdbc_pushdown_query(table, columns, predicate)}) AS src"
+    props = properties or {}
+    if partition_column is None:
+        return spark.read.jdbc(url, dbtable, properties=props)
+    if lower_bound is None or upper_bound is None:
+        lo, hi = jdbc_partition_bounds(
+            spark, url, table, partition_column, props, predicate
+        )
+        if lo is None or hi is None:
+            return spark.read.jdbc(url, dbtable, properties=props)
+        lower_bound = lo if lower_bound is None else lower_bound
+        upper_bound = hi if upper_bound is None else upper_bound
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return spark.read.jdbc(
         url,
-        f"({jdbc_pushdown_query(table, columns, predicate)}) AS src",
-        properties=properties or {},
+        dbtable,
+        column=partition_column,
+        lowerBound=lower_bound,
+        upperBound=upper_bound,
+        numPartitions=n,
+        properties=props,
     )
+
+
+def jdbc_partition_bounds(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    column: str,
+    properties: dict[str, str] | None = None,
+    predicate: str | None = None,
+):
+    """(min, max) of ``column`` at the source, evaluated DB-side — the
+    bounds probe for partitioned scans (generalizing the reference's
+    max(last_updated) watermark probe, src/ingestion_lambda.py:157-162,
+    to both ends of the range). Returns (None, None) on an empty
+    relation."""
+    # Aliases are load-bearing: unaliased aggregates get DB-assigned
+    # names (Derby: "1"/"2") that Spark's wrapping re-query can't resolve.
+    q = f"SELECT MIN({column}) AS lo_bound, MAX({column}) AS hi_bound FROM {table}"
+    if predicate:
+        q += f" WHERE {predicate}"
+    row = spark.read.jdbc(
+        url, f"({q}) AS bounds", properties=properties or {}
+    ).collect()[0]
+    return row[0], row[1]
 
 
 def jdbc_pushdown_query(

@@ -108,3 +108,60 @@ def test_pushdown_sql_parses_and_runs_in_duckdb():
         "SELECT count(*) FROM orders WHERE o_totalprice > 100000"
     ).fetchone()[0]
     assert len(out) == n > 0
+
+
+def test_jdbc_partitioned_scan_matches_single(spark, derby_url, props):
+    """Partitioned S1/S9: a 4-way range-partitioned scan (bounds derived
+    by the min/max probe) runs 4 parallel range queries and returns
+    exactly the single-connection result set."""
+    from de_final_project_spark.sources.readers import jdbc_partition_bounds
+
+    src = read_testdata(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src_uc = src.toDF(*[c.upper() for c in src.columns])
+    write_jdbc_overwrite(src_uc, derby_url, "orders_wh", properties=props)
+
+    lo, hi = jdbc_partition_bounds(spark, derby_url, "orders_wh", "O_ORDERKEY", props)
+    assert lo is not None and hi > lo
+
+    part = read_jdbc_table(
+        spark,
+        derby_url,
+        "orders_wh",
+        properties=props,
+        partition_column="O_ORDERKEY",
+        num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    single = read_jdbc_table(spark, derby_url, "orders_wh", properties=props)
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, single.collect()))
+    # no partition is empty and none holds everything: the range stride
+    # actually spread the work
+    sizes = part.rdd.glom().map(len).collect()
+    assert len(sizes) == 4 and max(sizes) < single.count()
+
+
+def test_jdbc_partitioned_scan_with_predicate(spark, derby_url, props):
+    """Partitioned scan + pushdown predicate: bounds honor the predicate
+    and the result equals the filtered single-connection read."""
+    part = read_jdbc_table(
+        spark,
+        derby_url,
+        "orders_wh",
+        properties=props,
+        predicate="O_TOTALPRICE > 100000",
+        columns=["O_ORDERKEY", "O_TOTALPRICE"],
+        partition_column="O_ORDERKEY",
+        num_partitions=4,
+    )
+    single = read_jdbc_table(
+        spark,
+        derby_url,
+        "orders_wh",
+        properties=props,
+        predicate="O_TOTALPRICE > 100000",
+        columns=["O_ORDERKEY", "O_TOTALPRICE"],
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, single.collect()))
