@@ -474,3 +474,133 @@ SELECT bin_id,
 FROM packed
 GROUP BY bin_id
 """
+
+
+# ----------------------------------------------------------------------
+# Duplicated-substring span diagnostics (ExactSubstr-style, round 5)
+# ----------------------------------------------------------------------
+
+SPAN_N = 16  # sliding-window n-gram length, in word tokens
+
+
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring diagnostics at sliding n-gram
+    granularity — the statistic behind suffix-array ExactSubstr dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"), approximated at fixed n: a SPAN_N-token window whose text
+    occurs anywhere else in the corpus (another document OR elsewhere in
+    the same document) is a duplicated span start. Reports, per doc, the
+    window count, how many are duplicated, the duplicated fraction, and
+    the longest run of consecutive duplicated starts (long runs = long
+    verbatim copies, the spans ExactSubstr would actually cut).
+
+    Shape: explode every sliding window start (positions 0..n-SPAN_N),
+    hash the window text, one global hash-aggregate for occurrence
+    counts, equi-join the counts back, then per-doc aggregates. The run
+    length uses gaps-and-islands (pos - row_number) under a window
+    PARTITIONED BY doc_id — never a global sort. At 100 TB the explosion
+    is ~n_tokens rows; the count/join pair is the exact-dedup shuffle
+    shape on uniform md5 keys, and everything else is doc-partitioned.
+    Documents shorter than SPAN_N tokens report zero windows.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = _norm_tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("_toks"), F.size(toks).alias("_n"))
+    grams = (
+        t.where(F.col("_n") >= SPAN_N)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - SPAN_N)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos") + 1, SPAN_N))
+            ).alias("_h"),
+        )
+    )
+    counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    flagged = grams.join(counts, "_h").select(
+        "doc_id", "pos", (F.col("_c") > 1).alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.where(F.col("is_dup"))
+        .withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy("doc_id")
+        .agg(F.max("_run").alias("longest_dup_run"))
+    )
+    return (
+        t.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_window_frac"),
+            F.coalesce(F.col("longest_dup_run"), F.lit(0))
+            .cast("long")
+            .alias("longest_dup_run"),
+        )
+    )
+
+
+DUP_SPAN_REPORT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos + 1 : pos + {SPAN_N}], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - {SPAN_N})) AS pos
+    FROM t WHERE len(toks) >= {SPAN_N}
+  )
+), counts AS (
+  SELECT h, count(*) AS c FROM grams GROUP BY h
+), flagged AS (
+  SELECT g.doc_id, g.pos, (c.c > 1) AS is_dup
+  FROM grams g JOIN counts c USING (h)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM flagged GROUP BY doc_id
+), runs AS (
+  SELECT doc_id, max(run) AS longest_dup_run FROM (
+    SELECT doc_id, count(*) AS run FROM (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged WHERE is_dup
+    ) GROUP BY doc_id, isl
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(p.n_windows, 0) > 0
+            THEN p.n_dup_windows::DOUBLE / p.n_windows ELSE 0.0 END
+         AS dup_window_frac,
+       coalesce(r.longest_dup_run, 0)::BIGINT AS longest_dup_run
+FROM t
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+"""

@@ -316,3 +316,39 @@ def test_packing_efficiency_mass_conservation(spark):
         == packed.agg(F.sum("n_tokens")).first()[0]
     )
     assert eff.agg(F.sum("n_docs")).first()[0] == packed.count()
+
+
+def test_dup_span_report_invariants(spark):
+    """Every doc appears once; dup counts are bounded by window counts;
+    the longest run never exceeds the dup-window count; a doc whose text
+    duplicates another doc verbatim reports a full-coverage dup run."""
+    from de_final_project_spark.operators.trainprep import SPAN_N, dup_span_report
+
+    rep = dup_span_report(spark, SF_DIR).cache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert rep.count() == docs.count()
+    assert rep.select("doc_id").distinct().count() == rep.count()
+    bad = rep.where(
+        (F.col("n_dup_windows") > F.col("n_windows"))
+        | (F.col("longest_dup_run") > F.col("n_dup_windows"))
+        | (F.col("dup_window_frac") < 0)
+        | (F.col("dup_window_frac") > 1)
+        | ((F.col("n_windows") == 0) & (F.col("n_dup_windows") != 0))
+    )
+    assert bad.count() == 0
+    # Exact-duplicate document pair => every window of each copy is
+    # duplicated, so dup_window_frac == 1.0 and the run spans all starts.
+    dup_pair = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("doc_id"))
+        .where((F.col("c") > 1))
+        .join(rep, "doc_id")
+        .where(F.col("n_windows") > 0)
+    )
+    full = dup_pair.where(
+        (F.col("dup_window_frac") == 1.0)
+        & (F.col("longest_dup_run") == F.col("n_windows"))
+    )
+    assert dup_pair.count() == full.count()
+    rep.unpersist()
