@@ -628,3 +628,138 @@ FROM (
 JOIN embeddings t ON v.query_id = t.vec_id
 WHERE v._rk = 1
 """
+
+
+# ----------------------------------------------------------------------
+# Product quantization (round 5)
+# ----------------------------------------------------------------------
+
+PQ_M = 4          # subquantizers: the 64-dim space splits into 4 x 16 dims
+PQ_K = 16         # codebook size per subquantizer (4-bit codes)
+PQ_SUBDIM = 16
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding table: the vector
+    splits into PQ_M contiguous subvectors and each is replaced by the
+    id of its nearest codebook centroid — the memory layout behind
+    IVF-PQ indexes (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): 64 floats become PQ_M 4-bit codes. Codebooks are
+    deterministic (subvectors of the first PQ_K corpus vectors, the same
+    sample-as-seed convention as ivf_knn's centroids) so the encoding is
+    oracle-checkable without a k-means training loop.
+
+    One output row per (vec_id, sub_id) with the chosen code and the
+    squared reconstruction error of that subvector. Distances compare as
+    round(x.x - 2x.c + c.c, 6) with ties to the lowest code — the same
+    dot-product composition in both engines, so the argmin is stable.
+
+    Shape: the codebook is PQ_M x PQ_K rows — broadcast; vectors explode
+    to PQ_M subvector rows (narrow); assignment is a broadcast join on
+    sub_id plus a window PARTITIONED BY (vec_id, sub_id). No global
+    sort, no all-pairs: encoding cost is linear in corpus size and the
+    only shuffle is the per-vector window, keyed on the vector itself.
+    """
+    from pyspark.sql import Window
+
+    from de_final_project_spark.functions.vector import dot
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
+        v.alias("_v"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.slice(F.col("_v"), F.col("sub_id") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("x"),
+    )
+    codebook = F.broadcast(
+        subs.where(F.col("vec_id") < PQ_K).select(
+            F.col("sub_id").alias("cb_sub_id"),
+            F.col("vec_id").alias("code"),
+            F.col("x").alias("c"),
+        )
+    )
+    dist = F.round(
+        dot(F.col("x"), F.col("x"))
+        - F.lit(2.0) * dot(F.col("x"), F.col("c"))
+        + dot(F.col("c"), F.col("c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("sub_sq_err").asc(), F.col("code").asc()
+    )
+    return (
+        subs.join(codebook, subs.sub_id == codebook.cb_sub_id)
+        .select("vec_id", "sub_id", "code", dist.alias("sub_sq_err"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "vec_id",
+            F.col("sub_id").cast("long").alias("sub_id"),
+            F.col("code").cast("long").alias("code"),
+            "sub_sq_err",
+        )
+    )
+
+
+PQ_CODES_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, g.s AS sub_id,
+         v[g.s * {PQ_SUBDIM} + 1 : g.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) g
+),
+codebook AS (
+  SELECT sub_id, vec_id AS code, x AS c FROM subs WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.sub_id, cb.code,
+         round(list_dot_product(s.x, s.x)
+               - 2.0 * list_dot_product(s.x, cb.c)
+               + list_dot_product(cb.c, cb.c), 6) AS sub_sq_err
+  FROM subs s JOIN codebook cb USING (sub_id)
+)
+SELECT vec_id, sub_id::BIGINT AS sub_id, code::BIGINT AS code, sub_sq_err
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                               ORDER BY sub_sq_err ASC, code ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook utilization report over the PQ encoding: per
+    (sub_id, code), how many vectors land on the centroid and their
+    exact total squared error (DECIMAL sum of the already-rounded
+    per-row errors, so the aggregate is associativity-proof). Dead or
+    overloaded codes are the signal to retrain a codebook — the
+    monitoring half of running PQ in production. One hash aggregate
+    over pq_codes; output is at most PQ_M x PQ_K rows."""
+    return (
+        pq_codes(spark, sf_dir)
+        .groupBy("sub_id", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(F.col("sub_sq_err").cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            "sub_id",
+            "code",
+            "n_assigned",
+            F.round(F.col("_s").cast("double"), 6).alias("total_sq_err"),
+        )
+    )
+
+
+PQ_CODEBOOK_STATS_SQL = f"""
+WITH codes AS ({PQ_CODES_SQL})
+SELECT sub_id, code, count(*)::BIGINT AS n_assigned,
+       round(CAST(sum(CAST(sub_sq_err AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_sq_err
+FROM codes
+GROUP BY sub_id, code
+"""

@@ -76,3 +76,36 @@ def test_embedding_quantize_contract(spark):
         got = out[row.vec_id]
         assert got.sum_q == int(q.sum())
         assert got.recon_cosine is None or got.recon_cosine > 0.99
+
+
+def test_pq_codes_contract(spark):
+    """Every vector yields exactly PQ_M rows; codes stay within the
+    codebook; errors are non-negative; codebook-seed vectors (vec_id <
+    PQ_K) reconstruct themselves exactly (their own subvector is a
+    centroid, so the nearest distance is 0)."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codes,
+    )
+
+    codes = pq_codes(spark, "/root/testdata/sf0.001").cache()
+    n_vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert codes.count() == n_vecs * PQ_M
+    assert (
+        codes.where(
+            (F.col("code") < 0)
+            | (F.col("code") >= PQ_K)
+            | (F.col("sub_id") < 0)
+            | (F.col("sub_id") >= PQ_M)
+            | (F.col("sub_sq_err") < 0)
+        ).count()
+        == 0
+    )
+    seeds = codes.where(F.col("vec_id") < PQ_K)
+    assert seeds.where(F.col("sub_sq_err") != 0.0).count() == 0
+    codes.unpersist()
