@@ -172,3 +172,81 @@ def purchases_with_recent_views_stream(events: DataFrame) -> DataFrame:
         & (views["view_ts"] <= purchases["purchase_ts"]),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_id", "view_ts")
+
+
+def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable streaming query: the tumbling-hour rollup run as
+    a REAL watermarked stream, with exact batch parity.
+
+    The events table is replayed as an AvailableNow file stream in two
+    time-split micro-batches (cut at the median event time). The rollup
+    runs in UPDATE mode — each trigger emits the refreshed row for every
+    window a new event touched — and the memory-sink change stream is
+    compacted to final values by taking, per (hour, event_type), the
+    emission with the highest n_events (within one key the event count
+    strictly increases across emissions, so that is the latest row; no
+    ordering metadata is needed). The 1-hour watermark drops nothing:
+    batch 2 holds only events strictly after batch 1's maximum, so no
+    row ever arrives behind the watermark — the streamed aggregate must
+    equal the batch groupBy exactly, and the oracle restates that batch
+    form. Reference analog: the 20-minute scheduled re-aggregate
+    (SURVEY.md §2.10), expressed as bounded keyed state instead of a
+    full recompute."""
+    import tempfile
+    import uuid
+
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # Watermarks require TIMESTAMP (with local zone); a plain session
+        # may surface the parquet column as TIMESTAMP_NTZ.
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("cut")
+    ).collect()[0]["cut"]
+    src = tempfile.mkdtemp(prefix="hourly_replay_")
+    ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = f"hourly_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_STREAMED_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""

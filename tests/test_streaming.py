@@ -113,3 +113,16 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     cols = ["purchase_id", "view_id"]
     assert _rows(got.select(*cols), cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_events_hourly_streamed_exact_batch_parity(spark):
+    """The two-batch update-mode replay, after latest-row compaction,
+    equals the batch hour x type rollup exactly (no late drops: batch 2
+    starts strictly after batch 1's max event time)."""
+    from de_final_project_spark.streaming.events import events_hourly_streamed
+
+    got = events_hourly_streamed(spark, SF_DIR)
+    want = events_hourly(spark, SF_DIR).drop("n_users")
+    cols = ["hour", "event_type", "n_events", "sum_value"]
+    assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
+    assert got.count() > 0
