@@ -129,3 +129,27 @@ def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
     ]
     bad = corrupt.collect()
     assert len(bad) == 1 and "not_a_number" in bad[0][0]
+
+
+def test_merged_user_snapshot_delta_wins(spark):
+    """One row per user; from_delta true exactly for users with any
+    event in the delta half; every from_delta row's event_id is past
+    the cut."""
+    from de_final_project_spark.operators.merge import merged_user_snapshot
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    snap = merged_user_snapshot(spark, sf).cache()
+    ev = read_testdata(spark, sf, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    assert snap.count() == ev.select("user_id").distinct().count()
+    delta_users = {
+        r.user_id
+        for r in ev.where(F.col("event_id") > cut).select("user_id").distinct().collect()
+    }
+    for r in snap.collect():
+        assert r.from_delta == (r.user_id in delta_users)
+        if r.from_delta:
+            assert r.event_id > cut
+    snap.unpersist()
