@@ -147,3 +147,75 @@ FROM (
 )
 WHERE pick_rank <= stratum_keep
 """
+
+
+# Resolution of the deterministic uniform used by mixture_resample: a
+# doc's u ~ U[0,1) is its md5 bucket over RESAMPLE_BUCKETS divided by
+# RESAMPLE_BUCKETS — coarse enough to stay exactly representable in
+# double on both engines, fine enough that acceptance error per doc is
+# < 1e-6.
+RESAMPLE_BUCKETS = 1_000_000
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the language-mixture reweighting as an actual
+    resampling plan: per document, how many copies enter the reshaped
+    corpus. Downsampled languages (weight < 1) keep the doc with
+    probability = weight; upsampled languages (weight > 1) repeat it
+    floor(weight) times plus one more with probability frac(weight) —
+    in expectation the corpus lands exactly on TARGET_MIX.
+
+    The coin is not an RNG: u = hash_bucket(doc_id)/RESAMPLE_BUCKETS,
+    the same stable-id hash convention as dataset_splits, so the
+    resample is reproducible under repartitioning, retries, and engine
+    swaps, and incrementally stable (a doc's copy count never changes
+    when the corpus grows — only when the measured mixture does).
+    Narrow projection over the broadcast per-lang weights; no shuffle
+    beyond the tiny lang aggregate it inherits from
+    source_mixture_weights."""
+    from de_final_project_spark.operators.corpusops import (
+        source_mixture_weights,
+    )
+
+    weights = source_mixture_weights(spark, sf_dir)
+    u = hash_bucket("doc_id", RESAMPLE_BUCKETS).cast("double") / float(
+        RESAMPLE_BUCKETS
+    )
+    n_copies = (
+        F.floor(F.col("sample_weight"))
+        + F.when(
+            u < F.col("sample_weight") - F.floor(F.col("sample_weight")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return weights.select(
+        "doc_id",
+        "lang",
+        "sample_weight",
+        F.round(u, 6).alias("u"),
+        n_copies.alias("n_copies"),
+    )
+
+
+def _mixture_resample_sql() -> str:
+    from de_final_project_spark.operators.corpusops import (
+        SOURCE_MIXTURE_WEIGHTS_SQL,
+    )
+
+    return f"""
+WITH w AS ({SOURCE_MIXTURE_WEIGHTS_SQL}),
+coin AS (
+  SELECT doc_id, lang, sample_weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % {RESAMPLE_BUCKETS})::DOUBLE / {RESAMPLE_BUCKETS} AS u
+  FROM w
+)
+SELECT doc_id, lang, sample_weight, round(u, 6) AS u,
+       (floor(sample_weight)
+        + CASE WHEN u < sample_weight - floor(sample_weight)
+               THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM coin
+"""
+
+
+MIXTURE_RESAMPLE_SQL = _mixture_resample_sql()

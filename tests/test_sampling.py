@@ -66,3 +66,34 @@ def test_stratified_sample_exact_proportions(spark):
     a = {r["doc_id"] for r in stratified_sample(spark, sf).collect()}
     b = {r["doc_id"] for r in stratified_sample(spark, sf).collect()}
     assert a == b
+
+
+def test_mixture_resample_hits_target_in_expectation(spark):
+    """Copy counts are floor(w) or floor(w)+1; expected corpus share per
+    language after resampling approximates TARGET_MIX (exact only in
+    expectation, so allow generous tolerance at this corpus size); zero
+    weight drops every doc of that language."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.corpusops import TARGET_MIX
+    from de_final_project_spark.operators.sampling import mixture_resample
+
+    rs = mixture_resample(spark, "/root/testdata/sf0.001").cache()
+    bad = rs.where(
+        (F.col("n_copies") < F.floor("sample_weight"))
+        | (F.col("n_copies") > F.floor("sample_weight") + 1)
+        | ((F.col("sample_weight") == 0.0) & (F.col("n_copies") != 0))
+    )
+    assert bad.count() == 0
+    out = {
+        r.lang: r.n
+        for r in rs.groupBy("lang").agg(F.sum("n_copies").alias("n")).collect()
+    }
+    total = sum(out.values())
+    for lang, share in TARGET_MIX.items():
+        got = out.get(lang, 0) / total
+        assert abs(got - share) < 0.05, (lang, got, share)
+    assert set(out) <= set(TARGET_MIX) | {
+        lang for lang, n in out.items() if n == 0
+    }
+    rs.unpersist()
