@@ -195,3 +195,182 @@ SELECT event_type,
 FROM ranked
 GROUP BY event_type
 """
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter semi-join pruning (round 5)
+# ----------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+# 63 usable bits per signed-bigint word: bit 63 would overflow DuckDB's
+# checked left shift, and cross-engine bit-identity is the whole point.
+BLOOM_BITS_PER_WORD = 63
+BLOOM_WORDS = -(-BLOOM_BITS // BLOOM_BITS_PER_WORD)
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(key: Column, j: int) -> Column:
+    """Bit position of hash j for a key: md5-prefix of 'j|key', mod the
+    filter width — the same cross-engine md5 trick as the CMS/KMV."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, with its false-positive rate
+    measured against the exact join: the BUILDING-segment customer keys
+    compress into a {BLOOM_BITS}-bit filter (BLOOM_WORDS bigint words,
+    BLOOM_HASHES probes) and every order is tested against it. This is
+    the runtime-filter pattern big engines inject to cut shuffle volume:
+    at 100 TB the fact side drops non-matching rows at the scan, before
+    the join exchange, at the cost of a broadcast measured in KILOBYTES
+    regardless of dim cardinality (vs broadcasting the key set itself).
+    Reports, per order priority: order count, bloom-pass count, true
+    semi-join count, false positives, and the FP rate among true
+    negatives. A Bloom filter admits no false negatives, so
+    n_bloom_pass >= n_true_match row-for-row — the oracle rebuilds the
+    identical filter bit-for-bit and pins both counts.
+
+    Shape: filter build is one {BLOOM_WORDS}-row bit_or aggregate
+    (mergeable sketch state, map-side combined); the probe explodes each
+    order into BLOOM_HASHES word lookups against the broadcast filter
+    — narrow join, no fact-side shuffle before the pruning decision.
+    """
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    words = None
+    for j in range(BLOOM_HASHES):
+        part = seg.select(
+            _bloom_pos(F.col("c_custkey"), j).alias("pos")
+        ).select(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("int").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("_mask"),
+        )
+        words = part if words is None else words.unionByName(part)
+    bloom = F.broadcast(
+        words.groupBy("word_idx").agg(F.bit_or("_mask").alias("word"))
+    )
+
+    probes = None
+    for j in range(BLOOM_HASHES):
+        p = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            _bloom_pos(F.col("o_custkey"), j).alias("pos"),
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("int").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("_mask"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    tested = (
+        probes.join(bloom, "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0)
+            .cast("int"),
+        )
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+        .agg((F.sum("_hit") == BLOOM_HASHES).alias("bloom_pass"))
+    )
+    truth = tested.join(
+        F.broadcast(seg.withColumnRenamed("c_custkey", "o_custkey")).withColumn(
+            "is_match", F.lit(True)
+        ),
+        "o_custkey",
+        "left",
+    ).withColumn("is_match", F.coalesce(F.col("is_match"), F.lit(False)))
+    return (
+        truth.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+            F.sum(F.col("is_match").cast("long")).alias("n_true_match"),
+            F.sum(
+                (F.col("bloom_pass") & ~F.col("is_match")).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_bloom_pass",
+            "n_true_match",
+            "n_false_pos",
+            F.when(
+                F.col("n_orders") > F.col("n_true_match"),
+                F.round(
+                    F.col("n_false_pos").cast("double")
+                    / (F.col("n_orders") - F.col("n_true_match")).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_rate"),
+        )
+    )
+
+
+_BLOOM_JS = list(range(BLOOM_HASHES))
+
+BLOOM_SEMIJOIN_PRUNE_SQL = f"""
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), dim_bits AS (
+  {" UNION ALL ".join(
+      f'''SELECT (('0x' || substr(md5('{j}|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % {BLOOM_BITS}) AS pos FROM seg'''
+      for j in _BLOOM_JS
+  )}
+), bloom AS (
+  SELECT (pos // {BLOOM_BITS_PER_WORD})::INT AS word_idx,
+         bit_or(1::BIGINT << (pos % {BLOOM_BITS_PER_WORD})::INT) AS word
+  FROM dim_bits GROUP BY 1
+), probe_bits AS (
+  {" UNION ALL ".join(
+      f'''SELECT o_orderkey, o_custkey, o_orderpriority,
+                 (('0x' || substr(md5('{j}|' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % {BLOOM_BITS}) AS pos FROM orders'''
+      for j in _BLOOM_JS
+  )}
+), tested AS (
+  SELECT p.o_orderkey, p.o_custkey, p.o_orderpriority,
+         (sum(CASE WHEN (coalesce(b.word, 0)
+                          & (1::BIGINT << (p.pos % {BLOOM_BITS_PER_WORD})::INT)) <> 0
+                   THEN 1 ELSE 0 END) = {BLOOM_HASHES}) AS bloom_pass
+  FROM probe_bits p
+  LEFT JOIN bloom b ON (p.pos // {BLOOM_BITS_PER_WORD})::INT = b.word_idx
+  GROUP BY 1, 2, 3
+), truth AS (
+  SELECT t.*, (s.c_custkey IS NOT NULL) AS is_match
+  FROM tested t LEFT JOIN seg s ON t.o_custkey = s.c_custkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+       sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_true_match,
+       sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       CASE WHEN count(*) > sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+            THEN round(sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::DOUBLE
+                       / (count(*) - sum(CASE WHEN is_match THEN 1 ELSE 0 END)), 6)
+            ELSE 0.0 END AS fp_rate
+FROM truth
+GROUP BY o_orderpriority
+"""

@@ -41,3 +41,23 @@ def test_corr_matches_builtin_and_bounded(spark):
         F.abs(F.col("corr_qty_price") - F.col("c")) > 1e-6
     )
     assert joined.count() == 0
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    """Bloom pass count dominates the true match count per priority
+    (no false negatives), false positives are consistent, and the FP
+    rate stays well under 1 at this filter load."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.sketches import bloom_semijoin_prune
+
+    rep = bloom_semijoin_prune(spark, "/root/testdata/sf0.001").cache()
+    assert rep.count() == 5
+    bad = rep.where(
+        (F.col("n_bloom_pass") < F.col("n_true_match"))
+        | (F.col("n_false_pos") != F.col("n_bloom_pass") - F.col("n_true_match"))
+        | (F.col("fp_rate") < 0)
+        | (F.col("fp_rate") >= 1)
+    )
+    assert bad.count() == 0
+    rep.unpersist()
