@@ -1,0 +1,61 @@
+"""Invariants for BPE merge training (the oracle twin pins exact
+values; these pin the algorithm's shape)."""
+
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.bpe import BPE_MERGES, bpe_merges
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bpe_merge_table_shape(spark):
+    rows = bpe_merges(spark, SF_DIR).orderBy("step").collect()
+    assert len(rows) == BPE_MERGES
+    assert [r.step for r in rows] == list(range(1, BPE_MERGES + 1))
+    for r in rows:
+        assert r.merged_sym == r.left_sym + r.right_sym
+        assert r.left_sym and r.right_sym
+        assert r.pair_count > 0
+
+
+def test_bpe_counts_non_increasing(spark):
+    """Merging the max pair can only shrink or preserve every other
+    pair's count, and pairs born of the merge inherit counts bounded by
+    pre-merge pairs — so the selected max is non-increasing."""
+    rows = bpe_merges(spark, SF_DIR).orderBy("step").collect()
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_first_merge_is_true_max_pair(spark):
+    """Step 1's pair equals a direct weighted adjacent-bigram count
+    over the raw character sequences."""
+    from de_final_project_spark.operators.neardup import _norm_tokens
+    from de_final_project_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, SF_DIR, "documents")
+    words = docs.select(
+        F.explode(_norm_tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    chars = F.split(F.col("word"), "")
+    ex = words.select(
+        chars.alias("c"),
+        F.explode(F.sequence(F.lit(1), F.size(chars) - 1)).alias("i"),
+    ).where(F.size("c") >= 2)
+    best = (
+        ex.select(
+            F.element_at("c", F.col("i")).alias("l"),
+            F.element_at("c", F.col("i") + 1).alias("r"),
+        )
+        .where((F.col("l") != "") & (F.col("r") != ""))
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+        .first()
+    )
+    got = bpe_merges(spark, SF_DIR).where(F.col("step") == 1).first()
+    assert (got.left_sym, got.right_sym, got.pair_count) == (
+        best.l,
+        best.r,
+        best.n,
+    )
