@@ -164,3 +164,90 @@ p{i} AS (
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+def bpe_tokenized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to the corpus and report, per
+    document, the whitespace token count, the BPE symbol count, and the
+    chars-per-symbol compression — the fertility statistic that decides
+    whether a tokenizer is good enough to train with.
+
+    Composition: the merge loop leaves the vocabulary carrying its final
+    symbol sequences, so tokenizing the corpus is a broadcast join of
+    words against the |vocab|-sized symbol-count table plus one per-doc
+    aggregate — the raw text is never re-scanned per merge. The oracle
+    replays the same six merge CTEs and the same join.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(_norm_tokens(F.col("text"))).alias("word"),
+    ).where(F.col("word") != "")
+    merges = bpe_merges(spark, sf_dir).orderBy("step").collect()
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", _char_seq(F.col("word")).alias("seq"))
+    )
+    for m in merges:
+        vocab = vocab.select(
+            "word",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {m.left_sym} {m.right_sym} "),
+                F.lit(f" {m.left_sym}{m.right_sym} "),
+            ).alias("seq"),
+        )
+    sym_counts = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        words.join(F.broadcast(sym_counts), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_syms").alias("n_bpe_symbols"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_symbols",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_symbols"), 6
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+def _bpe_tokenized_sql() -> str:
+    base = _bpe_sql().rsplit("\nSELECT 1::BIGINT", 1)[0]
+    # base ends with the it{K} CTE; reuse it for the tokenization join.
+    return f"""{base},
+doc_words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS word
+  FROM documents
+), dw AS (
+  SELECT doc_id, word FROM doc_words WHERE word <> ''
+), syms AS (
+  SELECT word,
+         len(string_split(trim(seq), ' '))::BIGINT AS n_syms,
+         length(word)::BIGINT AS n_chars
+  FROM it{BPE_MERGES}
+)
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_ws_tokens,
+       sum(s.n_syms)::BIGINT AS n_bpe_symbols,
+       sum(s.n_chars)::BIGINT AS n_chars,
+       round(sum(s.n_chars)::DOUBLE / sum(s.n_syms), 6) AS chars_per_symbol
+FROM dw d JOIN syms s USING (word)
+GROUP BY d.doc_id
+"""
+
+
+BPE_TOKENIZED_LENGTHS_SQL = _bpe_tokenized_sql()

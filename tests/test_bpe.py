@@ -59,3 +59,26 @@ def test_bpe_first_merge_is_true_max_pair(spark):
         best.r,
         best.n,
     )
+
+
+def test_bpe_tokenized_lengths_bounds(spark):
+    """Per doc: BPE symbols never exceed characters, never undercut
+    whitespace tokens (merges only fuse within words), and the ratio
+    column restates the two sums."""
+    from de_final_project_spark.operators.bpe import bpe_tokenized_lengths
+
+    rep = bpe_tokenized_lengths(spark, SF_DIR).cache()
+    assert rep.count() > 0
+    bad = rep.where(
+        (F.col("n_bpe_symbols") > F.col("n_chars"))
+        | (F.col("n_bpe_symbols") < F.col("n_ws_tokens"))
+        | (
+            F.col("chars_per_symbol")
+            != F.round(F.col("n_chars") / F.col("n_bpe_symbols"), 6)
+        )
+    )
+    assert bad.count() == 0
+    # Compression actually happened: corpus-wide symbols < chars.
+    tot = rep.agg(F.sum("n_bpe_symbols"), F.sum("n_chars")).first()
+    assert tot[0] < tot[1]
+    rep.unpersist()
