@@ -182,3 +182,75 @@ def append_sales_fact_increment(
     )
     keyed.write.mode("append").parquet(gold_path)
     return keyed.count()
+
+
+def incremental_hourly_rollup(spark, sf_dir: str):
+    """Incremental aggregate maintenance: the hour x event_type rollup
+    maintained as MERGEABLE PARTIAL AGGREGATES instead of a full
+    recompute. The base partial (events at or below the id-midpoint
+    cut) and the delta partial (the rest) each aggregate independently;
+    merging is a second aggregate over the union of partials — sum of
+    counts, sum of exact-decimal sums, min of mins, max of maxes. This
+    is the algebraic-aggregate contract that makes 20-minute incremental
+    refreshes (the reference's cadence, SURVEY.md §2.10) O(delta) plus
+    O(groups) instead of O(history): only the partial state, never the
+    raw history, is touched at merge time. The oracle aggregates the
+    whole table flat — equality IS the claim that partial-merge loses
+    nothing. (Non-algebraic stats like exact distinct users are
+    deliberately absent: they do not merge; the KMV sketch twin is the
+    bounded-state alternative.)
+
+    Shape: two filtered scans -> two hash aggregates -> a union whose
+    second aggregate sees at most 2x|groups| rows. No joins, no windows.
+    """
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("_v"),
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+
+    def partial(df):
+        return df.groupBy("hour", "event_type").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        )
+
+    base = partial(ev.where(F.col("event_id") <= cut))
+    delta = partial(ev.where(F.col("event_id") > cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").alias("_sum"),
+            F.min("_mn").alias("_min"),
+            F.max("_mx").alias("_max"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("_sum").cast("double").alias("sum_value"),
+            F.col("_min").cast("double").alias("min_value"),
+            F.col("_max").cast("double").alias("max_value"),
+        )
+    )
+
+
+INCREMENTAL_HOURLY_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1, 2
+"""

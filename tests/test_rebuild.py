@@ -126,3 +126,36 @@ def test_incremental_fact_append_matches_full_history(spark, sales_order_df, tmp
     row = {r["sales_order_id"]: r for r in got.collect()}
     assert row[1]["created_date"] == 20240103
     assert row[2]["agreed_payment_date"] == 20240730
+
+
+def test_incremental_rollup_merges_partials_losslessly(spark):
+    """The partial-merge result equals a flat one-shot aggregate."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.plans.rebuild import incremental_hourly_rollup
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    got = incremental_hourly_rollup(spark, sf)
+    ev = read_testdata(spark, sf, "events")
+    want = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("min_value"),
+            F.max(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("max_value"),
+        )
+    )
+    cols = ["hour", "event_type", "n_events", "sum_value", "min_value", "max_value"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
