@@ -140,3 +140,97 @@ SELECT brand, n,
              6) AS corr_qty_price
 FROM m
 """
+
+
+# ----------------------------------------------------------------------
+# Column-level table profiling (round 5)
+# ----------------------------------------------------------------------
+
+# (column, kind) — kind picks the min/max canonicalization: numeric
+# floats pin to DECIMAL(18,2) before stringifying so the two engines
+# print identically; ints/dates/strings stringify natively.
+PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table — null count, exact
+    distinct count, min and max per column — the dbt/Deequ-style
+    profiling report that gates a dataset before it enters a pipeline.
+
+    Shape: exactly TWO passes regardless of column count (the test pins
+    the scan count). Pass 1 is a single 1-row aggregate carrying every
+    column's null count and native-order min/max, unpivoted via
+    ``stack``. Pass 2 computes every column's exact distinct count at
+    once: unpivot rows to (col_name, value), one distinct, one count
+    aggregate — the shape that holds when N columns would otherwise
+    mean N distinct-scans (which is what Catalyst's multi-distinct
+    rewrite degenerates to). The two 6-row results broadcast-join.
+    min/max stringify AFTER aggregating in the native type, so numeric
+    order (not lexicographic) decides them; floats canonicalize through
+    DECIMAL(18,2) to print engine-identically (distinctness is also at
+    that canonical precision, mirrored in the oracle).
+    """
+    orders = read_testdata(spark, sf_dir, "orders")
+
+    def _native(c: str, kind: str):
+        col = F.col(c)
+        return col.cast("decimal(18,2)") if kind == "num" else col
+
+    aggs = []
+    for c, kind in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(_native(c, kind)).cast("string").alias(f"{c}__min"),
+            F.max(_native(c, kind)).cast("string").alias(f"{c}__max"),
+        ]
+    row = orders.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c, _ in PROFILE_COLS
+    )
+    basic = row.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, min_value, max_value)",
+    )
+
+    unpivot_args = ", ".join(
+        f"'{c}', CAST({f'CAST({c} AS DECIMAL(18,2))' if kind == 'num' else c}"
+        " AS STRING)"
+        for c, kind in PROFILE_COLS
+    )
+    distincts = (
+        orders.selectExpr(
+            f"stack({len(PROFILE_COLS)}, {unpivot_args}) AS (col_name, _v)"
+        )
+        .where(F.col("_v").isNotNull())
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return basic.join(F.broadcast(distincts), "col_name").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, kind in PROFILE_COLS:
+        inner = f"CAST({c} AS DECIMAL(18,2))" if kind == "num" else c
+        parts.append(f"""SELECT '{c}' AS col_name,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {inner})::BIGINT AS n_distinct,
+       CAST(min({inner}) AS VARCHAR) AS min_value,
+       CAST(max({inner}) AS VARCHAR) AS max_value
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+TABLE_PROFILE_SQL = _profile_sql()

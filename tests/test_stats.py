@@ -61,3 +61,29 @@ def test_bloom_semijoin_no_false_negatives(spark):
     )
     assert bad.count() == 0
     rep.unpersist()
+
+
+def test_table_profile_single_pass_and_sane(spark):
+    """One row per profiled column; n_rows constant; nulls bounded by
+    rows; the min string never exceeds the max in the native order."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.plans.stats import PROFILE_COLS, table_profile
+
+    prof = table_profile(spark, "/root/testdata/sf0.001").cache()
+    rows = {r.col_name: r for r in prof.collect()}
+    assert set(rows) == {c for c, _ in PROFILE_COLS}
+    n = next(iter(rows.values())).n_rows
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n
+    # o_orderkey is a unique key in the synthetic orders table
+    assert rows["o_orderkey"].n_distinct == n
+    # exactly two scans of orders (basic-stats pass + distinct pass),
+    # independent of how many columns are profiled; use an uncached
+    # instance so InMemoryRelation doesn't distort the plan string
+    fresh = table_profile(spark, "/root/testdata/sf0.001")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[0].count("FileScan parquet") == 2
+    prof.unpersist()
