@@ -522,8 +522,13 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
-    flagged = grams.join(counts, "_h").select(
-        "doc_id", "pos", (F.col("_c") > 1).alias("is_dup")
+    # flagged feeds BOTH the per-doc totals and the run extraction; the
+    # boundary stops Catalyst re-running the explode + count-join twice
+    # (the expensive half of this plan at corpus scale).
+    flagged = (
+        grams.join(counts, "_h")
+        .select("doc_id", "pos", (F.col("_c") > 1).alias("is_dup"))
+        .persist()
     )
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
