@@ -250,3 +250,82 @@ SELECT date_trunc('hour', ts) AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable streaming query: the stream-stream interval join
+    run as a REAL two-batch AvailableNow replay, with exact batch parity.
+
+    Inner stream-stream joins emit a pair the moment both sides have
+    arrived — no watermark wait — so an append-mode memory sink holds
+    exactly the join result when the replay drains. The watermarks only
+    bound state, and the time-split replay cannot lose a cross-batch
+    match: batch 2 purchases all sit after batch 1's max event time, so
+    every view still inside the 1-hour interval of any future purchase
+    is within the retention horizon when batch 1 closes. The oracle is
+    the batch interval join, restated flat. Reference analog: the
+    S3-event-notification chaining between stages (SURVEY.md §2.10),
+    here as a first-class streaming join instead of a side-channel.
+    """
+    import tempfile
+    import uuid
+
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("cut")
+    ).collect()[0]["cut"]
+    src = tempfile.mkdtemp(prefix="ssjoin_replay_")
+    ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = f"ssjoin_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        purchases_with_recent_views_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        "view_id",
+        "view_ts",
+    )
+
+
+PURCHASE_VIEW_JOIN_STREAMED_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       round(p.value, 6) AS purchase_value,
+       v.event_id AS view_id,
+       v.ts AS view_ts
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+"""

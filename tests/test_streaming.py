@@ -126,3 +126,34 @@ def test_events_hourly_streamed_exact_batch_parity(spark):
     cols = ["hour", "event_type", "n_events", "sum_value"]
     assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
     assert got.count() > 0
+
+
+def test_purchase_view_join_streamed_exact_batch_parity(spark):
+    """The two-batch replay of the stream-stream interval join equals
+    the flat batch interval join (inner joins emit eagerly; the replay
+    cannot evict a view still joinable to a future purchase)."""
+    from de_final_project_spark.streaming.events import (
+        purchase_view_join_streamed,
+    )
+
+    got = purchase_view_join_streamed(spark, SF_DIR)
+    ev = read_testdata(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = p.join(
+        v,
+        (p["user_id"] == v["vu"])
+        & (v["view_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (v["view_ts"] <= p["purchase_ts"]),
+    ).select("purchase_id", "view_id")
+    cols = ["purchase_id", "view_id"]
+    assert _rows(got.select(*cols), cols) == _rows(want, cols)
+    assert got.count() > 0
