@@ -82,3 +82,116 @@ def row_group_ts_ranges(clustered_dir: str) -> list[tuple]:
             st = col.statistics
             out.append((name, md.row_group(g).num_rows, st.min, st.max))
     return out
+
+
+# ----------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering (round 5)
+# ----------------------------------------------------------------------
+
+Z_BITS = 8           # grid resolution per dimension (256 cells)
+Z_BUCKETS_SHIFT = 8  # z is 2*Z_BITS wide; >> 8 leaves 256 file buckets
+
+
+def _morton2(x, y):
+    """Bit-interleave two Z_BITS-wide nonneg ints: x in even positions,
+    y in odd — the Morton/Z-curve index, identical integer ops in any
+    engine."""
+    terms = None
+    for k in range(Z_BITS):
+        xb = F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
+        yb = F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        t = xb.bitwiseOR(yb)
+        terms = t if terms is None else terms.bitwiseOR(t)
+    return terms
+
+
+def _grid(col, lo: int, hi: int):
+    """Scale an integer key into the [0, 2^Z_BITS) grid by exact integer
+    arithmetic: (x - lo) * (2^B - 1) // max(1, hi - lo)."""
+    span = max(1, hi - lo)
+    # floor of the double quotient: both engines divide exactly-
+    # representable integers, so floor() agrees with integer division
+    # (an explicit floor because CAST truncates in Spark but ROUNDS in
+    # DuckDB — the one place the two engines' casts disagree).
+    return F.floor(
+        (col - F.lit(lo)) * F.lit((1 << Z_BITS) - 1) / F.lit(span)
+    ).cast("long")
+
+
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of orders on (customer, order day) with the
+    locality it buys measured per file bucket: both keys scale onto a
+    2^Z_BITS grid (exact integer arithmetic off min/max control-plane
+    scalars, the same class as the watermark probes), the Morton index
+    interleaves their bits, fixed-width z-ranges become file buckets,
+    and the report shows each bucket's row count plus its customer-key
+    span and day span. The point of Z-ORDER (Delta OPTIMIZE / liquid
+    clustering; the multi-D form of the 1-D sort layout above): BOTH
+    dimensions stay bounded per bucket, so a predicate on EITHER key
+    prunes most buckets — a single-key sort bounds only its own key and
+    a filter on the other key scans everything.
+
+    Shape: pure per-row integer expressions (codegen'd) plus one hash
+    aggregate on the bucket id; at scale the same z expression feeds
+    ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` to lay files
+    out — this report is the measurement half. Oracle restates the
+    scaling and interleave bit-for-bit.
+    """
+    orders = read_testdata(spark, sf_dir, "orders")
+    day_expr = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    b = orders.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min(day_expr),
+        F.max(day_expr),
+    ).first()
+    lo_c, hi_c, lo_d, hi_d = b[0], b[1], b[2], b[3]
+    z = _morton2(
+        _grid(F.col("o_custkey"), lo_c, hi_c), _grid(day_expr, lo_d, hi_d)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            day_expr.cast("long").alias("_day"),
+            F.shiftright(z, Z_BUCKETS_SHIFT).cast("long").alias("z_bucket"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("custkey_span"),
+            (F.max("_day") - F.min("_day")).alias("day_span"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    gmax = (1 << Z_BITS) - 1
+    xg = f"CAST(floor((o_custkey - m.lo_c) * {gmax} / greatest(1, m.hi_c - m.lo_c)) AS BIGINT)"
+    day = "datediff('day', DATE '1970-01-01', o_orderdate::DATE)"
+    yg = f"CAST(floor(({day} - m.lo_d) * {gmax} / greatest(1, m.hi_d - m.lo_d)) AS BIGINT)"
+    xbits = " | ".join(f"(((xg >> {k}) & 1) << {2 * k})" for k in range(Z_BITS))
+    ybits = " | ".join(
+        f"(((yg >> {k}) & 1) << {2 * k + 1})" for k in range(Z_BITS)
+    )
+    return f"""
+WITH m AS (
+  SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+         min({day}) AS lo_d, max({day}) AS hi_d
+  FROM orders
+), gridded AS (
+  SELECT o_custkey, {day} AS day, {xg} AS xg, {yg} AS yg
+  FROM orders, m
+), keyed AS (
+  SELECT o_custkey, day, (({xbits}) | ({ybits})) >> {Z_BUCKETS_SHIFT} AS z_bucket
+  FROM gridded
+)
+SELECT z_bucket::BIGINT AS z_bucket,
+       count(*)::BIGINT AS n_rows,
+       (max(o_custkey) - min(o_custkey))::BIGINT AS custkey_span,
+       (max(day) - min(day))::BIGINT AS day_span
+FROM keyed
+GROUP BY 1
+"""
+
+
+ZORDER_LOCALITY_STATS_SQL = _zorder_sql()

@@ -41,3 +41,32 @@ def test_row_groups_disjoint_and_slice_correct(spark, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Each z bucket pins the top 4 grid bits of BOTH keys, so per-
+    bucket spans must be a small fraction of the global spans — the
+    property a single-key sort cannot give the second key."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.plans.clustering import zorder_locality_stats
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    rep = zorder_locality_stats(spark, sf).cache()
+    orders = read_testdata(spark, sf, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    g = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max(day) - F.min(day)).alias("dy"),
+    ).first()
+    # rows conserved
+    assert rep.agg(F.sum("n_rows")).first()[0] == orders.count()
+    # every bucket bounds both dimensions to ~1/16 of the global span
+    # (4 fixed grid bits per dim; allow 2x slack for grid-cell rounding)
+    bad = rep.where(
+        (F.col("custkey_span") > g.ck / 8) | (F.col("day_span") > g.dy / 8)
+    )
+    assert bad.count() == 0
+    assert rep.count() > 100  # the curve actually spreads buckets
+    rep.unpersist()
