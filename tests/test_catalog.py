@@ -151,3 +151,21 @@ def test_read_parquet_evolving_merges_and_renames(spark, tmp_path):
     assert rows[1]["score"] is None  # old batch: evolved column nullable
     assert rows[2]["score"] == 9.5
     assert rows[1]["name"] == "a"
+
+
+def test_fk_candidates_discriminates(spark):
+    """All seven genuine FK edges report full containment; the negative
+    control (orders.o_orderkey -> customer.c_custkey) does not."""
+    from de_final_project_spark.sources.catalog import fk_candidates
+
+    rows = {
+        r.child_key: r
+        for r in fk_candidates(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) == 8
+    control = rows["orders.o_orderkey"]
+    assert not control.is_fk_shape and control.containment < 0.5
+    for key, r in rows.items():
+        if key != "orders.o_orderkey":
+            assert r.is_fk_shape and r.containment == 1.0, key
+        assert r.n_contained <= min(r.n_child_distinct, r.n_parent_distinct)
