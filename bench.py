@@ -62,6 +62,14 @@ BENCH_QUERIES_R5 = [
     "chunk_dedup",
     "customer_rfm_segments",
     "fact_lineitem_distributed_key",
+    # round-5 operator families (iterative BPE, sliding-window span
+    # dedup, bloom pruning, PQ, two-scan profiling, z-order):
+    "bpe_merges",
+    "dup_span_report",
+    "bloom_semijoin_prune",
+    "pq_codes",
+    "table_profile",
+    "zorder_locality_stats",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the

@@ -1,0 +1,119 @@
+"""Privacy transformations for sharing data outside its trust boundary.
+
+The reference ships raw counterparty / staff PII straight into its
+warehouse (src/process_lambda.py builds dim_staff with names and email
+addresses); any real deployment needs the governance pass between the
+lake and a consumer: deterministic pseudonymization (joinable tokens
+instead of identifiers), masking (human-readable but non-identifying),
+and generalization (bucketed quasi-identifiers for k-anonymity-style
+release).
+
+All transforms are pure column expressions — narrow projection, no
+shuffle, applied at read or publish time. Tokens are salted md5: stable
+across runs and tables (joins still work on the token), not reversible
+without the salt, and bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+TOKEN_SALT = "grafted-pepper-v1"  # rotate to re-key the token space
+ACCTBAL_BUCKET = 500  # generalization width for the balance column
+
+
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-ready customer table: key tokenized (salted md5 prefix,
+    still joinable), name masked to its last 3 characters, account
+    balance generalized to ACCTBAL_BUCKET-wide bands (floor semantics,
+    negative-safe), segment and nation kept as coarse attributes. One
+    row per customer; the oracle restates every transform exactly."""
+    cust = read_testdata(spark, sf_dir, "customer")
+    token = F.substring(
+        F.md5(F.concat(F.lit(TOKEN_SALT + "|"), F.col("c_custkey").cast("string"))),
+        1,
+        16,
+    )
+    masked_name = F.concat(
+        F.lit("***"), F.substring(F.col("c_name"), -3, 3)
+    )
+    band_lo = (
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("long")
+        * ACCTBAL_BUCKET
+    )
+    return cust.select(
+        token.alias("customer_token"),
+        masked_name.alias("name_masked"),
+        F.col("c_nationkey").alias("nation_key"),
+        band_lo.alias("acctbal_band_lo"),
+        (band_lo + ACCTBAL_BUCKET).alias("acctbal_band_hi"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+PSEUDONYMIZE_CUSTOMERS_SQL = f"""
+SELECT substr(md5('{TOKEN_SALT}|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+         AS customer_token,
+       '***' || substr(c_name, length(c_name) - 2, 3) AS name_masked,
+       c_nationkey AS nation_key,
+       (floor(c_acctbal / {ACCTBAL_BUCKET})::BIGINT * {ACCTBAL_BUCKET})
+         AS acctbal_band_lo,
+       (floor(c_acctbal / {ACCTBAL_BUCKET})::BIGINT * {ACCTBAL_BUCKET}
+        + {ACCTBAL_BUCKET}) AS acctbal_band_hi,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
+def pseudonymized_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prove the token space stays joinable: total order revenue per
+    customer TOKEN — the same salted-md5 expression applied to the
+    orders FK matches the pseudonymized dimension without ever exposing
+    the raw key in the output. Broadcast dim join + one hash aggregate;
+    the token is computed in the scan projection on both sides."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    fact_token = F.substring(
+        F.md5(F.concat(F.lit(TOKEN_SALT + "|"), F.col("o_custkey").cast("string"))),
+        1,
+        16,
+    )
+    dim = pseudonymize_customers(spark, sf_dir).select(
+        "customer_token", "segment"
+    )
+    return (
+        orders.select(
+            fact_token.alias("customer_token"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("_p"),
+        )
+        .join(F.broadcast(dim), "customer_token")
+        .groupBy("customer_token", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_p").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+PSEUDONYMIZED_REVENUE_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT substr(md5('{TOKEN_SALT}|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+           AS customer_token,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT f.customer_token, d.segment,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_revenue
+FROM (
+  SELECT substr(md5('{TOKEN_SALT}|' || CAST(o_custkey AS VARCHAR)), 1, 16)
+           AS customer_token,
+         o_totalprice
+  FROM orders
+) f
+JOIN dim d USING (customer_token)
+GROUP BY 1, 2
+"""

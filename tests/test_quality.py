@@ -81,3 +81,40 @@ def test_unique_key_empty_input(spark):
     empty = spark.createDataFrame([], "id long")
     (row,) = check_unique_key(empty, ["id"]).collect()
     assert (row["violations"], row["total"]) == (0, 0)
+
+
+def test_pseudonymization_tokens_joinable_and_nonreversible(spark):
+    """Tokens are unique per customer, reproduce on the fact side (the
+    revenue join covers every customer with orders), and no output
+    column leaks the raw key or full name."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.privacy import (
+        pseudonymize_customers,
+        pseudonymized_revenue_join,
+    )
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    dim = pseudonymize_customers(spark, sf).cache()
+    n_cust = read_testdata(spark, sf, "customer").count()
+    assert dim.count() == n_cust
+    assert dim.select("customer_token").distinct().count() == n_cust
+    assert set(dim.columns) == {
+        "customer_token",
+        "name_masked",
+        "nation_key",
+        "acctbal_band_lo",
+        "acctbal_band_hi",
+        "segment",
+    }
+    assert dim.where(~F.col("name_masked").startswith("***")).count() == 0
+    assert dim.where(
+        F.col("acctbal_band_hi") - F.col("acctbal_band_lo") != 500
+    ).count() == 0
+    joined = pseudonymized_revenue_join(spark, sf)
+    n_cust_with_orders = (
+        read_testdata(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
+    assert joined.count() == n_cust_with_orders
+    dim.unpersist()
