@@ -126,6 +126,21 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         bucketing.drop_bucketed_tables(spark)
 
+    # Expression-vs-Pandas-UDF A/B on identical semantics (doc_quality):
+    # the measured cost of leaving whole-stage codegen for the Arrow
+    # boundary, reported in the non-frozen section.
+    from de_final_project_spark.operators.textquality import doc_quality_pandas
+
+    for _ in range(REPS):
+        for name, fn in (
+            ("doc_quality_expr", entry_mod.queries()["doc_quality"]),
+            ("doc_quality_pandas_udf", doc_quality_pandas),
+        ):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings_r5[name] = min(timings_r5.get(name, dt), dt)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

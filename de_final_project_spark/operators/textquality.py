@@ -595,3 +595,77 @@ WHERE c_ab >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT {PMI_TOP_K}
 """
+
+
+def doc_quality_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas twin of ``doc_quality`` — NOT the production
+    path. It exists to MEASURE the expression-vs-Python gap instead of
+    asserting it: bench.py times both on identical input and
+    tests pin value parity. Vectorized pandas string ops throughout
+    (the best case for the Python path — row-at-a-time UDFs would only
+    widen the gap); the JVM expression version stays the engine's
+    default because it keeps the whole plan in codegen and off the
+    Arrow transfer boundary.
+    """
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    stop = {w.lower() for w in LANG_STOPWORDS["en"]}
+
+    schema = (
+        "doc_id long, n_tokens long, stopword_ratio double, "
+        "mean_token_len double, punct_ratio double, digit_ratio double, "
+        "quality_score double"
+    )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(series):
+        # Spark ROUND(double, 6) is BigDecimal HALF_UP on the double's
+        # SHORTEST decimal form (BigDecimal.valueOf -> Double.toString);
+        # Python repr() produces the same shortest round-trip string.
+        # pandas .round is half-even on the binary value — both wrong.
+        q = Decimal("0.000001")
+        return series.apply(
+            lambda v: float(
+                Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+        )
+
+    def score(batches):
+        for pdf in batches:
+            s = pdf["text"].fillna("")
+            toks = s.str.strip().str.split()
+            toks = toks.apply(lambda l: l if isinstance(l, list) else [])
+            n_tokens = toks.str.len().astype("int64")
+            token_chars = toks.apply(lambda l: sum(len(t) for t in l))
+            stop_hits = toks.apply(
+                lambda l: sum(1 for t in l if t.lower() in stop)
+            )
+            n_chars = s.str.len().astype("int64")
+            punct = s.str.count(r"[.,;:!?]")
+            digits = s.str.count(r"[0-9]")
+            nt = n_tokens.where(n_tokens > 0)
+            nc = n_chars.where(n_chars > 0)
+            stop_ratio = (stop_hits / nt).fillna(0.0)
+            mean_tok = (token_chars / nt).fillna(0.0)
+            punct_ratio = (punct / nc).fillna(0.0)
+            digit_ratio = (digits / nc).fillna(0.0)
+            score_col = (
+                stop_ratio * 0.5
+                + mean_tok.clip(upper=10.0) / 20.0
+                + (1.0 - punct_ratio)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tokens,
+                    "stopword_ratio": _round6(stop_ratio),
+                    "mean_token_len": _round6(mean_tok),
+                    "punct_ratio": _round6(punct_ratio),
+                    "digit_ratio": _round6(digit_ratio),
+                    "quality_score": _round6(score_col),
+                }
+            )
+
+    return docs.mapInPandas(score, schema)

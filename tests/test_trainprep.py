@@ -352,3 +352,19 @@ def test_dup_span_report_invariants(spark):
     )
     assert dup_pair.count() == full.count()
     rep.unpersist()
+
+
+def test_doc_quality_pandas_twin_exact_parity(spark):
+    """The Arrow mapInPandas twin reproduces the expression version
+    bit-for-bit (including Spark's HALF_UP-on-shortest-decimal
+    rounding) — the bench A/B compares identical semantics."""
+    from de_final_project_spark.operators.textquality import (
+        doc_quality,
+        doc_quality_pandas,
+    )
+
+    a = {r.doc_id: tuple(r) for r in doc_quality(spark, SF_DIR).collect()}
+    b = {
+        r.doc_id: tuple(r) for r in doc_quality_pandas(spark, SF_DIR).collect()
+    }
+    assert a == b
