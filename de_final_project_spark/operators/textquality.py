@@ -27,8 +27,16 @@ _ROLL_MOD = 2**32
 
 
 def _hits(toks: Column, words: list[str]) -> Column:
-    sw = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+    # Literal MAP, not array_contains: element_at on a map is a hash
+    # probe, so the filter is O(tokens) instead of O(tokens x stopwords)
+    # — measured 2x on the doc_quality scorer at sf0.1 (the array form
+    # was slow enough that the Arrow pandas twin beat the JVM).
+    sw = F.create_map(
+        *[x for w in words for x in (F.lit(w), F.lit(1))]
+    )
+    return F.size(
+        F.filter(toks, lambda t: F.element_at(sw, F.lower(t)).isNotNull())
+    ).cast("long")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,8 +90,14 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: stopword ratio, mean token length,
     punctuation/digit ratios, and a composite score — the standard cheap
     quality filter of a corpus pipeline. Narrow projection, no shuffle."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Tokenize ONCE into a materialized column: five stat columns each
+    # referencing tokens(text) directly would re-split the text five
+    # times (Catalyst does not CSE higher-order-function subtrees across
+    # project columns) — measured ~2x on the whole scorer at sf0.1.
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
     stop_hits = _hits(toks, LANG_STOPWORDS["en"])
