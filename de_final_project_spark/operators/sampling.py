@@ -219,3 +219,54 @@ FROM coin
 
 
 MIXTURE_RESAMPLE_SQL = _mixture_resample_sql()
+
+
+SAMPLE_K = 100
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement via PRIORITY SAMPLING
+    (sequential Poisson, Duffield/Ohlsson): each doc draws a
+    deterministic uniform u from its id hash and gets priority u/weight;
+    the SAMPLE_K smallest priorities are the sample — inclusion
+    probability approaches weight-proportional (pps) with none of the
+    rejection loops or RNG state a naive weighted sampler needs. Weight
+    here is document length in chars (sample long docs preferentially —
+    the corpus-inspection shape).
+
+    Determinism: u is the md5 bucket (integer), weight is an integer,
+    and u/w is ONE correctly-rounded IEEE division — bit-identical in
+    every engine, so the selected set is exactly reproducible and
+    incrementally stable. Shape: narrow projection + global top-K
+    (Spark's TakeOrdered — a per-partition heap then a K-row merge, no
+    global sort). Ties break by doc_id.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")
+    u = hash_bucket("doc_id", 1 << 30).cast("long")
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    pri = u.cast("double") / w.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.alias("weight"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_K)
+        .select("doc_id", "lang", "weight", F.round("_pri", 6).alias("priority"))
+    )
+
+
+WEIGHTED_DOC_SAMPLE_SQL = f"""
+SELECT doc_id, lang, weight, round(pri, 6) AS priority
+FROM (
+  SELECT doc_id, lang,
+         greatest(n_chars, 1) AS weight,
+         ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {1 << 30})::DOUBLE / greatest(n_chars, 1)) AS pri
+  FROM documents
+)
+ORDER BY pri ASC, doc_id ASC
+LIMIT {SAMPLE_K}
+"""

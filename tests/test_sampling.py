@@ -97,3 +97,27 @@ def test_mixture_resample_hits_target_in_expectation(spark):
         lang for lang, n in out.items() if n == 0
     }
     rs.unpersist()
+
+
+def test_weighted_doc_sample_prefers_heavy_docs(spark):
+    """Exactly K rows; deterministic across invocations; the sampled
+    docs' mean weight exceeds the corpus mean (pps pulls long docs)."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.sampling import (
+        SAMPLE_K,
+        weighted_doc_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s1 = weighted_doc_sample(spark, sf).collect()
+    s2 = weighted_doc_sample(spark, sf).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    assert len(s1) == SAMPLE_K
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg(F.greatest("n_chars", F.lit(1))))
+        .first()[0]
+    )
+    sample_mean = sum(r.weight for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
