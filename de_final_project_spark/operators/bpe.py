@@ -80,6 +80,11 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = []
     cur = vocab
+    # Every iteration's cache fills lazily as a side effect of the NEXT
+    # pair-count collect, so no extra materialization job runs per step;
+    # all generations stay pinned until the loop ends (the vocab frame
+    # is aggregate-sized) and release together.
+    generations = [vocab]
     for step in range(1, BPE_MERGES + 1):
         best = (
             _pair_counts(cur)
@@ -100,7 +105,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best.pair_count,
             )
         )
-        nxt = cur.select(
+        cur = cur.select(
             "word",
             "freq",
             F.replace(
@@ -109,10 +114,9 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {best.left_sym}{best.right_sym} "),
             ).alias("seq"),
         ).cache()
-        nxt.count()  # materialize before dropping the parent
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        generations.append(cur)
+    for g in generations:
+        g.unpersist()
     return spark.createDataFrame(
         merges,
         "step long, left_sym string, right_sym string, merged_sym string, "
