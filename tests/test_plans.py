@@ -204,3 +204,46 @@ def test_trailing_window_single_shuffle(plans):
     p = plans("user_trailing_window")
     assert p.count("hashpartitioning(") == 1
     assert "Window" in p
+
+
+def test_pq_assignment_broadcasts_codebook(plans):
+    """PQ encoding must ship the 64-row codebook to the vectors, never
+    shuffle the corpus against it; the only exchange is the per-vector
+    argmin window."""
+    p = plans("pq_codes")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bloom_probe_broadcasts_filter_words(plans):
+    """The probe side joins the 66-word bloom table broadcast; the fact
+    side must not shuffle before the pruning decision."""
+    p = plans("bloom_semijoin_prune")
+    assert p.count("BroadcastHashJoin") >= 2  # bloom words + truth dim
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_zorder_is_scan_project_aggregate(plans):
+    """Z-values are pure per-row integer expressions: one scan, one
+    hash aggregate, no joins at all."""
+    p = plans("zorder_locality_stats")
+    assert "Join" not in p
+    # formatted explain lists each node twice (tree + detail): 1 scan
+    assert p.count("Scan parquet") == 2
+
+
+def test_weighted_sample_uses_topk_not_global_sort(plans):
+    """Priority sampling compiles to TakeOrderedAndProject (partition
+    heaps + K-row merge), not a full Sort + Limit."""
+    p = plans("weighted_doc_sample")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_incremental_rollup_two_scans_no_join(plans):
+    """Partial-aggregate maintenance is two filtered scans and a merge
+    aggregate — no join anywhere."""
+    p = plans("incremental_hourly_rollup")
+    assert "Join" not in p
+    # formatted explain lists each node twice (tree + detail): 2 scans
+    assert p.count("Scan parquet") == 4
