@@ -553,3 +553,66 @@ FROM (
 )
 WHERE rank <= {TRIGRAM_TOP_K}
 """
+
+
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the copurchase graph in power-of-two
+    buckets: how many parts have 1, 2-3, 4-7, ... co-buy partners — the
+    first diagnostic of any graph workload (degree skew is what breaks
+    naive graph joins at scale; a heavy-tailed histogram is the cue to
+    salt or split hub vertices before wedge-shaped self-joins).
+
+    Shape: degree = one hash aggregate over the edge list; bucket =
+    floor(log2(degree)); histogram = a second tiny aggregate. The
+    log2-floor computes as bit length via a BIGINT cast of the exact
+    power, avoiding float log disagreements between engines.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # floor(log2(d)) via string-free integer math: width of d in bits
+    # minus one. Spark: 63 - leading zeros is unavailable, so use the
+    # double log rounded DOWN with an exactness guard: for d < 2^40 the
+    # IEEE log2 of an exact integer never lands below its true value by
+    # an ulp that crosses an integer boundary except at exact powers,
+    # where it is exact — floor(log2(d)) is engine-stable.
+    bucket = F.floor(F.log2(F.col("degree").cast("double"))).cast("long")
+    return (
+        deg.select("degree", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").alias(
+                "bucket_lo"
+            ),
+            "n_parts",
+            "min_degree",
+            "max_degree",
+        )
+    )
+
+
+COPURCHASE_DEGREE_HISTOGRAM_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src AS part_key, count(*)::BIGINT AS degree FROM edges GROUP BY 1
+)
+SELECT bucket,
+       (1::BIGINT << bucket::INT) AS bucket_lo,
+       count(*)::BIGINT AS n_parts,
+       min(degree)::BIGINT AS min_degree,
+       max(degree)::BIGINT AS max_degree
+FROM (SELECT degree, CAST(floor(log2(degree::DOUBLE)) AS BIGINT) AS bucket
+      FROM deg)
+GROUP BY bucket
+"""

@@ -234,3 +234,85 @@ FROM orders""")
 
 
 TABLE_PROFILE_SQL = _profile_sql()
+
+
+def segment_nation_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for market segment x nation over
+    customers: observed count, expected count under independence
+    (row_total x col_total / N), and the cell's chi-square contribution
+    — the association test a feature-engineering pass runs before
+    trusting a categorical cross. Per-cell output keeps every float op
+    a fixed expression tree (no accumulation-order dependence); the
+    caller sums contributions for the statistic.
+
+    Shape: one hash aggregate to cell counts, then window totals OVER
+    THE AGGREGATED FRAME (at most |segments| x |nations| rows — the
+    unpartitioned grand-total window runs on an aggregate-sized frame,
+    not the raw table, so the single-partition stage is bounded by
+    category cardinality, never row count).
+    """
+    cust = read_testdata(spark, sf_dir, "customer")
+    sparse = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_key"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    # Chi-square needs the DENSE grid: absent combinations carry
+    # expected mass (their term is E itself), so densify via the tiny
+    # category dims (a constant-key equi-join — hash join, not a
+    # nested-loop — keeps the whole report inside the no-BNLJ plan
+    # contract) and left-join the sparse counts back.
+    segs = sparse.select("segment").distinct().withColumn("_k", F.lit(1))
+    nats = sparse.select("nation_key").distinct().withColumn("_k", F.lit(1))
+    cells = (
+        segs.join(nats, "_k")
+        .drop("_k")
+        .join(sparse, ["segment", "nation_key"], "left")
+        .select(
+            "segment",
+            "nation_key",
+            F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+        )
+    )
+    from pyspark.sql import Window
+
+    row_w = Window.partitionBy("segment")
+    col_w = Window.partitionBy("nation_key")
+    all_w = Window.partitionBy()
+    expected = (
+        F.sum("observed").over(row_w)
+        * F.sum("observed").over(col_w)
+        / F.sum("observed").over(all_w)
+    ).cast("double")
+    return cells.select(
+        "segment",
+        "nation_key",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("observed").cast("double") - expected) ** 2 / expected, 6
+        ).alias("chi2_term"),
+    )
+
+
+SEGMENT_NATION_CONTINGENCY_SQL = """
+WITH sparse AS (
+  SELECT c_mktsegment AS segment, c_nationkey AS nation_key,
+         count(*)::BIGINT AS observed
+  FROM customer GROUP BY 1, 2
+), cells AS (
+  SELECT s.segment, n.nation_key, coalesce(sp.observed, 0)::BIGINT AS observed
+  FROM (SELECT DISTINCT segment FROM sparse) s
+  CROSS JOIN (SELECT DISTINCT nation_key FROM sparse) n
+  LEFT JOIN sparse sp USING (segment, nation_key)
+), tot AS (
+  SELECT segment, nation_key, observed,
+         CAST(sum(observed) OVER (PARTITION BY segment)
+              * sum(observed) OVER (PARTITION BY nation_key)
+              / sum(observed) OVER () AS DOUBLE) AS expected
+  FROM cells
+)
+SELECT segment, nation_key, observed,
+       round(expected, 6) AS expected,
+       round(pow(observed::DOUBLE - expected, 2) / expected, 6) AS chi2_term
+FROM tot
+"""

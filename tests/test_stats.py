@@ -87,3 +87,45 @@ def test_table_profile_single_pass_and_sane(spark):
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert plan.split("== Initial Plan ==")[0].count("FileScan parquet") == 2
     prof.unpersist()
+
+
+def test_contingency_marginals_and_expected_mass(spark):
+    """Observed and expected both sum to N (the independence model
+    preserves total mass); every chi2 term is non-negative."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.plans.stats import segment_nation_contingency
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    cells = segment_nation_contingency(spark, sf).cache()
+    n = read_testdata(spark, sf, "customer").count()
+    tot = cells.agg(F.sum("observed"), F.sum("expected")).first()
+    assert tot[0] == n
+    assert abs(tot[1] - n) < 0.01  # expected sums to N up to rounding
+    assert cells.where(F.col("chi2_term") < 0).count() == 0
+    cells.unpersist()
+
+
+def test_degree_histogram_buckets_partition_degrees(spark):
+    """Bucket boundaries hold (2^b <= min <= max < 2^(b+1)) and part
+    counts sum to the number of graph nodes."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.operators.corpusops import (
+        copurchase_degree_histogram,
+        copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    h = copurchase_degree_histogram(spark, sf).cache()
+    bad = h.where(
+        (F.col("min_degree") < F.col("bucket_lo"))
+        | (F.col("max_degree") >= 2 * F.col("bucket_lo"))
+    )
+    assert bad.count() == 0
+    n_nodes = (
+        copurchase_edges(spark, sf).select("src").distinct().count()
+    )
+    assert h.agg(F.sum("n_parts")).first()[0] == n_nodes
+    h.unpersist()
