@@ -257,15 +257,14 @@ def segment_nation_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nation_key"),
     ).agg(F.count(F.lit(1)).alias("observed"))
     # Chi-square needs the DENSE grid: absent combinations carry
-    # expected mass (their term is E itself), so densify via the tiny
-    # category dims (a constant-key equi-join — hash join, not a
-    # nested-loop — keeps the whole report inside the no-BNLJ plan
-    # contract) and left-join the sparse counts back.
-    segs = sparse.select("segment").distinct().withColumn("_k", F.lit(1))
-    nats = sparse.select("nation_key").distinct().withColumn("_k", F.lit(1))
+    # expected mass (their term is E itself), so densify with an
+    # explicit cross of the tiny category dims (|segments| x |nations|
+    # rows; allowlisted in the BNLJ sweep as a bounded intentional
+    # cross product) and left-join the sparse counts back.
+    segs = sparse.select("segment").distinct()
+    nats = sparse.select("nation_key").distinct()
     cells = (
-        segs.join(nats, "_k")
-        .drop("_k")
+        segs.crossJoin(nats)
         .join(sparse, ["segment", "nation_key"], "left")
         .select(
             "segment",

@@ -39,6 +39,10 @@ BNLJ_ALLOWED = {
     "q22_sales_opportunity",  # avg-balance scalar pin
     "source_quality_report",  # corpus-stat scalar pin
     "customer_rfm_segments",  # 1-row corpus-max-date scalar pin
+    # |segments| x |nations| grid densification (~125 rows): Catalyst
+    # folds the constant-key equi-join back to a nested loop; the cross
+    # product is the intent and is bounded by category cardinality.
+    "segment_nation_contingency",
 }
 
 
