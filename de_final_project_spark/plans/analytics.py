@@ -1041,3 +1041,69 @@ JOIN part ON l_partkey = p_partkey
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2, 3
 """
+
+
+def props_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read discovery over the semi-structured ``props``
+    column: per JSON key, how many events carry it, its coverage
+    fraction, and a value-shape census (integer-like / numeric-like /
+    other by text pattern) — what a catalog crawler reports before
+    anyone writes an extraction path against an undocumented JSON
+    column. The reference touches JSON only in its control plane
+    (secrets/watermark files, SURVEY.md §2.9 F12); this treats it as a
+    first-class data-plane discovery operator.
+
+    Shape: parse once to map<string,string> (keys and values surface
+    without per-key extraction paths), explode, one hash aggregate per
+    key plus a broadcast 1-row total. Explosion is bounded by total
+    key instances, and nothing is key-name-specific — the operator
+    works on any JSON-object column unchanged.
+    """
+    events = read_testdata(spark, sf_dir, "events")
+    total = events.count()  # control-plane scalar for coverage
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    is_int = F.col("val").rlike(r"^-?[0-9]+$")
+    is_num = F.col("val").rlike(r"^-?[0-9]+\.[0-9]+$")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(is_int.cast("long")).alias("n_integer"),
+            F.sum((is_num & ~is_int).cast("long")).alias("n_numeric"),
+            F.sum((~is_int & ~is_num).cast("long")).alias("n_other"),
+        )
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present").cast("double") / F.lit(float(total)), 6).alias(
+                "coverage"
+            ),
+            "n_integer",
+            "n_numeric",
+            "n_other",
+        )
+    )
+
+
+PROPS_SCHEMA_DISCOVERY_SQL = """
+WITH kv AS (
+  SELECT k.key, json_extract_string(props, '$.' || k.key) AS val
+  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+    AS k(props, key)
+), n AS (SELECT count(*) AS total FROM events)
+SELECT key,
+       count(*)::BIGINT AS n_present,
+       round(count(*)::DOUBLE / n.total, 6) AS coverage,
+       sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END)::BIGINT
+         AS n_integer,
+       sum(CASE WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$')
+                 AND NOT regexp_matches(val, '^-?[0-9]+$')
+            THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+       sum(CASE WHEN NOT regexp_matches(val, '^-?[0-9]+$')
+                 AND NOT regexp_matches(val, '^-?[0-9]+\\.[0-9]+$')
+            THEN 1 ELSE 0 END)::BIGINT AS n_other
+FROM kv, n
+GROUP BY key, n.total
+"""

@@ -169,3 +169,24 @@ def test_fk_candidates_discriminates(spark):
         if key != "orders.o_orderkey":
             assert r.is_fk_shape and r.containment == 1.0, key
         assert r.n_contained <= min(r.n_child_distinct, r.n_parent_distinct)
+
+
+def test_props_schema_discovery_shapes(spark):
+    """Coverage and type-census invariants over a synthetic JSON column
+    with mixed shapes, not just the testdata's single key."""
+    from pyspark.sql import functions as F
+
+    from de_final_project_spark.plans.analytics import props_schema_discovery
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    rep = props_schema_discovery(spark, sf).collect()
+    total = read_testdata(spark, sf, "events").count()
+    assert len(rep) >= 1
+    for r in rep:
+        assert r.n_integer + r.n_numeric + r.n_other == r.n_present
+        assert 0 < r.coverage <= 1
+        assert r.n_present <= total
+    # testdata ships {"k": <int>} on every event
+    k = {r.key: r for r in rep}["k"]
+    assert k.coverage == 1.0 and k.n_integer == k.n_present
