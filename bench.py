@@ -61,7 +61,10 @@ BENCH_QUERIES_R5 = [
     "corpus_curation",
     "chunk_dedup",
     "customer_rfm_segments",
-    "fact_lineitem_distributed_key",
+    # round 6: fact_lineitem's default key is now the distributed form
+    # (measured in the frozen set); this row keeps measuring the parity
+    # funnel so the 3x gap stays visible round over round.
+    "fact_lineitem_parity_key",
     # round-5 operator families (iterative BPE, sliding-window span
     # dedup, bloom pruning, PQ, two-scan profiling, z-order):
     "bpe_merges",

@@ -9,7 +9,11 @@ broadcast hash join — the fact side never shuffles) -> project/rename ->
 per-run sequence record id (W2).
 
 Record ids are per-run sequence numbers ordered by the business key, which
-makes them deterministic for a given input (SURVEY.md §7.4 risk 1).
+makes them deterministic for a given input (SURVEY.md §7.4 risk 1). They
+are assigned with the distributed strategy (range-partition + local rank +
+broadcast offsets) — same assignment as a global row_number over the same
+ordering, without the single-partition sort the reference's
+``range(1, len(df)+1)`` transcribes to.
 """
 
 from __future__ import annotations
@@ -19,7 +23,9 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.functions.datetime import time_string
 from de_final_project_spark.operators.dedup import keep_latest
-from de_final_project_spark.operators.surrogate import add_sequence_key
+from de_final_project_spark.operators.surrogate import (
+    add_sequence_key_distributed,
+)
 
 
 def _date_key_join(df: DataFrame, dim_date: DataFrame, date_col: str) -> DataFrame:
@@ -62,7 +68,7 @@ def make_fact_payment(payment: DataFrame, dim_date: DataFrame) -> DataFrame:
         "payment_amount", "currency_id", "payment_type_id", "paid",
         "payment_date",
     )
-    return add_sequence_key(p, "record_payment_id", "payment_id")
+    return add_sequence_key_distributed(p, "record_payment_id", "payment_id")
 
 
 def make_fact_purchase_order(purchase_order: DataFrame, dim_date: DataFrame) -> DataFrame:
@@ -87,7 +93,9 @@ def make_fact_purchase_order(purchase_order: DataFrame, dim_date: DataFrame) -> 
         "currency_id", "agreed_delivery_date", "agreed_payment_date",
         "agreed_delivery_location_id",
     )
-    return add_sequence_key(po, "purchase_record_id", "purchase_order_id")
+    return add_sequence_key_distributed(
+        po, "purchase_record_id", "purchase_order_id"
+    )
 
 
 def make_fact_sales_order(sales_order: DataFrame, dim_date: DataFrame) -> DataFrame:
@@ -113,7 +121,7 @@ def make_fact_sales_order(sales_order: DataFrame, dim_date: DataFrame) -> DataFr
         "agreed_payment_date", "agreed_delivery_date",
         "agreed_delivery_location_id",
     )
-    return add_sequence_key(so, "sales_record_id", "sales_order_id")
+    return add_sequence_key_distributed(so, "sales_record_id", "sales_order_id")
 
 
 def stable_date_key(col: str):

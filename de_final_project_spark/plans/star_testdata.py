@@ -258,36 +258,34 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physical shape: lineitem never shuffles for the date joins (broadcast);
     the only wide exchanges are the orders join (shuffled hash join on
-    orderkey — at 100 TB both sides bucket on orderkey) and the final
-    global sequence key, which exists for reference parity (W2).
+    orderkey — at 100 TB both sides bucket on orderkey) and the sequence
+    key's range repartition.
 
-    Sequence-key strategy (SURVEY.md §7.4 risk 1): this variant keeps
-    the single-window global row_number purely for reference parity —
-    bench.py measures both variants, and at sf0.1 the distributed twin
-    is already ~3.7× faster (0.88 s vs 3.20 s best-of-3), so prefer
-    fact_lineitem_distributed_key for anything beyond dimension-sized
-    outputs; both are oracle-checked bit-identical.
-    """
-    projected = _fact_lineitem_projected(spark, sf_dir)
-    return add_sequence_key(projected, "sales_record_id", projected.columns)
-
-
-def fact_lineitem_distributed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path twin of fact_lineitem: identical star build and output
-    (same total ordering ⇒ same key assignment), but the sequence key
-    comes from add_sequence_key_distributed — range-partition on the
-    ordering, local row_number, broadcast O(partitions) offsets — so no
-    stage funnels through a single partition. This is the variant to run
-    when the fact exceeds ~10^8 rows; the parity variant exists because
-    the reference's record ids are a global sort artifact (W2)."""
-    from de_final_project_spark.operators.surrogate import (
-        add_sequence_key_distributed,
-    )
-
+    Sequence-key strategy (SURVEY.md §7.4 risk 1): the DEFAULT is the
+    distributed form — range-partition on the ordering, local
+    row_number, broadcast O(partitions) offsets — because the
+    single-window global row_number the reference's ids imply costs a
+    measured 3× at just 600 k rows (sf0.1: 2.79 s vs 0.94 s, round-5
+    bench) and grows super-linearly. Both strategies produce the SAME
+    key assignment for the same total ordering (oracle-checked
+    bit-identical against FACT_LINEITEM_SQL); fact_lineitem_parity_key
+    keeps the single-window form as the documented reference-parity
+    demo."""
     projected = _fact_lineitem_projected(spark, sf_dir)
     return add_sequence_key_distributed(
         projected, "sales_record_id", projected.columns
     )
+
+
+def fact_lineitem_parity_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity twin of fact_lineitem: identical star build and
+    output, but the sequence key comes from the single-window global
+    row_number — the literal Spark transcription of the reference's
+    ``df.insert(0, key, range(1, len(df)+1))`` (src/process_lambda.py:433,
+    W2). Kept as the documented parity demo and the measured cost of the
+    funnel; the default fact path is the distributed form."""
+    projected = _fact_lineitem_projected(spark, sf_dir)
+    return add_sequence_key(projected, "sales_record_id", projected.columns)
 
 
 FACT_LINEITEM_SQL = """
