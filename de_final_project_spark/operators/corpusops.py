@@ -378,6 +378,13 @@ COPURCHASE_PAGERANK_SQL = _pagerank_sql()
 # Triangle counting (graph cohesion over the copurchase graph)
 # ----------------------------------------------------------------------
 
+# Broadcast the closing-edge list only below this oriented-edge count
+# (~160 MB of (long, long) rows). Above it the semi-join runs shuffled —
+# slower but memory-safe. Module-level so tests can monkeypatch the
+# threshold and assert the un-hinted plan.
+TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation count over the copurchase graph —
     the standard cohesion signal (a part in many triangles sits in a
@@ -392,20 +399,28 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is counted once per member vertex via an explode of its three
     corners (one narrow op), then a hash aggregate.
 
-    The closing-edge check BROADCASTS the oriented edge list: the wedge
-    stream is quadratic in degree (~40× the edge count here) while the
-    build side is two longs per edge, so shipping edges to the wedges —
-    not 49M wedges to a shuffle — is the right asymmetry (measured 3.5×
-    end-to-end at sf0.1). Broadcast holds to ~10⁸ edges (≈1.6 GB);
-    beyond that drop the hint and the identical plan runs as a shuffled
-    semi-join on (a, c).
+    The closing-edge check BROADCASTS the oriented edge list when it is
+    small enough: the wedge stream is quadratic in degree (~40× the edge
+    count here) while the build side is two longs per edge, so shipping
+    edges to the wedges — not 49M wedges to a shuffle — is the right
+    asymmetry (measured 3.5× end-to-end at sf0.1). The hint is
+    SIZE-GATED on the materialized edge count (the persist makes the
+    count a cheap re-read): past TRIANGLE_BROADCAST_MAX_EDGES (10⁷
+    oriented edges ≈ 160 MB of two-long rows, comfortably under driver/
+    executor memory; 10⁸ would be ≈1.6 GB and OOM-prone) the identical
+    plan runs un-hinted as a shuffled semi-join on (a, c) — the
+    documented degrade is automatic, not a manual edit.
     """
     edges = copurchase_edges(spark, sf_dir).where(F.col("src") < F.col("dst")).persist()
     ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
     closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    triangles = wedges.join(F.broadcast(closing), ["a", "c"], "left_semi")
+    # Edge count is O(1) off the persisted relation; semantics of both
+    # branches are identical, only the physical join strategy differs.
+    if edges.count() <= TRIANGLE_BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
     corners = triangles.select(
         F.explode(F.array("a", "b", "c")).alias("part_key")
     )

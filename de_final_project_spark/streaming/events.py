@@ -192,9 +192,7 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     form. Reference analog: the 20-minute scheduled re-aggregate
     (SURVEY.md §2.10), expressed as bounded keyed state instead of a
     full recompute."""
-    import tempfile
-    import uuid
-
+    from de_final_project_spark.session import scratch_dir
     from de_final_project_spark.sources.readers import read_testdata
 
     ev = read_testdata(spark, sf_dir, "events").select(
@@ -209,7 +207,12 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("cut")
     ).collect()[0]["cut"]
-    src = tempfile.mkdtemp(prefix="hourly_replay_")
+    # Fixed scratch path + fixed sink name: repeated invocations reuse
+    # (and first wipe) one replay dir and replace one memory-sink view
+    # instead of accumulating per-run orphans (ADVICE r5). Invocations
+    # are sequential per session; the previous run's sink is consumed
+    # before the next run starts.
+    src = scratch_dir("hourly_replay")
     ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
         os.path.join(src, "a")
     )
@@ -222,7 +225,8 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    sink = f"hourly_streamed_{uuid.uuid4().hex[:8]}"
+    sink = "hourly_streamed_sink"
+    spark.catalog.dropTempView(sink)
     q = (
         hourly_rollup_stream(stream)
         .writeStream.format("memory")
@@ -267,9 +271,7 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     S3-event-notification chaining between stages (SURVEY.md §2.10),
     here as a first-class streaming join instead of a side-channel.
     """
-    import tempfile
-    import uuid
-
+    from de_final_project_spark.session import scratch_dir
     from de_final_project_spark.sources.readers import read_testdata
 
     ev = read_testdata(spark, sf_dir, "events").select(
@@ -282,7 +284,7 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("cut")
     ).collect()[0]["cut"]
-    src = tempfile.mkdtemp(prefix="ssjoin_replay_")
+    src = scratch_dir("ssjoin_replay")
     ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
         os.path.join(src, "a")
     )
@@ -295,7 +297,8 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    sink = f"ssjoin_streamed_{uuid.uuid4().hex[:8]}"
+    sink = "ssjoin_streamed_sink"
+    spark.catalog.dropTempView(sink)
     q = (
         purchases_with_recent_views_stream(stream)
         .writeStream.format("memory")

@@ -204,11 +204,10 @@ def event_transitions_streamed(spark, sf_dir: str) -> DataFrame:
     its single global watermark record.
     """
     import os
-    import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
+    from de_final_project_spark.session import scratch_dir
     from de_final_project_spark.sources.readers import read_testdata
 
     ev = read_testdata(spark, sf_dir, "events").select(
@@ -219,7 +218,7 @@ def event_transitions_streamed(spark, sf_dir: str) -> DataFrame:
     cut = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("cut")
     ).collect()[0]["cut"]
-    src = tempfile.mkdtemp(prefix="transitions_replay_")
+    src = scratch_dir("transitions_replay")
     # Written a/ then b/ so file-source mtime order replays time order.
     ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
         os.path.join(src, "a")
@@ -233,7 +232,8 @@ def event_transitions_streamed(spark, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    sink = f"transitions_streamed_{uuid.uuid4().hex[:8]}"
+    sink = "transitions_streamed_sink"
+    spark.catalog.dropTempView(sink)
     q = (
         user_transitions_stateful(stream)
         .writeStream.format("memory")

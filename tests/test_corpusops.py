@@ -136,6 +136,43 @@ def test_triangle_count_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 absent (0 triangles)
 
 
+def test_triangle_broadcast_size_gate(spark, monkeypatch):
+    """Below the edge threshold the closing-edge semi-join is a broadcast
+    hash join; above it the SAME function degrades to a shuffled join
+    automatically (VERDICT r5 item 3) — results identical either way."""
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # Disable auto-broadcast so the explicit hint is the only thing that
+    # can produce a BHJ — at test scale everything fits the threshold,
+    # which would mask whether the gate actually dropped the hint.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = co.copurchase_triangles(spark, SF_DIR)
+        hinted_semis = [
+            ln for ln in plan_of(hinted).splitlines() if "LeftSemi" in ln
+        ]
+        assert hinted_semis and any("Broadcast" in ln for ln in hinted_semis)
+
+        monkeypatch.setattr(co, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+        degraded = co.copurchase_triangles(spark, SF_DIR)
+        degraded_semis = [
+            ln for ln in plan_of(degraded).splitlines() if "LeftSemi" in ln
+        ]
+        assert degraded_semis and all(
+            "Broadcast" not in ln for ln in degraded_semis
+        )
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, degraded.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_kmv_estimate_accuracy_and_fallback(spark):
     from de_final_project_spark.operators.sketches import KMV_K, kmv_distinct_users
 
