@@ -86,7 +86,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is aggregate-sized) and release together.
     generations = [vocab]
     for step in range(1, BPE_MERGES + 1):
-        best = (
+        top = (
             _pair_counts(cur)
             .orderBy(
                 F.col("pair_count").desc(),
@@ -94,8 +94,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("right_sym").asc(),
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # Degenerate corpus: no adjacent pairs remain before
+            # BPE_MERGES steps. Stop with the merges learned so far —
+            # the SQL twin does the same (its b{i} CTE is empty, which
+            # empties every later iteration and the UNION ALL simply
+            # emits fewer rows), so both engines agree (ADVICE r5).
+            break
+        best = top[0]
         merges.append(
             (
                 step,

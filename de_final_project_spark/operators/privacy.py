@@ -27,10 +27,18 @@ ACCTBAL_BUCKET = 500  # generalization width for the balance column
 
 def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-ready customer table: key tokenized (salted md5 prefix,
-    still joinable), name masked to its last 3 characters, account
+    still joinable), name masked to a salted-HASH suffix, account
     balance generalized to ACCTBAL_BUCKET-wide bands (floor semantics,
     negative-safe), segment and nation kept as coarse attributes. One
-    row per customer; the oracle restates every transform exactly."""
+    row per customer; the oracle restates every transform exactly.
+
+    The mask deliberately publishes NO real characters of the name:
+    trailing-character masks leak structured suffixes (TPC-H names end
+    in the customer key, so 'last 3 chars' would publish custkey mod
+    1000 next to nation/segment/balance — enough to re-identify;
+    ADVICE r5). A 4-hex salted-hash suffix keeps rows visually
+    distinguishable for humans without being reversible, and is
+    length-safe for names shorter than any fixed substring."""
     cust = read_testdata(spark, sf_dir, "customer")
     token = F.substring(
         F.md5(F.concat(F.lit(TOKEN_SALT + "|"), F.col("c_custkey").cast("string"))),
@@ -38,7 +46,10 @@ def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
     )
     masked_name = F.concat(
-        F.lit("***"), F.substring(F.col("c_name"), -3, 3)
+        F.lit("***"),
+        F.substring(
+            F.md5(F.concat(F.lit(TOKEN_SALT + "|name|"), F.col("c_name"))), 1, 4
+        ),
     )
     band_lo = (
         F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("long")
@@ -57,7 +68,7 @@ def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSEUDONYMIZE_CUSTOMERS_SQL = f"""
 SELECT substr(md5('{TOKEN_SALT}|' || CAST(c_custkey AS VARCHAR)), 1, 16)
          AS customer_token,
-       '***' || substr(c_name, length(c_name) - 2, 3) AS name_masked,
+       '***' || substr(md5('{TOKEN_SALT}|name|' || c_name), 1, 4) AS name_masked,
        c_nationkey AS nation_key,
        (floor(c_acctbal / {ACCTBAL_BUCKET})::BIGINT * {ACCTBAL_BUCKET})
          AS acctbal_band_lo,

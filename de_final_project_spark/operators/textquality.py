@@ -31,8 +31,11 @@ def _hits(toks: Column, words: list[str]) -> Column:
     # probe, so the filter is O(tokens) instead of O(tokens x stopwords)
     # — measured 2x on the doc_quality scorer at sf0.1 (the array form
     # was slow enough that the Arrow pandas twin beat the JVM).
+    # dict.fromkeys dedupes first: under Spark's default
+    # mapKeyDedupPolicy=EXCEPTION a duplicate ever added to a stopword
+    # list would otherwise turn into a runtime analysis error (ADVICE r5).
     sw = F.create_map(
-        *[x for w in words for x in (F.lit(w), F.lit(1))]
+        *[x for w in dict.fromkeys(words) for x in (F.lit(w), F.lit(1))]
     )
     return F.size(
         F.filter(toks, lambda t: F.element_at(sw, F.lower(t)).isNotNull())

@@ -1089,7 +1089,15 @@ def props_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_SCHEMA_DISCOVERY_SQL = """
 WITH kv AS (
-  SELECT k.key, json_extract_string(props, '$.' || k.key) AS val
+  -- The extraction path QUOTES the key (with \\ and " escaped) so keys
+  -- containing '.', '[', or '"' address the literal member instead of
+  -- being parsed as path syntax — keeping the oracle aligned with
+  -- Spark's map-based parse, which never goes through a path grammar.
+  SELECT k.key,
+         json_extract_string(
+           props,
+           '$."' || replace(replace(k.key, '\\', '\\\\'), '"', '\\"') || '"'
+         ) AS val
   FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
     AS k(props, key)
 ), n AS (SELECT count(*) AS total FROM events)
