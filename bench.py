@@ -74,6 +74,17 @@ BENCH_QUERIES_R5 = [
     "table_profile",
     "zorder_locality_stats",
 ]
+# Round-6 third group: end-to-end AvailableNow replay cost of the three
+# driver-signed streaming queries (write replay batches -> run the
+# stream to a memory sink -> compact) — streaming setup cost is the
+# number users ask about, and it had no timing row (VERDICT r5 item 7).
+# Reported separately: these measure the whole replay harness, not a
+# single plan, so they don't belong in either batch group's total.
+BENCH_QUERIES_STREAMING = [
+    "event_transitions_streamed",
+    "events_hourly_windowed_streamed",
+    "purchase_view_join_streamed",
+]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the
 # exchange, the shape that matters when neither fact side fits broadcast).
@@ -109,6 +120,14 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings_r5[name] = min(timings_r5.get(name, dt), dt)
+
+    timings_stream: dict[str, float] = {}
+    for _ in range(REPS):
+        for name in BENCH_QUERIES_STREAMING:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings_stream[name] = min(timings_stream.get(name, dt), dt)
 
     from de_final_project_spark.plans import bucketing
 
@@ -157,6 +176,10 @@ def main() -> None:
                 # families report here.
                 "queries_heavy": timings_r5,
                 "heavy_total": round(sum(timings_r5.values()), 3),
+                # Third group: end-to-end streaming replay (setup +
+                # micro-batches + sink compaction), not a single plan.
+                "queries_streaming": timings_stream,
+                "streaming_total": round(sum(timings_stream.values()), 3),
                 "sf": sf,
                 "reps": REPS,
                 "agg": "min",
