@@ -1,0 +1,147 @@
+"""VersionedTable: atomic log commits, time travel, partition-pruned
+MERGE, optimistic concurrency, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.txlog import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
+
+
+def _rows(df):
+    return {r["id"]: r["s"] for r in df.collect()}
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "id long, s string, pb int")
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    v = t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    assert v == 1
+    got = t.read(spark)
+    assert _rows(got) == {1: "a", 2: "b"}
+    # partition column survives the basePath scan with usable values
+    assert {r["pb"] for r in got.collect()} == {0, 1}
+
+
+def test_merge_updates_inserts_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]))
+    v = t.merge(spark, _mk(spark, [(2, "B", 1), (5, "e", 1)]), ["id"])
+    assert v == 2
+    assert _rows(t.read(spark)) == {1: "a", 2: "B", 3: "c", 5: "e"}
+    # time travel: version 1 is untouched
+    assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b", 3: "c"}
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["overwrite", "merge"]
+    assert t.history()[1]["touched"] == ["1"]
+
+
+def test_merge_untouched_partition_reuses_files(spark, tmp_path):
+    """Partition 0's live pointer after a merge touching only partition 1
+    must still reference the ORIGINAL commit dir — no data IO, not even
+    a rename, for untouched partitions."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    before = t._read_entry(1)["live"]["0"]
+    t.merge(spark, _mk(spark, [(2, "B", 1)]), ["id"])
+    after = t._read_entry(2)["live"]
+    assert after["0"] == before
+    assert after["1"] != t._read_entry(1)["live"]["1"]
+
+
+def test_crash_before_log_commit_is_invisible(spark, tmp_path):
+    """Staged data without a log entry is garbage, not corruption: the
+    table reads identically and a later commit just works."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    # simulate a writer that died after staging, before _try_commit
+    rel, parts = t._stage(_mk(spark, [(1, "ZZZ", 0)]))
+    assert os.path.isdir(os.path.join(t.path, rel))
+    assert _rows(t.read(spark)) == {1: "a"}
+    t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
+    assert _rows(t.read(spark)) == {1: "A"}
+
+
+def test_concurrent_disjoint_merge_rebases(spark, tmp_path):
+    """A commit landing between read and commit on DISJOINT partitions
+    is rebased over, and both changes survive."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = VersionedTable(t.path, partition_col="pb")
+            other.merge(spark, _mk(spark, [(2, "B2", 1)]), ["id"])
+        return out
+
+    t._stage = stage_and_race
+    v = t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
+    assert v == 3  # rebased onto the interloper's v2
+    assert _rows(t.read(spark)) == {1: "A", 2: "B2"}
+
+
+def test_concurrent_overlapping_merge_aborts(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = VersionedTable(t.path, partition_col="pb")
+            other.merge(spark, _mk(spark, [(1, "THEIRS", 0)]), ["id"])
+        return out
+
+    t._stage = stage_and_race
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(spark, _mk(spark, [(1, "MINE", 0)]), ["id"])
+    # the winner's write is intact
+    assert _rows(t.read(spark)) == {1: "THEIRS"}
+
+
+def test_vacuum_drops_old_versions_cleanly(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    t.overwrite(_mk(spark, [(1, "x", 0), (2, "y", 1)]))
+    removed = t.vacuum(retain_versions=1)
+    assert removed  # v1's commit dir is gone
+    assert _rows(t.read(spark)) == {1: "x", 2: "y"}
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+
+
+def test_unpartitioned_table_roundtrip(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    t.merge(spark, _mk(spark, [(2, "B", 1), (3, "c", 0)]), ["id"])
+    assert _rows(t.read(spark)) == {1: "a", 2: "B", 3: "c"}
+    assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b"}
+
+
+def test_versioned_snapshot_matches_rename_merge(spark):
+    """The txlog write path and the rename-based partitioned MERGE must
+    land the identical relational post-state."""
+    from de_final_project_spark.operators.merge import (
+        merged_user_snapshot_partitioned,
+    )
+    from de_final_project_spark.operators.txlog import versioned_user_snapshot
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in versioned_user_snapshot(spark, sf).collect()}
+    b = {tuple(r) for r in merged_user_snapshot_partitioned(spark, sf).collect()}
+    assert a == b
