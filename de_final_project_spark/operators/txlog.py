@@ -145,6 +145,9 @@ class VersionedTable:
                 "op": "overwrite",
                 "live": live,
                 "touched": sorted(parts),
+                # txn watermarks survive overwrites: idempotence tracking
+                # must not reset when the data is replaced.
+                "txn": dict(self._read_entry(base).get("txn", {})) if base else {},
             }
             if self._try_commit(entry):
                 return entry["version"]
@@ -152,17 +155,48 @@ class VersionedTable:
             # retry on top of whatever version won.
 
     def merge(
-        self, spark: SparkSession, delta: DataFrame, keys: Sequence[str]
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        keys: Sequence[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Keyed upsert with touched-partition granularity. The
         partition column must be a pure function of the key (same
         invariant as merge_upsert_partitioned). Data for touched
         partitions is rewritten into a new commit dir; untouched
         partitions keep their existing file references — no data IO at
-        all for them, not even a directory rename."""
+        all for them, not even a directory rename.
+
+        ``txn=(app_id, seq)`` makes the merge IDEMPOTENT per application
+        stream: the log records the highest ``seq`` applied per
+        ``app_id``, and a merge whose seq is <= the recorded one is a
+        no-op returning the current version. This is what makes a
+        foreachBatch retry (same epoch re-delivered after a crash
+        between sink commit and checkpoint advance) safe — the
+        Delta txnAppId/txnVersion pattern."""
         keys = list(keys)
+        if txn is not None:
+            head0 = self.latest_version()
+            if head0 is not None:
+                applied = self._read_entry(head0).get("txn", {})
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head0
         if self.latest_version() is None:
-            return self.overwrite(delta)
+            v = self.overwrite(delta)
+            if txn is not None:
+                # overwrite() doesn't thread txn; stamp it post-hoc is
+                # racy — instead record via a rewrite of the entry we
+                # just created (we own it: version files are
+                # create-once, and we hold the only reference).
+                p = self._entry_path(v)
+                with open(p) as f:
+                    e = json.load(f)
+                e["txn"] = {txn[0]: txn[1]}
+                with open(p + ".txn", "w") as f:
+                    json.dump(e, f)
+                os.replace(p + ".txn", p)
+            return v
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
         if self.partition_col:
@@ -206,11 +240,17 @@ class VersionedTable:
             # its dir; a KeyError here would be a real invariant break.
             for p in touched:
                 live[p] = {"commit_dir": rel, "part_dir": parts[p]}
+            applied = dict(head_entry.get("txn", {}))
+            if txn is not None:
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head  # a rebase revealed our txn already landed
+                applied[txn[0]] = txn[1]
             new_entry = {
                 "version": head + 1,
                 "op": "merge",
                 "live": live,
                 "touched": touched,
+                "txn": applied,
             }
             if self._try_commit(new_entry):
                 return new_entry["version"]

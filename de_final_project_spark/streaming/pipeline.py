@@ -71,3 +71,117 @@ def stream_sales_to_gold(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_into(
+    sdf,
+    table,
+    keys,
+    checkpoint_dir: str,
+    app_id: str = "stream_merge",
+    transform=None,
+) -> None:
+    """Continuously MERGE a stream into a VersionedTable — the CDC-style
+    upsert sink (streaming keyed dedup -> transactional gold table).
+
+    Each micro-batch becomes one transaction-log merge, stamped
+    ``txn=(app_id, batch_id)``. foreachBatch is at-least-once: after a
+    crash between the sink's commit and the checkpoint advance, Spark
+    re-delivers the same epoch — the txn watermark in the log makes the
+    replayed merge a no-op, upgrading the sink to effectively-once.
+    ``transform`` (optional) maps the raw batch DataFrame to the keyed
+    upsert rows (e.g. keep-latest within the batch: a batch may carry
+    several versions of one key, and MERGE requires key-unique deltas).
+
+    Scale shape: every batch pays only the touched-partition rewrite +
+    one log write; the streaming state is Spark's checkpoint plus the
+    O(apps) txn map in the log entry.
+    """
+
+    def process(batch_df, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df.sparkSession, batch_df, keys, txn=(app_id, batch_id))
+
+    q = (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streamed_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable end-to-end run of the streaming MERGE sink: the
+    events table is replayed as a two-batch AvailableNow file stream
+    (time-split at the median, same replay harness as the other
+    streamed queries); each micro-batch is keep-latest'd per user and
+    MERGEd into a pbucket-partitioned VersionedTable with
+    txn=(app, batch_id) idempotence stamps. The table read back at the
+    latest version must equal the batch merge post-state — the same
+    relational oracle as merged_user_snapshot_partitioned, here signing
+    the stream->transaction-log path: replay, foreachBatch, per-batch
+    keep-latest, touched-partition commit, txn stamping, grouped scan."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    id_cut = (lo + hi) // 2
+
+    root = scratch_dir("stream_merge")
+    src = os.path.join(root, "replay")
+    # The oracle's halves are the event_id midpoint split, and MERGE
+    # order decides who wins — so the replay batches ARE those halves,
+    # written a/ then b/ (file-source mtime order replays base then
+    # delta, making 'delta wins' the last merge exactly as the SQL
+    # picks the delta-half row whenever one exists).
+    ev.where(F.col("event_id") <= id_cut).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.where(F.col("event_id") > id_cut).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    table = VersionedTable(
+        os.path.join(root, "user_snapshot"), partition_col="pbucket"
+    )
+
+    def latest_per_user(batch_df):
+        # from_delta is row-derived (event_id past the id midpoint), so
+        # the oracle's flag semantics hold regardless of batch slicing.
+        return keep_latest(batch_df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            (F.col("event_id") > F.lit(id_cut)).alias("from_delta"),
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+
+    stream_merge_into(
+        stream,
+        table,
+        ["user_id"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        app_id="streamed_merge_snapshot",
+        transform=latest_per_user,
+    )
+    return table.read(spark).withColumn("pbucket", F.col("pbucket").cast("long"))

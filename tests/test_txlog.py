@@ -133,6 +133,59 @@ def test_unpartitioned_table_roundtrip(spark, tmp_path):
     assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b"}
 
 
+def test_txn_merge_is_idempotent(spark, tmp_path):
+    """Replaying a merge with the same (app, seq) txn stamp is a no-op —
+    the foreachBatch-retry contract."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    v1 = t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"], txn=("app", 0))
+    v2 = t.merge(spark, _mk(spark, [(1, "GHOST", 0)]), ["id"], txn=("app", 0))
+    assert v2 == v1  # replay skipped, no new version
+    assert _rows(t.read(spark)) == {1: "A"}
+    v3 = t.merge(spark, _mk(spark, [(1, "B", 0)]), ["id"], txn=("app", 1))
+    assert v3 == v1 + 1
+    assert _rows(t.read(spark)) == {1: "B"}
+    # independent apps don't interfere
+    v4 = t.merge(spark, _mk(spark, [(2, "x", 0)]), ["id"], txn=("other", 0))
+    assert v4 == v3 + 1
+
+
+def test_stream_merge_into_effectively_once(spark, tmp_path):
+    """End-to-end streaming MERGE sink: two replay batches land as two
+    transactions; re-running the DRAINED stream with the same checkpoint
+    delivers nothing; wiping the checkpoint re-delivers both batches but
+    the txn stamps make the merges no-ops — same final state, no new
+    versions beyond the re-delivered ones being skipped."""
+    from de_final_project_spark.streaming.pipeline import stream_merge_into
+
+    src = tmp_path / "replay"
+    a = _mk(spark, [(1, "a", 0), (2, "b", 1)])
+    b = _mk(spark, [(2, "B", 1), (3, "c", 0)])
+    a.coalesce(1).write.parquet(str(src / "a"))
+    b.coalesce(1).write.parquet(str(src / "b"))
+    t = VersionedTable(str(tmp_path / "gold"), partition_col="pb")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        stream_merge_into(
+            stream, t, ["id"], checkpoint_dir=str(tmp_path / ckpt), app_id="t"
+        )
+
+    run("ckpt1")
+    assert _rows(t.read(spark)) == {1: "a", 2: "B", 3: "c"}
+    v = t.latest_version()
+    run("ckpt1")  # same checkpoint: nothing new to deliver
+    assert t.latest_version() == v
+    run("ckpt2")  # fresh checkpoint: batches re-delivered, txn-skipped
+    assert t.latest_version() == v
+    assert _rows(t.read(spark)) == {1: "a", 2: "B", 3: "c"}
+
+
 def test_versioned_snapshot_matches_rename_merge(spark):
     """The txlog write path and the rename-based partitioned MERGE must
     land the identical relational post-state."""
