@@ -46,7 +46,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # The embeddings table is a single row group; repartition so the
+    # O(n*q) broadcast-NL stage parallelizes instead of running as one
+    # task on the raw scan partitioning (sf1 proof finding).
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
     sim = F.round(cosine(F.col("query_vec"), F.col("embedding")), 6)
     pairs = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
@@ -157,7 +162,21 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding_neardup_exact",
         "knn_lsh_candidates",
     )
-    u = unit_vectors(emb)
+    # Two scale lessons the sf1 proof taught (a 25-minute single-core
+    # stall at just 20k vectors, invisible at sf0.1):
+    # 1. The embeddings table is one row group, so the BNLJ stream side
+    #    was ONE task computing all n^2/2 pairs — repartition first so
+    #    the quadratic stage uses every core.
+    # 2. persist() the normalized vectors: without it CollapseProject
+    #    inlines the norm into each element's division and the pair
+    #    stage re-evaluates the whole normalization PER PAIR
+    #    (O(dim^2) work x n^2 pairs); materialized, each pair costs one
+    #    64-wide dot product.
+    u = (
+        unit_vectors(emb)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     a = u.select(F.col("vec_id").alias("a_id"), F.col("u").alias("u_a"))
     b = u.select(F.col("vec_id").alias("b_id"), F.col("u").alias("u_b"))
     from de_final_project_spark.functions.vector import dot
