@@ -404,7 +404,7 @@ def simhash_neardup_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFram
         simhash_docs(spark, sf_dir),
         "simhash_neardup_pairs_allpairs",
         "simhash_neardup_pairs",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("h_a"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("h_b"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

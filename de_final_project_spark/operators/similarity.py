@@ -285,6 +285,10 @@ def _cell_assignments(emb: DataFrame) -> DataFrame:
             F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
         )
     )
+    # Repartition before the O(n x cells) stage: a single-row-group
+    # corpus file otherwise pins the whole scoring loop to one task
+    # (sf1 proof finding, same class as the exact-baseline fix).
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     scored = emb.crossJoin(centroids).select(
         "vec_id",
         "embedding",
