@@ -291,6 +291,26 @@ class VersionedTable:
         assert df is not None
         return df
 
+    def compact(self, spark: SparkSession) -> int:
+        """OPTIMIZE: rewrite the live set into ONE fresh commit. After
+        many merges the live map references many commit dirs (one scan
+        each); compaction returns the reader to a single scan and small
+        files to full row groups. It is just an overwrite of the current
+        snapshot — same atomicity, old versions stay time-travelable
+        until vacuum. Run it on the cadence small-file growth dictates,
+        exactly like Delta OPTIMIZE / Iceberg rewrite_data_files."""
+        df = self.read(spark)
+        v = self.overwrite(df)
+        # Relabel for history readability (we own the fresh entry).
+        p = self._entry_path(v)
+        with open(p) as f:
+            e = json.load(f)
+        e["op"] = "compact"
+        with open(p + ".op", "w") as f:
+            json.dump(e, f)
+        os.replace(p + ".op", p)
+        return v
+
     # --------------------------------------------------------- vacuum
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Drop log entries older than the newest ``retain_versions``

@@ -114,6 +114,27 @@ def test_concurrent_overlapping_merge_aborts(spark, tmp_path):
     assert _rows(t.read(spark)) == {1: "THEIRS"}
 
 
+def test_compact_restores_single_scan(spark, tmp_path):
+    """After merges the live map spans several commit dirs; compact
+    rewrites the snapshot into one, data unchanged, and vacuum can then
+    GC every older dir."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    t.merge(spark, _mk(spark, [(2, "B", 1)]), ["id"])
+    t.merge(spark, _mk(spark, [(3, "c", 2)]), ["id"])
+    live = t._read_entry(t.latest_version())["live"]
+    assert len({e["commit_dir"] for e in live.values()}) > 1
+    before = _rows(t.read(spark))
+    v = t.compact(spark)
+    live = t._read_entry(v)["live"]
+    assert len({e["commit_dir"] for e in live.values()}) == 1
+    assert _rows(t.read(spark)) == before == {1: "a", 2: "B", 3: "c"}
+    assert t.history()[-1]["op"] == "compact"
+    removed = t.vacuum(retain_versions=1)
+    assert len(removed) == 3  # the three pre-compaction commit dirs
+    assert _rows(t.read(spark)) == before
+
+
 def test_vacuum_drops_old_versions_cleanly(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
     t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
