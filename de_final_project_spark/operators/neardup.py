@@ -203,25 +203,39 @@ def ngram_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     product (measured 30× slower at sf0.1) with an equi-join whose volume
     is Σ df(s)² over the vocabulary — bounded because near-dup corpora
     have long-tailed shingle frequencies. A hot-shingle cap (drop
-    stop-shingles with df above a bound) is the standard guard at 100 TB;
-    not needed on this corpus (max df = 25)."""
+    stop-shingles with df above a bound) is the standard guard at 100 TB
+    when the frequency tail is heavy.
+
+    The intersection is COUNTED on the postings join directly (shingles
+    are per-doc-distinct, so matches per (a,b) = |intersection|): the
+    wide stage shuffles only (long, long) pairs into a partially-
+    aggregated count, and the union size comes from joining two scalar
+    per-doc sizes afterwards. The previous form (distinct pairs, then
+    re-join both full shingle ARRAYS for array_intersect) shipped ~1.5 KB
+    of duplicated array per candidate and filled 78 GB of spill at sf1
+    (279M candidates) before dying — this form moves ~4.5 GB for the
+    same input and needs no distinct at all. sf1 proof finding."""
     sh = _docs_with_shingles(spark, sf_dir).persist()
     posts = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cands = (
+    inter = (
         posts.select(F.col("doc_id").alias("a_id"), "s")
         .join(posts.select(F.col("doc_id").alias("b_id"), "s"), "s")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
     )
-    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    sizes = sh.select("doc_id", F.size("shingles").alias("_n"))
+    sz_a = sizes.select(F.col("doc_id").alias("a_id"), F.col("_n").alias("_na"))
+    sz_b = sizes.select(F.col("doc_id").alias("b_id"), F.col("_n").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("_n_inter")
     return (
-        cands.join(sh_a, "a_id")
-        .join(sh_b, "b_id")
-        .select("a_id", "b_id", F.round(inter / union, 6).alias("jaccard"))
+        inter.join(F.broadcast(sz_a), "a_id")
+        .join(F.broadcast(sz_b), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("_n_inter") / union, 6).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= F.lit(0.3))
     )
 
@@ -504,23 +518,25 @@ WHERE round(len(list_intersect(sn.shingles, so.shingles))
 # Same inverted-index candidate generation as the Spark side (exact:
 # jaccard >= 0.3 > 0 implies a shared shingle) — keeps the oracle
 # checkable at sf0.1+ where the naive O(n^2) form takes minutes.
+# Counting form mirrors the engine plan: shingles are per-doc-distinct,
+# so COUNT(*) on the postings self-join IS the intersection size — no
+# array re-join, no DISTINCT (same 78 GB-spill hazard class in any
+# engine at sf1 candidate volumes).
 NGRAM_JACCARD_PAIRS_SQL = f"""
 WITH {_SHINGLES_CTE},
 posts AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
-cands AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_inter
   FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled)
 SELECT a_id, b_id,
-       round(len(list_intersect(sa.shingles, sb.shingles))
-             / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
-FROM cands
-JOIN shingled sa ON sa.doc_id = a_id
-JOIN shingled sb ON sb.doc_id = b_id
-WHERE round(len(list_intersect(sa.shingles, sb.shingles))
-            / (len(sa.shingles) + len(sb.shingles)
-               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.3
+       round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.3
 """
 
 _SIMHASH_EXPR = f"""

@@ -91,9 +91,13 @@ def main() -> None:
         table = (
             pq.read_table(src) if name in FIXED else scaled_table(name, n)
         )
-        # Row groups sized so Spark/DuckDB can parallelize and prune a
-        # single-file table (the base files are one row group).
-        pq.write_table(table, dst, row_group_size=262_144)
+        # Row groups sized so Spark/DuckDB can split a single-file table
+        # across tasks (the base files are one row group, which pins any
+        # scan-partitioned stage to one task — a measured sf1 hazard for
+        # the pair-stage operators). At least ~32 groups per scaling
+        # table, capped at 256k rows per group.
+        rg = max(1024, min(262_144, table.num_rows // 32))
+        pq.write_table(table, dst, row_group_size=rg)
         print(f"wrote {name} ({table.num_rows} rows)")
 
 
