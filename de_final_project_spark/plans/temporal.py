@@ -556,8 +556,15 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per type for the carry-forward. The raw events table is read
     exactly once. The forward fill is ``last(..., ignorenulls=True)``
     over an unbounded-preceding frame: O(1) state per row, no self-join.
-    Averages divide as doubles after exact decimal sums, rounded to 6
-    places on both engines.
+
+    The 6-place rounded average is computed in EXACT integer micro-units
+    (half-up on the rational sum/count via ``(2a+b) div 2b``), not with
+    ``round(double, 6)``: the sf1 proof caught a bucket whose true
+    average lands exactly on a .5 microunit boundary, where Spark
+    (BigDecimal HALF_UP on the binary double) and DuckDB (multiply-
+    then-std::round) disagree by one microunit. Integer arithmetic is
+    bit-identical in every engine; the final /1e6 is an exact-input
+    IEEE division both sides perform identically.
     """
     ev = read_testdata(spark, sf_dir, "events")
     # The hourly pre-aggregate feeds THREE consumers (span, grid join,
@@ -580,8 +587,12 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("_mn", "_mx", F.expr("interval 1 hour"))
         ).alias("hour"),
     )
-    avg = F.round(F.col("_sum").cast("double") / F.col("_cnt"), 6)
-    joined = grid.join(hourly, ["event_type", "hour"], "left").select(
+    with_micros = hourly.withColumn(
+        # exact: _sum is a scale-6 decimal, so *1e6 is integral
+        "_sum_micros", (F.col("_sum") * 1_000_000).cast("long")
+    )
+    avg = F.expr("(2 * _sum_micros + _cnt) div (2 * _cnt)") / F.lit(1_000_000.0)
+    joined = grid.join(with_micros, ["event_type", "hour"], "left").select(
         "event_type",
         "hour",
         F.coalesce(F.col("_cnt"), F.lit(0)).alias("event_count"),
@@ -617,7 +628,11 @@ WITH hourly AS (
 SELECT g.event_type, g.hour,
        coalesce(h._cnt, 0)::BIGINT AS event_count,
        (h._cnt IS NULL) AS is_gap,
-       last_value(round(CAST(h._sum AS DOUBLE) / h._cnt, 6) IGNORE NULLS)
+       -- exact integer micro-unit half-up, identical to the engine's
+       -- (2a+b) div 2b form: round(DOUBLE, 6) differs between engines
+       -- on exact .5-microunit boundaries (sf1 proof finding)
+       last_value(((2 * CAST(h._sum * 1000000 AS BIGINT) + h._cnt)
+                   // (2 * h._cnt)) / 1000000.0 IGNORE NULLS)
          OVER (PARTITION BY g.event_type ORDER BY g.hour
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
 FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
