@@ -377,8 +377,14 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block key, expensive distance only on in-block pairs).
 
     The distance runs JVM-side (``F.levenshtein``), never in Python.
+    The probe side is repartitioned first: the part table is a few MB,
+    so Spark packs the whole scan into ONE split regardless of row
+    groups, and the Σ block² Levenshtein stage (≈800M pairs at sf1)
+    would grind on a single core (sf1 proof finding — the hazard is
+    compute-per-byte, which maxPartitionBytes can't see).
     """
     p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    p = p.repartition(spark.sparkContext.defaultParallelism)
     a = p.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("a_key"),
