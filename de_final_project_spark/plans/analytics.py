@@ -56,12 +56,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "return_flag",
             "line_status",
-            F.col("_sum_qty").cast("double").alias("sum_qty"),
-            F.col("_sum_base").cast("double").alias("sum_base_price"),
-            F.col("_sum_disc").cast("double").alias("sum_disc_price"),
-            F.col("_sum_charge").cast("double").alias("sum_charge"),
-            (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
-            (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+            # decimal -> string -> double: string parsing is correctly
+            # rounded ONCE in every engine, while native decimal->double
+            # may double-round (DuckDB divides (double)int128 by
+            # (double)10^scale) — at sf1 the 17-significant-digit charge
+            # sum diverged by 1 ulp (sf1 proof finding). The string hop
+            # costs nothing on 6 aggregate rows and pins both engines to
+            # the IEEE-nearest value.
+            F.col("_sum_qty").cast("string").cast("double").alias("sum_qty"),
+            F.col("_sum_base").cast("string").cast("double").alias("sum_base_price"),
+            F.col("_sum_disc").cast("string").cast("double").alias("sum_disc_price"),
+            F.col("_sum_charge").cast("string").cast("double").alias("sum_charge"),
+            (F.col("_sum_qty").cast("string").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sum_base").cast("string").cast("double") / F.col("count_order")).alias("avg_price"),
             "count_order",
         )
     )
@@ -70,12 +77,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT return_flag, line_status,
-       CAST(_sum_qty AS DOUBLE)    AS sum_qty,
-       CAST(_sum_base AS DOUBLE)   AS sum_base_price,
-       CAST(_sum_disc AS DOUBLE)   AS sum_disc_price,
-       CAST(_sum_charge AS DOUBLE) AS sum_charge,
-       CAST(_sum_qty AS DOUBLE) / count_order  AS avg_qty,
-       CAST(_sum_base AS DOUBLE) / count_order AS avg_price,
+       -- string hop = correctly-rounded-once decimal->double (see engine)
+       CAST(CAST(_sum_qty AS VARCHAR) AS DOUBLE)    AS sum_qty,
+       CAST(CAST(_sum_base AS VARCHAR) AS DOUBLE)   AS sum_base_price,
+       CAST(CAST(_sum_disc AS VARCHAR) AS DOUBLE)   AS sum_disc_price,
+       CAST(CAST(_sum_charge AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(_sum_qty AS VARCHAR) AS DOUBLE) / count_order  AS avg_qty,
+       CAST(CAST(_sum_base AS VARCHAR) AS DOUBLE) / count_order AS avg_price,
        count_order
 FROM (
   SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
