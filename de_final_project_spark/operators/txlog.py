@@ -291,6 +291,83 @@ class VersionedTable:
         assert df is not None
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        keys: Sequence[str],
+        from_version: int,
+        to_version: int | None = None,
+        include_deletes: bool = False,
+    ) -> DataFrame:
+        """Change data feed between two committed versions: every row
+        that is new or modified in ``to_version`` relative to
+        ``from_version``, tagged ``_change_type`` = 'insert' | 'update'
+        (plus 'delete' rows carrying the OLD values when
+        ``include_deletes``).
+
+        Partition-pruned the same way MERGE writes are: the live maps
+        are compared first and only partitions whose pointer CHANGED are
+        read from either version — an untouched partition costs nothing,
+        so CDC cost tracks churn, not table size. Within changed
+        partitions, rows are diffed by key with a full-row struct
+        compare (null-safe), so a rewritten-but-identical row does not
+        appear in the feed. This is the consumer side of the
+        transaction log: downstream incremental pipelines read the feed
+        instead of re-scanning snapshots."""
+        keys = list(keys)
+        to_version = (
+            to_version if to_version is not None else self.latest_version()
+        )
+        e_from = self._read_entry(from_version)["live"]
+        e_to = self._read_entry(to_version)["live"]
+        changed = {p: ptr for p, ptr in e_to.items() if e_from.get(p) != ptr}
+        dropped = {p: ptr for p, ptr in e_from.items() if p not in e_to}
+        new = self._read_live(spark, changed)
+        old = self._read_live(
+            spark,
+            {
+                **{p: e_from[p] for p in changed if p in e_from},
+                **dropped,
+            },
+        )
+        if new is None and old is None:
+            raise ValueError(
+                f"versions {from_version} and {to_version} share every "
+                "live partition — empty change feed"
+            )
+        if old is None:
+            return new.withColumn("_change_type", F.lit("insert"))
+        cols = (new if new is not None else old).columns
+        old_k = old.select(
+            *keys, F.struct(*cols).alias("_old_row")
+        )
+        out = None
+        if new is not None:
+            joined = new.join(old_k, keys, "left")
+            out = (
+                joined.withColumn(
+                    "_change_type",
+                    F.when(F.col("_old_row").isNull(), F.lit("insert")).when(
+                        ~F.struct(*cols).eqNullSafe(F.col("_old_row")),
+                        F.lit("update"),
+                    ),
+                )
+                .where(F.col("_change_type").isNotNull())
+                .select(*cols, "_change_type")
+            )
+        if include_deletes:
+            new_keys = (
+                new.select(*keys).distinct() if new is not None else None
+            )
+            gone = (
+                old.join(new_keys, keys, "left_anti")
+                if new_keys is not None
+                else old
+            ).select(*cols, F.lit("delete").alias("_change_type"))
+            out = gone if out is None else out.unionByName(gone)
+        assert out is not None
+        return out
+
     def compact(self, spark: SparkSession) -> int:
         """OPTIMIZE: rewrite the live set into ONE fresh commit. After
         many merges the live map references many commit dirs (one scan
@@ -376,6 +453,68 @@ def versioned_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).withColumn(
         "pbucket", F.col("pbucket").cast("long")
     )
+
+
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CDC read: rebuild the two-commit versioned
+    snapshot (v1 = base-half overwrite, v2 = delta-half MERGE) and read
+    the CHANGE FEED between them. Every delta-half winner surfaces as
+    'update' (user also in the base half — the from_delta flip alone
+    guarantees the rows differ) or 'insert' (new user); base-half
+    survivors are rewritten into v2's files but row-identical, so the
+    struct compare keeps them OUT of the feed — which is exactly the
+    property that makes a CDC feed consumable without dedup. The oracle
+    restates the feed relationally from the halves."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    snap = lambda df, flag: keep_latest(  # noqa: E731
+        df, "user_id", ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lit(flag).alias("from_delta"),
+        (F.col("user_id") % 4).alias("pbucket"),
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("change_feed"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut), False))
+    table.merge(spark, snap(ev.where(F.col("event_id") > cut), True), ["user_id"])
+    return table.read_changes(spark, ["user_id"], 1, 2).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+SNAPSHOT_CHANGE_FEED_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+), latest AS (
+  SELECT e.user_id, e.event_id, e.event_type, e.ts, e.value,
+         true AS from_delta,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rk
+  FROM events e, c WHERE e.event_id > c.cut
+), base_users AS (
+  SELECT DISTINCT e.user_id FROM events e, c WHERE e.event_id <= c.cut
+)
+SELECT l.user_id, l.event_id, l.event_type, l.ts, l.value, l.from_delta,
+       (l.user_id % 4)::BIGINT AS pbucket,
+       CASE WHEN b.user_id IS NULL THEN 'insert' ELSE 'update' END
+         AS _change_type
+FROM latest l LEFT JOIN base_users b USING (user_id)
+WHERE l.rk = 1
+"""
 
 
 # Same post-state as the partitioned rename-MERGE demo.

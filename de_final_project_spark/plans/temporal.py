@@ -784,6 +784,102 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _scd2_build(ev: DataFrame) -> DataFrame:
+    """The full SCD2 build over a purchase-event frame (the body of
+    user_value_scd2, reusable for incremental maintenance)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.round("value", 6).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_apply(current: DataFrame, changes: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a NEW batch of change events
+    into an existing SCD2 table without rebuilding history.
+
+    ``current``: (user_id, version, value, valid_from, valid_to,
+    is_current); ``changes``: raw events strictly LATER (by ts) than
+    everything in ``current`` — the standard CDC-batch contract.
+
+    Three constant-depth steps, all keyed on the business key:
+    1. version the batch internally (one window over the BATCH, not the
+       history) and continue numbering from each key's current max —
+       an aggregate join, not a rescan of history;
+    2. close each touched key's open interval at the batch's first
+       timestamp for that key;
+    3. union: untouched history + closed rows + new versions.
+    Cost is O(batch + touched keys); history is never re-sorted — the
+    property that makes SCD2 maintainable at warehouse scale. The
+    invariant (pinned by the oracle) is exact equality with the
+    full rebuild."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    base_ver = current.groupBy("user_id").agg(
+        F.max("version").alias("_base_ver")
+    )
+    new_rows = (
+        changes.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("_rel"),
+            F.round("value", 6).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .join(base_ver, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("_rel") + F.coalesce("_base_ver", F.lit(0))).alias("version"),
+            "value",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+    firsts = changes.groupBy("user_id").agg(F.min("ts").alias("_first_ts"))
+    open_rows = current.where(F.col("is_current"))
+    closed_now = open_rows.join(firsts, "user_id").select(
+        "user_id",
+        "version",
+        "value",
+        "valid_from",
+        F.col("_first_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    untouched_open = open_rows.join(firsts, "user_id", "left_anti")
+    return (
+        current.where(~F.col("is_current"))
+        .unionByName(closed_now)
+        .unionByName(untouched_open)
+        .unionByName(new_rows)
+    )
+
+
+def user_value_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable incremental SCD2: full-build the dimension from
+    the EARLY half of the purchase stream (ts-median cut, so equal
+    timestamps never straddle the batch boundary), then scd2_apply the
+    late half as a CDC batch. The oracle is the FULL REBUILD over the
+    whole stream — exact hash equality is the statement that
+    incremental maintenance converges to the rebuild, key's version
+    numbering, interval closing, and is_current flips included."""
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).first()["c"]
+    base = _scd2_build(ev.where(F.col("ts") <= F.lit(cut)))
+    late = ev.where(F.col("ts") > F.lit(cut))
+    return scd2_apply(base, late)
+
+
 def order_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulating-snapshot fact: one row per order carrying its
     fulfillment milestones — first/last ship date, line counts, the

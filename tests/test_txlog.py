@@ -207,6 +207,83 @@ def test_stream_merge_into_effectively_once(spark, tmp_path):
     assert _rows(t.read(spark)) == {1: "a", 2: "B", 3: "c"}
 
 
+def test_change_feed_classifies_and_prunes(spark, tmp_path):
+    """insert/update tagged correctly; rewritten-but-identical rows stay
+    OUT of the feed; untouched partitions aren't even read (their live
+    pointers match, so they never enter the diff)."""
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 1)]))
+    # merge touches only pb=0: update id=1, insert id=5, id=2 unchanged
+    t.merge(spark, _mk(spark, [(1, "A", 0), (5, "e", 0), (2, "b", 0)]), ["id"])
+    feed = {
+        r["id"]: r["_change_type"]
+        for r in t.read_changes(spark, ["id"], 1, 2).collect()
+    }
+    assert feed == {1: "update", 5: "insert"}  # 2 identical, 3 untouched
+
+
+def test_change_feed_deletes_on_overwrite(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    t.overwrite(_mk(spark, [(1, "a", 0)]))  # id=2 (and pb=1) gone
+    feed = t.read_changes(spark, ["id"], 1, 2, include_deletes=True)
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(2, "delete")}  # id=1 rewritten identical -> excluded
+
+
+def test_scd2_apply_equals_rebuild(spark):
+    """The incremental SCD2 invariant on real data: apply(late half)
+    over build(early half) == build(everything)."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.plans.temporal import (
+        _scd2_build,
+        scd2_apply,
+        user_value_scd2,
+    )
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_testdata(spark, sf, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).first()["c"]
+    base = _scd2_build(ev.where(F.col("ts") <= F.lit(cut)))
+    out = scd2_apply(base, ev.where(F.col("ts") > F.lit(cut)))
+    full = user_value_scd2(spark, sf)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # and some interval actually closed across the boundary
+    closed = out.where(~F.col("is_current")).count()
+    assert closed > 0
+
+
+def test_scd2_apply_new_and_untouched_keys(spark):
+    """A batch key unseen in history starts at version 1; keys with no
+    batch events keep their open interval untouched."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.plans.temporal import _scd2_build, scd2_apply
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    base = _scd2_build(ev([(1, 10, t0, 5.0), (2, 11, t0, 7.0)]))
+    out = scd2_apply(base, ev([(1, 20, t1, 6.0), (3, 21, t1, 9.0)]))
+    rows = {(r.user_id, r.version): r for r in out.collect()}
+    assert rows[(1, 1)].is_current is False and rows[(1, 1)].valid_to == t1
+    assert rows[(1, 2)].is_current is True and rows[(1, 2)].value == 6.0
+    assert rows[(3, 1)].is_current is True  # new key starts at version 1
+    assert rows[(2, 1)].is_current is True and rows[(2, 1)].valid_to is None
+
+
 def test_versioned_snapshot_matches_rename_merge(spark):
     """The txlog write path and the rename-based partitioned MERGE must
     land the identical relational post-state."""
