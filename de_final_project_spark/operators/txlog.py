@@ -368,15 +368,32 @@ class VersionedTable:
         assert out is not None
         return out
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(
+        self, spark: SparkSession, cluster_by: Sequence[str] | None = None
+    ) -> int:
         """OPTIMIZE: rewrite the live set into ONE fresh commit. After
         many merges the live map references many commit dirs (one scan
         each); compaction returns the reader to a single scan and small
         files to full row groups. It is just an overwrite of the current
         snapshot — same atomicity, old versions stay time-travelable
         until vacuum. Run it on the cadence small-file growth dictates,
-        exactly like Delta OPTIMIZE / Iceberg rewrite_data_files."""
+        exactly like Delta OPTIMIZE / Iceberg rewrite_data_files.
+
+        ``cluster_by`` = OPTIMIZE ... ZORDER BY: the rewrite sorts rows
+        within each write partition by the named columns (range-
+        partitioned multi-column sort), so parquet row-group min/max
+        footers become a coarse index on those columns — a predicate on
+        a clustered column prunes to a bounded set of row groups on the
+        compacted snapshot (the same layout-as-part-of-the-plan
+        discipline as plans/clustering.py, applied to the table
+        format's maintenance op)."""
         df = self.read(spark)
+        if cluster_by:
+            cols = (
+                [self.partition_col] if self.partition_col else []
+            ) + list(cluster_by)
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         v = self.overwrite(df)
         # Relabel for history readability (we own the fresh entry).
         p = self._entry_path(v)

@@ -135,6 +135,51 @@ def test_compact_restores_single_scan(spark, tmp_path):
     assert _rows(t.read(spark)) == before
 
 
+def test_compact_cluster_by_prunes_row_groups(spark, tmp_path):
+    """OPTIMIZE ZORDER-style compaction: after compact(cluster_by=[v]),
+    parquet row-group min/max footers on v are disjoint-ish ranges, so
+    a point predicate prunes to a strict subset of row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # 40k rows, v uniformly shuffled — pre-compaction row groups all
+    # span nearly the full [0, 1000) range.
+    df = (
+        spark.range(40_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 7919) % 1000).alias("v"),
+            F.lit("x").alias("pad"),
+        )
+        .repartition(8)
+    )
+    t.overwrite(df)
+    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        v = t.compact(spark, cluster_by=["v"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+    live = t._read_entry(v)["live"]
+    commit_dir = next(iter(live.values()))["commit_dir"]
+    spans = []
+    for f in glob.glob(str(tmp_path / "t" / commit_dir / "*.parquet")):
+        pf = pq.ParquetFile(f)
+        for i in range(pf.num_row_groups):
+            col = pf.metadata.row_group(i).column(1)  # v
+            spans.append((col.statistics.min, col.statistics.max))
+    assert len(spans) >= 4
+    # clustered: each file/row-group covers a narrow slice of [0,1000)
+    assert sum(hi - lo for lo, hi in spans) < 1000 * len(spans) * 0.5
+    # a point predicate overlaps only a strict minority of spans
+    hit = sum(1 for lo, hi in spans if lo <= 500 <= hi)
+    assert hit <= max(1, len(spans) // 4)
+    # and the data survived intact
+    assert t.read(spark).count() == 40_000
+
+
 def test_vacuum_drops_old_versions_cleanly(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
     t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
