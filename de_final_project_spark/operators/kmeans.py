@@ -1,0 +1,256 @@
+"""Exact fixed-point distributed k-means over the embeddings corpus.
+
+Lloyd's algorithm is the canonical embedding-clustering primitive
+(corpus bucketing for IVF indexes, topic discovery, dataset mixture
+analysis), but a float implementation cannot have a cross-engine-exact
+oracle: distance sums and centroid means accumulate in engine- and
+partition-dependent order. This implementation makes every step EXACT
+integer arithmetic, so the iterated result is bit-identical under any
+partitioning — the same discipline as the fixed-point PageRank
+(operators/corpusops.py) and the iteration-exact BPE loop
+(operators/bpe.py):
+
+- vectors quantize to an integer grid: ``q_d = floor(x_d * 64)``.
+  The *64 scale is a POWER OF TWO, so ``x*64`` is exact in IEEE
+  doubles and ``floor`` is deterministic in every engine — no rounding
+  boundary exists at all (contrast the round(double) divergence the
+  sf1 proof caught in events_gapfill).
+- centroids live on a 1/64 sub-grid, stored as integers scaled by 64:
+  ``C_d = round_half_up(64 * S_d / n)`` computed as ``(128*S + n) div
+  (2n)`` — exact rational rounding in int64.
+- distances are exact int64: ``Σ_d (64*q_d - C_d)²``; argmin ties
+  break to the smallest cluster id.
+
+Scale shape: per iteration, one broadcast of K×64 centroid literals
+into a narrow assignment projection (whole-stage codegen, no shuffle),
+then one explode + hash aggregate for the per-(cluster, dim) sums —
+the classic map-side-combined word-count shuffle, O(K·dim) final rows.
+The K×64 centroid state is a control-plane scalar set (same class as
+the BPE argmax and watermark probes). Empty clusters keep their
+previous centroid.
+
+Reference analog: none — the reference has no ML-adjacent surface;
+this completes the ANN/clustering family (IVF cells, PQ codebooks,
+label centroids) with a trained partitioner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.sources.readers import read_testdata
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 4
+DIM = 64
+SCALE = 64  # power of two: x*SCALE is exact in doubles
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    # single-row-group small table: repartition so per-iteration
+    # assignment scans parallelize (sf1 proof lesson).
+    return emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * SCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _dist_expr(centroid: list[int]):
+    """Exact int64 squared distance from 64*q to the centroid literal."""
+    lit = F.array(*[F.lit(int(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col("q"), lit, lambda a, b: (a * SCALE - b) * (a * SCALE - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _best(centroids: list[list[int]]):
+    """(dist, cluster) of the nearest centroid, ties to smallest id:
+    array_min over structs compares lexicographically — one narrow
+    projection, no shuffle."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_dist_expr(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    return qdf.select(
+        "vec_id", "q", _best(centroids)["j"].alias("cluster")
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS Lloyd iterations from a deterministic seed (the
+    first K_CLUSTERS vectors by vec_id), returning each vector's final
+    cluster and its exact squared grid distance. The oracle replays the
+    identical integer iterations as generated CTEs."""
+    qdf = _quantized(spark, sf_dir).persist()
+    centroids = [
+        [int(v) * SCALE for v in r["q"]]
+        for r in qdf.where(F.col("vec_id") < K_CLUSTERS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(qdf, centroids)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("d", "qv")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["d"]] = (r["s"], r["n"])
+        new_centroids = []
+        for j in range(K_CLUSTERS):
+            if j in by_cluster:
+                dims = by_cluster[j]
+                new_centroids.append(
+                    [
+                        # floor((2*SCALE*s + n) / 2n): round-half-
+                        # toward-+inf of SCALE*s/n, exact in int64;
+                        # the oracle floors identically (DuckDB's
+                        # integer // truncates, so it floors via
+                        # double there — see _kmeans_sql).
+                        (2 * SCALE * dims[d][0] + dims[d][1])
+                        // (2 * dims[d][1])
+                        for d in range(DIM)
+                    ]
+                )
+            else:
+                new_centroids.append(centroids[j])  # empty cluster
+        centroids = new_centroids
+    best = _best(centroids)
+    return qdf.select(
+        "vec_id",
+        best["j"].cast("long").alias("cluster"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def _kmeans_sql() -> str:
+    base = f"""WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cl, list_transform(q, v -> v * {SCALE}) AS c
+  FROM qv WHERE vec_id < {K_CLUSTERS}
+)"""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> (q[i]*{SCALE} - c[i]) * (q[i]*{SCALE} - c[i])))::BIGINT"
+    )
+    parts = [base]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+a{it} AS (
+  SELECT vec_id, q, cl FROM (
+    SELECT v.vec_id, v.q, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cl ASC) AS rk
+    FROM qv v CROSS JOIN {prev} c
+  ) WHERE rk = 1
+), s{it} AS (
+  SELECT cl, i AS d, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM a{it}, unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY 1, 2
+), c{it} AS (
+  SELECT p.cl,
+         list_transform(generate_series(1, {DIM}),
+           i -> coalesce(u.c_new[i], p.c[i])) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cl, list(nc ORDER BY d) AS c_new
+    -- FLOOR division via double (DuckDB's integer // truncates toward
+    -- zero, Python's // floors — they disagree on negative sums).
+    -- Exact: |2*{SCALE}*s + n| stays far below 2^53.
+    FROM (SELECT cl, d,
+                 CAST(floor((2*{SCALE}*s + n)::DOUBLE / (2*n)) AS BIGINT) AS nc
+          FROM s{it})
+    GROUP BY cl
+  ) u ON p.cl = u.cl
+)""")
+    parts.append(f"""
+SELECT vec_id, cl AS cluster, sq_dist FROM (
+  SELECT v.vec_id, c.cl, {dist} AS sq_dist,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {dist} ASC, c.cl ASC) AS rk
+  FROM qv v CROSS JOIN c{KMEANS_ITERS} c
+) WHERE rk = 1
+""")
+    return "".join(parts)
+
+
+KMEANS_ASSIGNMENTS_SQL = _kmeans_sql()
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report off the trained assignment: size, label
+    purity (majority true label share), and mean exact distance per
+    cluster — how a training-data team reads a clustering before using
+    it for mixture decisions. Pure hash aggregate over the assignment
+    join."""
+    assigned = kmeans_assignments(spark, sf_dir)
+    labels = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    per_label = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sq_dist").alias("sd"))
+    )
+    # No round() anywhere: the numerators/denominators are exact int64
+    # under 2^53, so the single IEEE division is bit-identical in every
+    # engine — rounding would only reintroduce the .5-boundary hazard.
+    return (
+        per_label.groupBy("cluster")
+        .agg(
+            F.sum("n").alias("size"),
+            F.max_by(F.col("label"), F.struct("n", (-F.col("label")).alias("t"))).alias(
+                "majority_label"
+            ),
+            (F.max("n") / F.sum("n")).alias("purity"),
+            (F.sum("sd") / F.sum("n")).alias("mean_sq_dist"),
+        )
+    )
+
+
+KMEANS_CLUSTER_PROFILE_SQL = f"""
+WITH assign AS ({KMEANS_ASSIGNMENTS_SQL}),
+per_label AS (
+  SELECT a.cluster, e.label::BIGINT AS label,
+         count(*)::BIGINT AS n, sum(a.sq_dist)::BIGINT AS sd
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT cluster, label, n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, label ASC) AS rk,
+         sum(n) OVER (PARTITION BY cluster) AS size,
+         sum(sd) OVER (PARTITION BY cluster) AS sdt,
+         max(n) OVER (PARTITION BY cluster) AS mx
+  FROM per_label
+)
+SELECT cluster, size::BIGINT AS size, label AS majority_label,
+       mx / size AS purity,
+       sdt / size AS mean_sq_dist
+FROM ranked WHERE rk = 1
+"""

@@ -1,0 +1,64 @@
+"""Exact fixed-point k-means: primitive semantics + corpus invariants
+(the oracle twin pins exact values; these pin the algorithm's shape)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from de_final_project_spark.operators import kmeans as km
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_best_picks_argmin_with_tiebreak(spark):
+    qdf = spark.createDataFrame(
+        [(0, [0, 0]), (1, [10, 0]), (2, [5, 0])], "vec_id long, q array<long>"
+    )
+    # centroids on the *SCALE grid: cluster 0 at q=(0,0), cluster 1 at
+    # q=(10,0); q=(5,0) is EQUIDISTANT -> tie breaks to cluster 0.
+    c = [[0, 0], [10 * km.SCALE, 0]]
+    got = {r["vec_id"]: r["cluster"] for r in km._assign(qdf, c).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_assignments_cover_corpus_exactly_once(spark):
+    out = km.kmeans_assignments(spark, SF_DIR).cache()
+    from de_final_project_spark.sources.readers import read_testdata
+
+    n = read_testdata(spark, SF_DIR, "embeddings").count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    bad = out.where(
+        (F.col("cluster") < 0)
+        | (F.col("cluster") >= km.K_CLUSTERS)
+        | (F.col("sq_dist") < 0)
+    )
+    assert bad.count() == 0
+    # the trained clustering is non-degenerate: more than one cluster
+    assert out.select("cluster").distinct().count() > 1
+    out.unpersist()
+
+
+def test_cluster_profile_consistency(spark):
+    prof = km.kmeans_cluster_profile(spark, SF_DIR).collect()
+    from de_final_project_spark.sources.readers import read_testdata
+
+    n = read_testdata(spark, SF_DIR, "embeddings").count()
+    assert sum(r["size"] for r in prof) == n
+    for r in prof:
+        assert 0 < r["purity"] <= 1.0
+        assert r["mean_sq_dist"] >= 0
+        assert 0 <= r["majority_label"] <= 9
+
+
+def test_assignment_is_partition_invariant(spark):
+    """The whole point of the fixed-point formulation: a different input
+    partitioning yields the bit-identical clustering."""
+    a = {tuple(r) for r in km.kmeans_assignments(spark, SF_DIR).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {tuple(r) for r in km.kmeans_assignments(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
