@@ -73,6 +73,12 @@ BENCH_QUERIES_R5 = [
     "pq_codes",
     "table_profile",
     "zorder_locality_stats",
+    # round-6 operator families: transactional writes (log-format merge,
+    # CDC read, incremental SCD2) and the fixed-point k-means trainer.
+    "versioned_user_snapshot",
+    "snapshot_change_feed",
+    "user_value_scd2_incremental",
+    "kmeans_assignments",
 ]
 # Round-6 third group: end-to-end AvailableNow replay cost of the three
 # driver-signed streaming queries (write replay batches -> run the
