@@ -92,11 +92,13 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMEANS_ITERS Lloyd iterations from a deterministic seed (the
-    first K_CLUSTERS vectors by vec_id), returning each vector's final
-    cluster and its exact squared grid distance. The oracle replays the
-    identical integer iterations as generated CTEs."""
+def train_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run the Lloyd loop; return (persisted quantized corpus, final
+    centroids as K x DIM scaled ints). The centroid state is
+    control-plane-sized, so returning it as plain lists is the same
+    contract as the BPE merge table."""
     qdf = _quantized(spark, sf_dir).persist()
     centroids = [
         [int(v) * SCALE for v in r["q"]]
@@ -136,12 +138,30 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 new_centroids.append(centroids[j])  # empty cluster
         centroids = new_centroids
+    return qdf, centroids
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS Lloyd iterations from a deterministic seed (the
+    first K_CLUSTERS vectors by vec_id), returning each vector's final
+    cluster and its exact squared grid distance. The oracle replays the
+    identical integer iterations as generated CTEs."""
+    qdf, centroids = train_kmeans(spark, sf_dir)
     best = _best(centroids)
     return qdf.select(
         "vec_id",
         best["j"].cast("long").alias("cluster"),
         best["d"].alias("sq_dist"),
     )
+
+
+# Exact int64 squared distance between a quantized vector column q and
+# a scaled centroid column c — shared by the training CTEs and any
+# downstream probe (trained IVF).
+KMEANS_DIST_SQL = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), "
+    f"i -> (q[i]*{SCALE} - c[i]) * (q[i]*{SCALE} - c[i])))::BIGINT"
+)
 
 
 def _kmeans_sql() -> str:
@@ -154,10 +174,7 @@ def _kmeans_sql() -> str:
   SELECT vec_id AS cl, list_transform(q, v -> v * {SCALE}) AS c
   FROM qv WHERE vec_id < {K_CLUSTERS}
 )"""
-    dist = (
-        f"list_sum(list_transform(generate_series(1, {DIM}), "
-        f"i -> (q[i]*{SCALE} - c[i]) * (q[i]*{SCALE} - c[i])))::BIGINT"
-    )
+    dist = KMEANS_DIST_SQL
     parts = [base]
     for it in range(1, KMEANS_ITERS + 1):
         prev = f"c{it - 1}"
@@ -188,18 +205,25 @@ a{it} AS (
     GROUP BY cl
   ) u ON p.cl = u.cl
 )""")
-    parts.append(f"""
-SELECT vec_id, cl AS cluster, sq_dist FROM (
-  SELECT v.vec_id, c.cl, {dist} AS sq_dist,
-         row_number() OVER (PARTITION BY v.vec_id
-                            ORDER BY {dist} ASC, c.cl ASC) AS rk
-  FROM qv v CROSS JOIN c{KMEANS_ITERS} c
-) WHERE rk = 1
-""")
+    parts.append(f""",
+final_assign AS (
+  SELECT vec_id, cl AS cluster, sq_dist FROM (
+    SELECT v.vec_id, c.cl, {dist} AS sq_dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cl ASC) AS rk
+    FROM qv v CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE rk = 1
+)""")
     return "".join(parts)
 
 
-KMEANS_ASSIGNMENTS_SQL = _kmeans_sql()
+# CTE prefix ending in final_assign (+ c{KMEANS_ITERS} centroids) —
+# reusable by downstream oracles (the trained-IVF probe composes on it).
+KMEANS_CTE_PREFIX = _kmeans_sql()
+
+KMEANS_ASSIGNMENTS_SQL = (
+    KMEANS_CTE_PREFIX + "\nSELECT vec_id, cluster, sq_dist FROM final_assign"
+)
 
 
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

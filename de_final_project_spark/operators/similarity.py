@@ -406,6 +406,117 @@ SELECT query_id, rank, neighbor_id, cosine_sim FROM (
 """
 
 
+def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED cells: the inverted lists come from the
+    exact fixed-point k-means (operators/kmeans.py) instead of the
+    first-N seed vectors — the composition a real vector store runs
+    (train a coarse quantizer, partition the corpus by cell, probe the
+    nearest cells per query). Probing ranks cells by the same exact
+    integer grid distance the trainer used, so the probe order is
+    bit-identical cross-engine; candidate scoring is the usual exact
+    cosine on the float vectors. One broadcast of the O(K·dim) centroid
+    state, one equi-join on cell — identical scale shape to ivf_knn,
+    better lists."""
+    from pyspark.sql import Window
+
+    from de_final_project_spark.operators import kmeans as km
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    best = km._best(centroids)
+    cells = qdf.select("vec_id", best["j"].alias("cell"))
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
+    )
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(km._dist_expr(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    probes = (
+        qdf.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(pairs, 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def _ivf_trained_sql() -> str:
+    from de_final_project_spark.operators.kmeans import (
+        KMEANS_CTE_PREFIX,
+        KMEANS_DIST_SQL,
+        KMEANS_ITERS,
+    )
+
+    return f"""{KMEANS_CTE_PREFIX},
+corpus AS (
+  SELECT f.vec_id AS neighbor_id, f.cluster AS cell,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM final_assign f JOIN embeddings e USING (vec_id)
+),
+probes AS (
+  SELECT query_id, cl AS cell FROM (
+    SELECT qq.vec_id AS query_id, c.cl,
+           row_number() OVER (PARTITION BY qq.vec_id
+                              ORDER BY {KMEANS_DIST_SQL} ASC, c.cl ASC) AS pr
+    FROM (SELECT vec_id, q FROM qv WHERE vec_id < {N_QUERIES}) qq
+    CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE pr <= {N_PROBE}
+),
+qe AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+  SELECT p.query_id, n.neighbor_id,
+         round(list_dot_product(q.qv, n.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine_sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(q.qv, n.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(n.v, n.v))), 6) DESC,
+                    n.neighbor_id ASC) AS rank
+  FROM probes p
+  JOIN corpus n USING (cell)
+  JOIN qe q USING (query_id)
+  WHERE n.neighbor_id <> p.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
+IVF_KNN_TRAINED_SQL = _ivf_trained_sql()
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF approximate search against the brute-force
     ground truth, per query — the accuracy half of the accuracy/cost
