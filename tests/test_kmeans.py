@@ -51,6 +51,39 @@ def test_cluster_profile_consistency(spark):
         assert 0 <= r["majority_label"] <= 9
 
 
+def test_ivf_trained_candidates_respect_cells(spark):
+    """Trained-IVF results must (a) be top-k-shaped per query, and
+    (b) only contain neighbors whose trained cell is among the query's
+    probed cells — the inverted-list contract."""
+    from de_final_project_spark.operators.similarity import (
+        TOP_K,
+        ivf_knn_trained,
+    )
+
+    out = ivf_knn_trained(spark, SF_DIR).cache()
+    assigned = km.kmeans_assignments(spark, SF_DIR).select(
+        "vec_id", "cluster"
+    ).cache()
+    cell_of = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    per_q: dict[int, list] = {}
+    for r in out.collect():
+        assert 1 <= r["rank"] <= TOP_K
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        # ranks are dense from 1 and sims non-increasing
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        # every neighbor shares one of at most N_PROBE distinct cells
+        from de_final_project_spark.operators.similarity import N_PROBE
+
+        cells = {cell_of[r["neighbor_id"]] for r in rows}
+        assert len(cells) <= N_PROBE
+    out.unpersist()
+    assigned.unpersist()
+
+
 def test_assignment_is_partition_invariant(spark):
     """The whole point of the fixed-point formulation: a different input
     partitioning yields the bit-identical clustering."""
