@@ -78,12 +78,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = """
 SELECT return_flag, line_status,
        -- string hop = correctly-rounded-once decimal->double (see engine)
-       CAST(CAST(_sum_qty AS VARCHAR) AS DOUBLE)    AS sum_qty,
-       CAST(CAST(_sum_base AS VARCHAR) AS DOUBLE)   AS sum_base_price,
-       CAST(CAST(_sum_disc AS VARCHAR) AS DOUBLE)   AS sum_disc_price,
-       CAST(CAST(_sum_charge AS VARCHAR) AS DOUBLE) AS sum_charge,
-       CAST(CAST(_sum_qty AS VARCHAR) AS DOUBLE) / count_order  AS avg_qty,
-       CAST(CAST(_sum_base AS VARCHAR) AS DOUBLE) / count_order AS avg_price,
+       CAST(CAST(_sum_qty AS STRING) AS DOUBLE)    AS sum_qty,
+       CAST(CAST(_sum_base AS STRING) AS DOUBLE)   AS sum_base_price,
+       CAST(CAST(_sum_disc AS STRING) AS DOUBLE)   AS sum_disc_price,
+       CAST(CAST(_sum_charge AS STRING) AS DOUBLE) AS sum_charge,
+       CAST(CAST(_sum_qty AS STRING) AS DOUBLE) / count_order  AS avg_qty,
+       CAST(CAST(_sum_base AS STRING) AS DOUBLE) / count_order AS avg_price,
        count_order
 FROM (
   SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
