@@ -329,6 +329,38 @@ def test_scd2_apply_new_and_untouched_keys(spark):
     assert rows[(2, 1)].is_current is True and rows[(2, 1)].valid_to is None
 
 
+def test_scd2_apply_split_point_invariance(spark):
+    """Property: for ANY timestamp split point, build(early) + apply
+    (late) == build(all). Exercises splits where some users have no
+    early events (new-key path), no late events (untouched path), or
+    both (close-and-extend path) — the sf-median test hits only one
+    mix."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.plans.temporal import _scd2_build, scd2_apply
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for k in range(u + 1):  # user u has u+1 events
+            rows.append(
+                (u, eid, dt.datetime(2024, 1, 1 + 2 * k, 12, 0, 0), float(10 * u + k))
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    full = {tuple(r) for r in _scd2_build(ev).collect()}
+    for day in (1, 3, 5, 7, 9, 11):
+        cut = dt.datetime(2024, 1, day, 23, 59, 59)
+        base = _scd2_build(ev.where(F.col("ts") <= F.lit(cut)))
+        late = ev.where(F.col("ts") > F.lit(cut))
+        got = {tuple(r) for r in scd2_apply(base, late).collect()}
+        assert got == full, f"diverged at split day {day}"
+
+
 def test_versioned_snapshot_matches_rename_merge(spark):
     """The txlog write path and the rename-based partitioned MERGE must
     land the identical relational post-state."""
