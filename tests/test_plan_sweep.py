@@ -28,6 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # fails the sweep.
 BNLJ_ALLOWED = {
     "ann_recall_report",  # offline diagnostic; broadcast ground-truth side
+    "ann_recall_trained_vs_seed",  # composes knn_bruteforce ground truth
     "bm25_scores",  # 1-row avgdl scalar pin
     "embedding_neardup_exact",  # guarded O(n²) baseline, broadcast side
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
