@@ -211,3 +211,46 @@ def test_trigram_profiles_deterministic_topk(spark):
         # counts non-increasing down the ranks
         ns = [e[1] for e in entries]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """The scale reason for orient_by_degree (VERDICT r6 item 1): on a
+    hub-skewed graph, id-orientation splits the hub's neighbors into
+    in- and out-sets (wedges-through-hub = indeg·outdeg ≈ deg²/4) while
+    degree orientation points every hub edge INTO the hub (out-degree 0
+    → zero wedges through it). Triangle counts are identical either way.
+    """
+    hub = 20
+    leaves = [i for i in range(1, 42) if i != hub]
+    und = [(hub, i) for i in leaves] + [(1, 2), (2, 3)]
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+
+    def wedges(oriented):
+        ab = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+        return ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
+
+    def corner_counts(oriented):
+        w = wedges(oriented)
+        closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = w.join(closing, ["a", "c"], "left_semi")
+        corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        return {
+            r["node"]: r["n"]
+            for r in corners.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    by_id = sym.where(F.col("src") < F.col("dst"))
+    by_deg = co.orient_by_degree(sym)
+    # One direction per undirected edge under both orderings.
+    assert by_deg.count() == len(und)
+    # Hub sits mid-id-range: id-orientation pays ~19·21 wedges through it;
+    # degree orientation pays none (strictly smaller wedge stream).
+    n_id, n_deg = wedges(by_id).count(), wedges(by_deg).count()
+    assert n_id > 300 and n_deg < 50 and n_deg < n_id
+    # Orientation never changes the answer: triangles {hub,1,2}, {hub,2,3}.
+    expect = {hub: 2, 1: 1, 2: 2, 3: 1}
+    assert corner_counts(by_id) == expect
+    assert corner_counts(by_deg) == expect
