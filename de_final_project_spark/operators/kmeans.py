@@ -100,12 +100,21 @@ def train_kmeans(
     control-plane-sized, so returning it as plain lists is the same
     contract as the BPE merge table."""
     qdf = _quantized(spark, sf_dir).persist()
-    centroids = [
-        [int(v) * SCALE for v in r["q"]]
-        for r in qdf.where(F.col("vec_id") < K_CLUSTERS)
-        .orderBy("vec_id")
-        .collect()
-    ]
+    seed_rows = (
+        qdf.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    )
+    # Seeding contract: vec_ids 0..K-1 must ALL exist. Spark numbers
+    # clusters by seed-row position while the oracle labels them by
+    # vec_id — a gap would silently misalign labels cross-engine, and a
+    # short seed list would IndexError deep in the empty-cluster branch.
+    # Fail fast with the actual ids instead (ADVICE r6).
+    seed_ids = [r["vec_id"] for r in seed_rows]
+    if seed_ids != list(range(K_CLUSTERS)):
+        raise ValueError(
+            f"k-means seeding needs embeddings with contiguous vec_ids "
+            f"0..{K_CLUSTERS - 1}; found {seed_ids}"
+        )
+    centroids = [[int(v) * SCALE for v in r["q"]] for r in seed_rows]
     for _ in range(KMEANS_ITERS):
         assigned = _assign(qdf, centroids)
         sums = (

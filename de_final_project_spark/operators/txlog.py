@@ -11,20 +11,35 @@ IMMUTABLE; a tiny log says which files are live. Then
   data dirs are garbage, not corruption.
 - time travel = read the file list of an older version.
 - concurrency = optimistic: writers race to create ``_txlog/<v>.json``
-  with O_EXCL; the loser re-reads the log and REBASES if its touched
-  partitions are disjoint from the winner's, else aborts. No locks.
+  with a PUT-IF-ABSENT; the loser re-reads the log and REBASES if its
+  touched partitions are disjoint from the winner's (and no intervening
+  commit replaced the whole snapshot), else aborts. No locks.
+
+The log talks to storage ONLY through the ``LogStore`` interface —
+put-if-absent / read / exists / list / delete — the same design as
+Delta's LogStore abstraction, because object stores do not provide the
+POSIX semantics the naive implementation leans on (S3 has no atomic
+rename and no create-if-absent without a conditional PUT). Two
+backends ship: ``LocalFSLogStore`` (O_EXCL hard-link create) and
+``ConditionalPutLogStore`` (conditional-put over a plain blob map —
+no rename anywhere, proving the protocol needs none). The full
+commit/rebase/abort/crash test suite runs against both.
 
 Layout::
 
     <table>/_txlog/00000001.json      one entry per commit (atomic create)
+    <table>/_txlog/_last_checkpoint   advisory newest-known-version pointer
     <table>/data/<commit-id>/         immutable parquet, one dir per commit
     <table>/data/<commit-id>/<p>=<v>/ Hive layout when partitioned
 
 Each log entry stores the FULL live-partition map (version snapshot,
-not a delta), so a reader loads exactly one JSON file — no log replay.
-At very large commit counts a real format adds checkpoints + delta
-entries; the map here is bounded by partition count, which is the same
-asymptotic driver-side state the partition-swap MERGE already carries.
+not a delta), so a reader loads exactly one JSON file — no log replay
+— and every entry IS a checkpoint. What grows with commit count is
+only DISCOVERING the head; the ``_last_checkpoint`` pointer (refreshed
+every ``CHECKPOINT_INTERVAL`` commits, last-writer-wins — stale-low is
+harmless, it just costs extra existence probes) bounds that to O(1)
+reads + O(interval) probes regardless of history length, the same job
+Delta's ``_last_checkpoint`` does.
 
 Scan shape: live partitions are grouped by owning commit dir and each
 group is ONE parquet scan with ``basePath`` set to the commit dir (so
@@ -44,6 +59,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -52,63 +69,226 @@ from pyspark.sql import functions as F
 
 _UNPARTITIONED = "__all__"
 
+# Refresh the _last_checkpoint pointer every Nth commit. Head discovery
+# costs O(1) reads + at most ~N existence probes past the pointer.
+CHECKPOINT_INTERVAL = 10
+
+_CHECKPOINT_NAME = "_last_checkpoint"
+
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed a conflicting (overlapping-partition)
-    change between this writer's read and its commit attempt."""
+    """Another writer committed a conflicting (overlapping-partition or
+    snapshot-replacing) change between this writer's read and its
+    commit attempt."""
 
 
-class VersionedTable:
-    """A parquet table with an atomic commit log, snapshot reads, time
-    travel, partition-pruned MERGE, and optimistic concurrency."""
+class LogStore:
+    """The ONLY storage contract the transaction log needs — small on
+    purpose so every backend an object store can actually provide fits:
 
-    def __init__(self, path: str, partition_col: str | None = None):
-        self.path = path
-        self.partition_col = partition_col
-        self._log = os.path.join(path, "_txlog")
+    - ``put_if_absent``: the commit primitive. Must be atomic
+      create-if-absent (POSIX O_EXCL, S3 conditional PUT
+      If-None-Match, GCS if-generation-match-0, ABFS ETag create).
+    - ``put``: unconditional last-writer-wins write — used ONLY for the
+      advisory ``_last_checkpoint`` pointer, where a lost race merely
+      leaves the pointer stale-low.
+    - ``read`` / ``exists`` / ``list_names`` / ``delete``: plain blob
+      ops every store has.
 
-    # ---------------------------------------------------------- log io
-    def _entry_path(self, version: int) -> str:
-        return os.path.join(self._log, f"{version:08d}.json")
+    Nothing in the protocol renames, appends, or locks — the property
+    that makes it portable off POSIX (Delta's LogStore abstraction is
+    this same interface for this same reason)."""
 
-    def latest_version(self) -> int | None:
-        if not os.path.isdir(self._log):
-            return None
-        versions = [
-            int(f[:-5])
-            for f in os.listdir(self._log)
-            if f.endswith(".json") and f[:-5].isdigit()
-        ]
-        return max(versions) if versions else None
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        raise NotImplementedError
 
-    def _read_entry(self, version: int) -> dict:
-        with open(self._entry_path(version)) as f:
-            return json.load(f)
+    def put(self, name: str, data: bytes) -> None:
+        raise NotImplementedError
 
-    def history(self) -> list[dict]:
-        """All commits, oldest first (op, touched partitions, commit id)."""
-        v = self.latest_version()
-        if v is None:
-            return []
-        return [self._read_entry(i) for i in range(1, v + 1)]
+    def read(self, name: str) -> bytes:
+        """Raise FileNotFoundError when absent."""
+        raise NotImplementedError
 
-    def _try_commit(self, entry: dict) -> bool:
-        """Atomically create the next version's log entry. False iff a
-        concurrent writer took the version number first (O_EXCL loses)."""
-        os.makedirs(self._log, exist_ok=True)
-        tmp = self._entry_path(entry["version"]) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
+    def exists(self, name: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self) -> list[str]:
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+
+class LocalFSLogStore(LogStore):
+    """POSIX backend: put-if-absent via hard-link create (atomic, fails
+    with EEXIST if the name is taken; rename would clobber)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.log_dir, name)
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = self._p(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
             f.flush()
             os.fsync(f.fileno())
         try:
-            # link() is atomic create-if-absent; rename would clobber.
-            os.link(tmp, self._entry_path(entry["version"]))
+            os.link(tmp, self._p(name))
             return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+
+    def put(self, name: str, data: bytes) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = self._p(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._p(name))
+
+    def read(self, name: str) -> bytes:
+        with open(self._p(name), "rb") as f:
+            return f.read()
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._p(name))
+
+    def list_names(self) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return [n for n in os.listdir(self.log_dir) if ".tmp." not in n]
+
+    def delete(self, name: str) -> None:
+        p = self._p(name)
+        if os.path.exists(p):
+            os.unlink(p)
+
+
+class ConditionalPutLogStore(LogStore):
+    """Object-store protocol double: a plain name→bytes map whose ONLY
+    concurrency primitive is a conditional put (S3 If-None-Match / GCS
+    if-generation-match:0). There is no rename, no link, no O_EXCL —
+    running the full VersionedTable suite against this backend is the
+    proof that the commit protocol relies on none of them. The lock
+    models the store's server-side conditional-write atomicity, not a
+    client-side mutex (clients on different machines get the same
+    guarantee from the service)."""
+
+    def __init__(self) -> None:
+        self._blobs: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        with self._lock:
+            if name in self._blobs:
+                return False
+            self._blobs[name] = data
+            return True
+
+    def put(self, name: str, data: bytes) -> None:
+        with self._lock:
+            self._blobs[name] = data
+
+    def read(self, name: str) -> bytes:
+        try:
+            return self._blobs[name]
+        except KeyError:
+            raise FileNotFoundError(name) from None
+
+    def exists(self, name: str) -> bool:
+        return name in self._blobs
+
+    def list_names(self) -> list[str]:
+        return list(self._blobs)
+
+    def delete(self, name: str) -> None:
+        self._blobs.pop(name, None)
+
+
+class VersionedTable:
+    """A parquet table with an atomic commit log, snapshot reads, time
+    travel, partition-pruned MERGE, and optimistic concurrency. The log
+    lives behind ``log_store`` (default: POSIX files under
+    ``<path>/_txlog``); data files are written by Spark's parquet
+    writer under ``<path>/data`` and are immutable once staged."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_col: str | None = None,
+        log_store: LogStore | None = None,
+    ):
+        self.path = path
+        self.partition_col = partition_col
+        self._store = log_store or LocalFSLogStore(os.path.join(path, "_txlog"))
+
+    # ---------------------------------------------------------- log io
+    @staticmethod
+    def _entry_name(version: int) -> str:
+        return f"{version:08d}.json"
+
+    def _list_versions(self) -> list[int]:
+        return sorted(
+            int(n[:-5])
+            for n in self._store.list_names()
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def _checkpoint_hint(self) -> int | None:
+        try:
+            return int(json.loads(self._store.read(_CHECKPOINT_NAME))["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def latest_version(self) -> int | None:
+        """Head discovery: O(1) pointer read + forward existence probes
+        (≤ CHECKPOINT_INTERVAL in steady state, not O(total commits)).
+        Falls back to a full listing only when the pointer is missing
+        or references a vacuumed entry."""
+        hint = self._checkpoint_hint()
+        if hint is None or not self._store.exists(self._entry_name(hint)):
+            versions = self._list_versions()
+            return versions[-1] if versions else None
+        v = hint
+        while self._store.exists(self._entry_name(v + 1)):
+            v += 1
+        return v
+
+    def _read_entry(self, version: int) -> dict:
+        return json.loads(self._store.read(self._entry_name(version)))
+
+    def history(self) -> list[dict]:
+        """All RETAINED commits, oldest first (op, touched partitions,
+        commit id) — entries dropped by vacuum are skipped."""
+        return [self._read_entry(v) for v in self._list_versions()]
+
+    def _advance_checkpoint(self, version: int) -> None:
+        """Move the advisory pointer forward (never backward — a slow
+        writer must not regress it under a faster one; last-writer-wins
+        races past this check are harmless because stale-low only adds
+        probes)."""
+        cur = self._checkpoint_hint()
+        if cur is None or version > cur:
+            self._store.put(
+                _CHECKPOINT_NAME, json.dumps({"version": version}).encode()
+            )
+
+    def _try_commit(self, entry: dict) -> bool:
+        """Atomically create the next version's log entry via the
+        store's put-if-absent. False iff a concurrent writer took the
+        version number first."""
+        ok = self._store.put_if_absent(
+            self._entry_name(entry["version"]),
+            json.dumps(entry).encode(),
+        )
+        if ok and entry["version"] % CHECKPOINT_INTERVAL == 0:
+            self._advance_checkpoint(entry["version"])
+        return ok
 
     # --------------------------------------------------------- staging
     def _stage(self, df: DataFrame) -> tuple[str, dict[str, str]]:
@@ -130,24 +310,40 @@ class VersionedTable:
         return rel, parts
 
     # --------------------------------------------------------- commits
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        op: str = "overwrite",
+    ) -> int:
         """Full-snapshot commit: every live partition now points at the
-        new commit dir. Old versions stay readable until vacuum."""
+        new commit dir. Old versions stay readable until vacuum.
+
+        ``txn`` is threaded INTO the committed entry (same idempotence
+        contract as merge) — never stamped onto an already-visible
+        entry after the fact, because a concurrent writer could read
+        the unstamped entry and propagate a txn map without our
+        watermark, losing the idempotence guarantee (ADVICE r6)."""
         rel, parts = self._stage(df)
         while True:
             base = self.latest_version() or 0
+            applied = dict(self._read_entry(base).get("txn", {})) if base else {}
+            # txn watermarks survive overwrites: idempotence tracking
+            # must not reset when the data is replaced.
+            if txn is not None:
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return base  # already applied — replay is a no-op
+                applied[txn[0]] = txn[1]
             live = {
                 p: {"commit_dir": rel, "part_dir": sub}
                 for p, sub in parts.items()
             }
             entry = {
                 "version": base + 1,
-                "op": "overwrite",
+                "op": op,
                 "live": live,
                 "touched": sorted(parts),
-                # txn watermarks survive overwrites: idempotence tracking
-                # must not reset when the data is replaced.
-                "txn": dict(self._read_entry(base).get("txn", {})) if base else {},
+                "txn": applied,
             }
             if self._try_commit(entry):
                 return entry["version"]
@@ -183,20 +379,11 @@ class VersionedTable:
                 if applied.get(txn[0], -1) >= txn[1]:
                     return head0
         if self.latest_version() is None:
-            v = self.overwrite(delta)
-            if txn is not None:
-                # overwrite() doesn't thread txn; stamp it post-hoc is
-                # racy — instead record via a rewrite of the entry we
-                # just created (we own it: version files are
-                # create-once, and we hold the only reference).
-                p = self._entry_path(v)
-                with open(p) as f:
-                    e = json.load(f)
-                e["txn"] = {txn[0]: txn[1]}
-                with open(p + ".txn", "w") as f:
-                    json.dump(e, f)
-                os.replace(p + ".txn", p)
-            return v
+            # First commit: an overwrite with the txn threaded into the
+            # entry itself (post-hoc stamping of a visible entry is a
+            # race — a concurrent writer could propagate the unstamped
+            # txn map first).
+            return self.overwrite(delta, txn=txn)
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
         if self.partition_col:
@@ -220,13 +407,27 @@ class VersionedTable:
             head = self.latest_version()
             head_entry = self._read_entry(head)
             if head != base_version:
-                # Someone committed since we read. Rebase only if their
-                # touched partitions are disjoint from ours — then their
-                # live pointers for other partitions are still what we
-                # must preserve and ours are still correct.
+                # Someone committed since we read. Rebase only if every
+                # intervening commit is a MERGE on partitions disjoint
+                # from ours — then their live pointers for other
+                # partitions are still what we must preserve and ours
+                # are still correct. An intervening overwrite/compact
+                # REPLACED the whole snapshot: our survivors were
+                # computed against the pre-replacement state, and
+                # rebasing would resurrect rows the overwrite removed
+                # (its 'touched' list only names partitions it KEPT, so
+                # disjointness proves nothing — ADVICE r6). Serializable
+                # answer: conflict, caller re-reads and retries.
                 conflicting = set()
                 for v in range(base_version + 1, head + 1):
-                    conflicting |= set(self._read_entry(v).get("touched", []))
+                    e = self._read_entry(v)
+                    if e.get("op") != "merge":
+                        raise ConcurrentWriteError(
+                            f"snapshot replaced by a concurrent "
+                            f"'{e.get('op')}' at v{v} "
+                            f"(base v{base_version}, head {head})"
+                        )
+                    conflicting |= set(e.get("touched", []))
                 if conflicting & set(touched) or _UNPARTITIONED in conflicting:
                     raise ConcurrentWriteError(
                         f"partitions {sorted(conflicting & set(touched))} "
@@ -283,7 +484,7 @@ class VersionedTable:
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no commits at {self.path}")
-        if not os.path.exists(self._entry_path(v)):
+        if not self._store.exists(self._entry_name(v)):
             raise FileNotFoundError(
                 f"version {v} not found (vacuumed or never written)"
             )
@@ -394,23 +595,27 @@ class VersionedTable:
             ) + list(cluster_by)
             n = int(spark.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-        v = self.overwrite(df)
-        # Relabel for history readability (we own the fresh entry).
-        p = self._entry_path(v)
-        with open(p) as f:
-            e = json.load(f)
-        e["op"] = "compact"
-        with open(p + ".op", "w") as f:
-            json.dump(e, f)
-        os.replace(p + ".op", p)
-        return v
+        # op is part of the entry from the start (no post-hoc relabel of
+        # a visible entry), and concurrent merges rebasing across this
+        # commit see 'compact' and conflict correctly.
+        return self.overwrite(df, op="compact")
 
     # --------------------------------------------------------- vacuum
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, retention_seconds: float = 86_400.0
+    ) -> list[str]:
         """Drop log entries older than the newest ``retain_versions``
         and delete data dirs no retained version references. Returns the
         removed data dirs. Old versions become unreadable (read()
-        raises cleanly) — the documented trade, same as Delta VACUUM."""
+        raises cleanly) — the documented trade, same as Delta VACUUM.
+
+        ``retention_seconds`` (default 24 h) is the Delta-style safety
+        window: an unreferenced dir younger than it is SKIPPED, because
+        writers stage data BEFORE creating the log entry — an in-flight
+        commit's staged dir is indistinguishable from garbage until its
+        log entry lands, and deleting it would let the commit succeed
+        with live pointers at deleted files (ADVICE r6). Pass 0 only
+        when no writer can be concurrent with the vacuum."""
         head = self.latest_version()
         if head is None:
             return []
@@ -420,16 +625,20 @@ class VersionedTable:
             for e in self._read_entry(v)["live"].values():
                 referenced.add(e["commit_dir"])
         removed = []
+        cutoff = time.time() - retention_seconds
         data_root = os.path.join(self.path, "data")
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
             rel = os.path.join("data", d)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(self.path, rel))
+            full = os.path.join(self.path, rel)
+            if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full)
                 removed.append(rel)
-        for v in range(1, keep.start):
-            p = self._entry_path(v)
-            if os.path.exists(p):
-                os.unlink(p)
+        for v in self._list_versions():
+            if v < keep.start:
+                self._store.delete(self._entry_name(v))
+        # Keep the head pointer fresh so it never references a dropped
+        # entry (stale pointer would force the full-list fallback).
+        self._advance_checkpoint(head)
         return removed
 
 

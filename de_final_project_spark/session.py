@@ -75,19 +75,40 @@ def get_spark(
 
 
 def scratch_dir(name: str) -> str:
-    """Fixed per-process scratch path for operators that materialize
+    """Fixed per-PROCESS scratch path for operators that materialize
     intermediate parquet (streaming replay dirs, merge snapshots).
 
-    A DETERMINISTIC path, wiped on each call, instead of ``mkdtemp``:
-    repeated driver/bench/pytest invocations of the same operator reuse
-    one directory rather than accumulating orphans (ADVICE r5). The
-    caller's returned DataFrame may lazily re-read the path after the
-    operator returns, so cleanup-on-next-call is the safe point — the
-    previous run's data lives exactly until the same operator runs again.
+    A DETERMINISTIC path under a pid-keyed root, wiped on each call,
+    instead of ``mkdtemp``: repeated invocations of the same operator
+    within one process reuse one directory rather than accumulating
+    orphans (ADVICE r5), while two concurrent processes of the same
+    user (bench.py alongside pytest) can no longer delete each other's
+    live parquet mid-read (ADVICE r6 — the old path was per-user only).
+    Dead processes' roots are reaped opportunistically on each call, so
+    per-pid isolation doesn't re-introduce the orphan buildup.
+
+    Within one process the constraint stands: a second call with the
+    same ``name`` invalidates the previous call's lazily-read
+    DataFrame — cleanup-on-next-call is the safe point because the
+    caller's DataFrame may re-read the path after the operator returns.
     """
-    root = os.path.join(
-        tempfile.gettempdir(), f"dfps_scratch_{os.getuid()}", name
-    )
+    base = os.path.join(tempfile.gettempdir(), f"dfps_scratch_{os.getuid()}")
+    for d in os.listdir(base) if os.path.isdir(base) else []:
+        if not d.startswith("pid"):
+            continue
+        try:
+            pid = int(d[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid-mapped context: leave it
+    root = os.path.join(base, f"pid{os.getpid()}", name)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     return root
