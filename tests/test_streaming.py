@@ -1,6 +1,8 @@
 """Structured Streaming parity tests: each streaming operator's
 AvailableNow output must equal its batch twin on the same data."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -157,3 +159,47 @@ def test_purchase_view_join_streamed_exact_batch_parity(spark):
     cols = ["purchase_id", "view_id"]
     assert _rows(got.select(*cols), cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_stream_lake_to_gold_offset_is_O1(spark, sales_order_df, tmp_path):
+    """The per-batch offset comes from the checkpoint sidecar, not a
+    gold re-scan: three incremental drains scan gold ZERO times; wiping
+    only the sidecar (legacy gold, no state) costs exactly ONE bootstrap
+    scan; ids stay dense throughout (VERDICT r6 item 3)."""
+    from de_final_project_spark.plans.rebuild import INCREMENTAL_SALES_FACT
+    from de_final_project_spark.sources.sinks import write_csv_batch
+    from de_final_project_spark.streaming import pipeline
+
+    lake, gold, cp = (str(tmp_path / d) for d in ("lake", "gold", "cp"))
+    gold_path = tmp_path / "gold" / INCREMENTAL_SALES_FACT
+
+    pipeline._bootstrap_scans = 0
+    # each batch carries one surviving order row (keep-latest in batch)
+    for oid, ts in [
+        (1, "2024-01-05T0000"),
+        (2, "2024-03-01T0000"),
+        (1, "2024-08-02T0000"),
+    ]:
+        b = sales_order_df.where(F.col("sales_order_id") == oid)
+        write_csv_batch(b, lake, "sales_order", ts)
+        pipeline.stream_sales_to_gold(spark, lake, gold, cp)
+    assert pipeline._bootstrap_scans == 0  # steady state never re-scans
+    ids = sorted(
+        r["sales_record_id"] for r in spark.read.parquet(str(gold_path)).collect()
+    )
+    assert ids == [1, 2, 3]
+
+    # Legacy-gold bootstrap: sidecar gone, gold present -> one scan.
+    os.remove(os.path.join(cp, "_gold_offset.json"))
+    write_csv_batch(
+        sales_order_df.where(F.col("sales_order_id") == 2),
+        lake,
+        "sales_order",
+        "2024-09-01T0000",
+    )
+    pipeline.stream_sales_to_gold(spark, lake, gold, cp)
+    assert pipeline._bootstrap_scans == 1
+    ids = sorted(
+        r["sales_record_id"] for r in spark.read.parquet(str(gold_path)).collect()
+    )
+    assert ids == [1, 2, 3, 4]
