@@ -1,0 +1,109 @@
+"""Per-query observability: a driver-side metrics recorder appending
+(query, rows, wall ms, shuffle/input bytes, stage count) rows to a
+small parquet table.
+
+The reference alerts on every pipeline hop (CloudWatch alarms wired to
+each Lambda stage — reference README.md:21-34, mvp.png); the engine's
+analog is per-query execution metrics captured where Spark already
+exposes them. PySpark cannot subclass the JVM QueryExecutionListener
+without a py4j callback server (fragile in embedded/test contexts), so
+the recorder uses the equally-complete status REST API the UI serves:
+stage-level ``shuffleReadBytes`` / ``shuffleWriteBytes`` /
+``inputBytes`` snapshots diffed around the measured action, attributed
+by stage-id set difference. On a real cluster the same endpoint is the
+history-server feed, so the recorder works unchanged.
+
+Contract notes:
+- ``measure`` attributes every NEW stage between its two snapshots to
+  the named query — run one measured query at a time (the bench/driver
+  harness is single-threaded; concurrent jobs would interleave stages).
+- If the UI/REST endpoint is disabled the byte columns record null and
+  rows/wall-time still land — observability degrades, never breaks the
+  query path.
+- The metrics table itself is a plain parquet append: tiny rows,
+  one per measured query, safe to read while recording.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType(), False),
+        T.StructField("measured_at", T.TimestampType(), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("n_stages", T.LongType(), True),
+        T.StructField("shuffle_read_bytes", T.LongType(), True),
+        T.StructField("shuffle_write_bytes", T.LongType(), True),
+        T.StructField("input_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _stage_snapshot(spark: SparkSession) -> dict[tuple[int, int], dict] | None:
+    """{(stageId, attemptId): stage dict} for all stages the app has
+    run, via the status REST API; None when the UI is disabled."""
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return None
+    url = f"{base}/api/v1/applications/{sc.applicationId}/stages"
+    try:
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+    except OSError:
+        return None
+    return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+
+class QueryMetricsRecorder:
+    """Append-only per-query metrics over a parquet table."""
+
+    def __init__(self, spark: SparkSession, metrics_path: str):
+        self.spark = spark
+        self.metrics_path = metrics_path
+
+    def measure(self, name: str, df: DataFrame) -> dict:
+        """Execute ``df`` (count action), snapshot stage metrics around
+        it, append one metrics row, and return it as a dict."""
+        import datetime as dt
+
+        before = _stage_snapshot(self.spark)
+        t0 = time.monotonic()
+        rows = df.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        after = _stage_snapshot(self.spark)
+
+        n_stages = shuffle_r = shuffle_w = input_b = None
+        if before is not None and after is not None:
+            new = [s for k, s in after.items() if k not in before]
+            n_stages = len(new)
+            shuffle_r = sum(int(s.get("shuffleReadBytes", 0)) for s in new)
+            shuffle_w = sum(int(s.get("shuffleWriteBytes", 0)) for s in new)
+            input_b = sum(int(s.get("inputBytes", 0)) for s in new)
+
+        row = {
+            "query": name,
+            "measured_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            "rows": int(rows),
+            "wall_ms": wall_ms,
+            "n_stages": n_stages,
+            "shuffle_read_bytes": shuffle_r,
+            "shuffle_write_bytes": shuffle_w,
+            "input_bytes": input_b,
+        }
+        self.spark.createDataFrame([row], METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.metrics_path)
+        return row
+
+    def table(self) -> DataFrame:
+        """The accumulated metrics table."""
+        return self.spark.read.parquet(self.metrics_path)
