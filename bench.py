@@ -79,6 +79,9 @@ BENCH_QUERIES_R5 = [
     "snapshot_change_feed",
     "user_value_scd2_incremental",
     "kmeans_assignments",
+    # round 7: the clustered-corpus trained-vs-seed ANN A/B (generator +
+    # trainer + three top-k pipelines + recall join in one query).
+    "ann_recall_clustered",
 ]
 # Round-6 third group: end-to-end AvailableNow replay cost of the three
 # driver-signed streaming queries (write replay batches -> run the

@@ -472,24 +472,31 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COPURCHASE_TRIANGLES_SQL = """
-WITH sym AS (
+WITH sym AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1
-), edges AS (
+), edges AS MATERIALIZED (
   -- low-degree -> high-degree, ties by id: same O(sqrt(m)) out-degree
   -- bound as the Spark plan (results are orientation-invariant).
+  -- MATERIALIZED: the oriented list is referenced three times below
+  -- and the 24M-row sym self-join must not be re-inlined per
+  -- reference (measured 8x end-to-end at sf1).
   SELECT s.src, s.dst
   FROM sym s JOIN deg ds ON s.src = ds.node JOIN deg dd ON s.dst = dd.node
   WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND s.src < s.dst)
 ), tri AS (
+  -- closing edge as an explicit equi-join, not EXISTS: edges is
+  -- duplicate-free so the 3-join enumerates each triangle exactly
+  -- once, and the planner keeps it a hash join on (src, dst)
+  -- (the semi-join form planned 45x slower at sf1: 456 s vs 10 s).
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
   FROM edges e1
   JOIN edges e2 ON e1.dst = e2.src
-  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 ), corners AS (
   SELECT a AS part_key FROM tri
   UNION ALL SELECT b FROM tri
