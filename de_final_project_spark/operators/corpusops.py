@@ -399,8 +399,16 @@ def orient_by_degree(sym_edges: DataFrame) -> DataFrame:
 
     One aggregate over the symmetric list (degree = out-count, since the
     list is symmetric) and two id-keyed equi-joins to decorate the
-    endpoints — both loop-free, both on vertex keys.
+    endpoints — both loop-free, both on vertex keys. The input is
+    persisted here: it feeds both the degree aggregate and the
+    decoration joins, and without the persist the (possibly expensive)
+    upstream edge derivation runs twice (measured: the copurchase sym
+    self-join re-ran whole at sf0.1). The deg side is node-cardinality-
+    sized; AQE converts the decoration joins to broadcast at runtime
+    when it fits, and they stay shuffled equi-joins when it doesn't —
+    no manual hint, because node count is unbounded at 100 TB.
     """
+    sym_edges = sym_edges.persist()
     deg = sym_edges.groupBy(F.col("src").alias("d_node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

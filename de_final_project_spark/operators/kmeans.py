@@ -190,7 +190,10 @@ def _kmeans_sql(qv_body: str | None = None) -> str:
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS q
   FROM embeddings"""
-    base = f"""WITH qv AS (
+    # MATERIALIZED: qv is referenced by every iteration CTE plus
+    # final_assign; DuckDB otherwise re-inlines the quantization per
+    # reference (measured 3.3x end-to-end on the sf1 oracle).
+    base = f"""WITH qv AS MATERIALIZED (
   {qv}
 ), c0 AS (
   SELECT vec_id AS cl, list_transform(q, v -> v * {SCALE}) AS c

@@ -1117,7 +1117,10 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _clustered_sql_parts() -> tuple[str, str]:
     from de_final_project_spark.operators.kmeans import DIM, SCALE
 
-    cte = f"""clustered AS (
+    # MATERIALIZED: truth/seed/trained each reference the generated
+    # corpus several times; DuckDB otherwise regenerates the 64-dim
+    # list per reference (measured 6x on the sf1 oracle).
+    cte = f"""clustered AS MATERIALIZED (
   SELECT vec_id,
          list_transform(range(0, {DIM}), d ->
            CAST(((vec_id // {CLUS_SIZE}) * 37 + d * 13) % 16
