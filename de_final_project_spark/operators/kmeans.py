@@ -181,11 +181,15 @@ KMEANS_DIST_SQL = (
 )
 
 
-def _kmeans_sql(qv_body: str | None = None) -> str:
+def _kmeans_sql(qv_body: str | None = None, train_where: str = "") -> str:
     """Generated Lloyd-iteration CTE chain. ``qv_body`` overrides the
     quantized-corpus source (SELECT yielding vec_id, q BIGINT[]) so the
     identical iterations can replay over a derived corpus (clustered
-    A/B) — default is the embeddings table."""
+    A/B) — default is the embeddings table. ``train_where`` (predicate
+    over alias ``v``) restricts the TRAINING iterations to a subset
+    while ``final_assign`` still covers the whole corpus — the
+    frozen-quantizer contract: train on history, assign everything
+    (streamed_ivf_index)."""
     qv = qv_body or f"""SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {SCALE}) AS BIGINT)) AS q
@@ -200,6 +204,7 @@ def _kmeans_sql(qv_body: str | None = None) -> str:
   FROM qv WHERE vec_id < {K_CLUSTERS}
 )"""
     dist = KMEANS_DIST_SQL
+    train_pred = f" WHERE {train_where}" if train_where else ""
     parts = [base]
     for it in range(1, KMEANS_ITERS + 1):
         prev = f"c{it - 1}"
@@ -209,7 +214,7 @@ a{it} AS (
     SELECT v.vec_id, v.q, c.cl,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist} ASC, c.cl ASC) AS rk
-    FROM qv v CROSS JOIN {prev} c
+    FROM qv v CROSS JOIN {prev} c{train_pred}
   ) WHERE rk = 1
 ), s{it} AS (
   SELECT cl, i AS d, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n

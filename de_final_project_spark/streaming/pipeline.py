@@ -236,3 +236,94 @@ def streamed_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform=latest_per_user,
     )
     return table.read(spark).withColumn("pbucket", F.col("pbucket").cast("long"))
+
+
+def streamed_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance — the composition a production
+    vector store runs, bridging three of the engine's tiers:
+
+    1. Train the coarse quantizer ONCE on history (the base half of the
+       embeddings corpus, exact fixed-point k-means — operators/
+       kmeans.py). The centroids are then FROZEN: an index's cell ids
+       must stay stable while data streams in, or every prior entry
+       would need reassignment.
+    2. Replay the corpus as an AvailableNow file stream (base half,
+       then delta half — the engine's standard replay harness); each
+       micro-batch is quantized and assigned to its nearest frozen
+       cell with the same exact integer distance the trainer used.
+    3. MERGE each batch into a cell-partitioned VersionedTable keyed by
+       vec_id, stamped txn=(app, batch_id): new vectors touch only
+       their cells' partitions (the inverted lists ARE the partition
+       layout — a probe at read time prunes to matching partitions),
+       and a crash-replayed batch is a no-op.
+
+    The driver-checked result is the index read back at the latest
+    version: (vec_id, cell) for the full corpus. The oracle replays
+    the identical frozen-quantizer math with the training iterations
+    restricted to the base half (train_where in the generated k-means
+    CTEs) and final assignment over everything — so the check signs
+    training-subset semantics, streaming assignment, touched-partition
+    commits, txn idempotence, and the partition-restoring scan."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = (lo + hi) // 2
+    base_q = km._quantized(spark, sf_dir).where(F.col("vec_id") <= cut).persist()
+    centroids = km.train_kmeans_frame(base_q)
+
+    root = scratch_dir("stream_ivf")
+    src = os.path.join(root, "replay")
+    emb.where(F.col("vec_id") <= cut).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    emb.where(F.col("vec_id") > cut).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    table = VersionedTable(
+        os.path.join(root, "ivf_index"), partition_col="cell"
+    )
+
+    def assign(batch_df):
+        q = batch_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        return q.select("vec_id", km._best(centroids)["j"].alias("cell"))
+
+    stream_merge_into(
+        stream,
+        table,
+        ["vec_id"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        app_id="streamed_ivf_index",
+        transform=assign,
+    )
+    return table.read(spark).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _streamed_ivf_index_sql() -> str:
+    from de_final_project_spark.operators.kmeans import _kmeans_sql
+
+    train = "v.vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+    return (
+        _kmeans_sql(train_where=train)
+        + "\nSELECT vec_id, cluster AS cell FROM final_assign"
+    )
+
+
+STREAMED_IVF_INDEX_SQL = _streamed_ivf_index_sql()

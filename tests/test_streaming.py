@@ -203,3 +203,32 @@ def test_stream_lake_to_gold_offset_is_O1(spark, sales_order_df, tmp_path):
         r["sales_record_id"] for r in spark.read.parquet(str(gold_path)).collect()
     )
     assert ids == [1, 2, 3, 4]
+
+
+def test_streamed_ivf_index_matches_frozen_assignment(spark):
+    """The streamed, MERGE-committed index must equal the direct batch
+    assignment of the FULL corpus under centroids trained on the BASE
+    half only (frozen-quantizer contract) — proving the training subset
+    semantics, the per-batch assignment, and the partition-restoring
+    txlog read all compose losslessly."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.streaming.pipeline import streamed_ivf_index
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in streamed_ivf_index(spark, sf).collect()
+    }
+
+    qdf = km._quantized(spark, sf).persist()
+    lo, hi = qdf.agg(F.min("vec_id"), F.max("vec_id")).first()
+    centroids = km.train_kmeans_frame(
+        qdf.where(F.col("vec_id") <= (lo + hi) // 2)
+    )
+    want = {
+        (r["vec_id"], int(r["cell"]))
+        for r in qdf.select(
+            "vec_id", km._best(centroids)["j"].alias("cell")
+        ).collect()
+    }
+    assert got == want and len(got) == qdf.count()
