@@ -313,7 +313,7 @@ def _cell_assignments(emb: DataFrame) -> DataFrame:
     return emb.join(best, "vec_id")
 
 
-def _ivf_seed_candidates(emb: DataFrame) -> DataFrame:
+def _ivf_seed_candidates(emb: DataFrame, nprobe: int = N_PROBE) -> DataFrame:
     """Scored candidate set (query_id, neighbor_id, cosine_sim) of the
     seed-cell IVF: every corpus vector in a probed cell, pre-ranking.
     Split from the top-k so the probe-cost report can count EXACTLY the
@@ -342,7 +342,7 @@ def _ivf_seed_candidates(emb: DataFrame) -> DataFrame:
             F.round(cosine(F.col("query_vec"), F.col("centroid")), 6).alias("_csim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= N_PROBE)
+        .where(F.col("_pr") <= nprobe)
         .select("query_id", "query_vec", "cell_id")
     )
 
@@ -389,7 +389,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_seed_topk(read_testdata(spark, sf_dir, "embeddings"))
 
 
-def _ivf_seed_cte(emb_rel: str = "embeddings") -> str:
+def _ivf_seed_cte(emb_rel: str = "embeddings", nprobe: int = N_PROBE) -> str:
     """Shared CTE prefix for the seed-cell IVF: e / c / assigned /
     probes — composed by both the top-k oracle and the probe-cost
     oracle. `assigned` is MATERIALIZED (referenced by the probe ranking
@@ -420,12 +420,12 @@ probes AS (
                       c.cell_id ASC) AS rn
     FROM assigned a CROSS JOIN c
     WHERE a.vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
+  ) WHERE rn <= {nprobe}
 )"""
 
 
-def _ivf_knn_sql(emb_rel: str = "embeddings") -> str:
-    return f"""{_ivf_seed_cte(emb_rel)}
+def _ivf_knn_sql(emb_rel: str = "embeddings", nprobe: int = N_PROBE) -> str:
+    return f"""{_ivf_seed_cte(emb_rel, nprobe)}
 SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   SELECT p.query_id, n.vec_id AS neighbor_id,
          round(list_dot_product(p.qv, n.v)
@@ -467,7 +467,10 @@ def ivf_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_trained_candidates(
-    emb: DataFrame, qdf: DataFrame, centroids: list[list[int]]
+    emb: DataFrame,
+    qdf: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int = N_PROBE,
 ) -> DataFrame:
     """Scored candidate set (query_id, neighbor_id, cosine_sim) of the
     trained-cell IVF, pre-ranking (see _ivf_seed_candidates)."""
@@ -490,7 +493,7 @@ def _ivf_trained_candidates(
         qdf.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(pairs, 1, N_PROBE)).alias("p"),
+            F.explode(F.slice(pairs, 1, nprobe)).alias("p"),
         )
         .select("query_id", F.col("p")["j"].alias("cell"))
     )
@@ -521,7 +524,9 @@ def _ivf_trained_topk(
 
 
 def _ivf_trained_cte(
-    emb_rel: str = "embeddings", qv_body: str | None = None
+    emb_rel: str = "embeddings",
+    qv_body: str | None = None,
+    nprobe: int = N_PROBE,
 ) -> str:
     """Shared CTE prefix for the trained-cell IVF: the k-means chain
     plus corpus / probes / qe — composed by both the top-k oracle and
@@ -545,7 +550,7 @@ probes AS (
                               ORDER BY {KMEANS_DIST_SQL} ASC, c.cl ASC) AS pr
     FROM (SELECT vec_id, q FROM qv WHERE vec_id < {N_QUERIES}) qq
     CROSS JOIN c{KMEANS_ITERS} c
-  ) WHERE pr <= {N_PROBE}
+  ) WHERE pr <= {nprobe}
 ),
 qe AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -554,9 +559,11 @@ qe AS (
 
 
 def _ivf_trained_sql(
-    emb_rel: str = "embeddings", qv_body: str | None = None
+    emb_rel: str = "embeddings",
+    qv_body: str | None = None,
+    nprobe: int = N_PROBE,
 ) -> str:
-    return f"""{_ivf_trained_cte(emb_rel, qv_body)}
+    return f"""{_ivf_trained_cte(emb_rel, qv_body, nprobe)}
 SELECT query_id, rank, neighbor_id, cosine_sim FROM (
   SELECT p.query_id, n.neighbor_id,
          round(list_dot_product(q.qv, n.v)
@@ -1270,3 +1277,89 @@ SELECT 'ivf_trained', query_id, n_candidates FROM ({trained})
 
 
 ANN_PROBE_COST_CLUSTERED_SQL = _ann_probe_cost_clustered_sql()
+
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: recall@k for BOTH quantizers at nprobe in
+    NPROBE_SWEEP over the clustered corpus — the operating-point table
+    an index operator actually reads (recall bought per extra probed
+    cell). Method labels carry the probe count ('ivf_seed_p1', ...);
+    each variant reuses the shared frame-level candidate pipelines with
+    only the probe cutoff changed, and the truth set is computed once.
+    Measured at sf0.001 (macro recall@5): seed 0.12 / 0.40 / 0.92 vs
+    trained 0.68 / 1.00 / 1.00 at nprobe 1 / 2 / 4 — the trained
+    quantizer dominates at every probe budget, the curve form of the
+    clustered A/B's headline result."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        clustered_corpus(spark, sf_dir), "ann_recall_nprobe_sweep", "ivf_knn"
+    ).persist()
+    qdf = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
+    centroids = km.train_kmeans_frame(qdf)
+    truth = _bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    methods = []
+    for p in NPROBE_SWEEP:
+        methods.append((f"ivf_seed_p{p}", _rank_topk(_ivf_seed_candidates(emb, p))))
+        methods.append(
+            (
+                f"ivf_trained_p{p}",
+                _rank_topk(_ivf_trained_candidates(emb, qdf, centroids, p)),
+            )
+        )
+    return _recall_rows(truth, methods)
+
+
+def _ann_recall_nprobe_sweep_sql() -> str:
+    cte, qv_body = _clustered_sql_parts()
+    blocks = []
+    for p in NPROBE_SWEEP:
+        blocks.append((f"ivf_seed_p{p}", _ivf_knn_sql("clustered", p)))
+        blocks.append(
+            (f"ivf_trained_p{p}", _ivf_trained_sql("clustered", qv_body, p))
+        )
+    variant_ctes = ",\n".join(
+        f"v_{m} AS (SELECT query_id, neighbor_id FROM ({sql}))"
+        for m, sql in blocks
+    )
+    hit_ctes = ",\n".join(
+        f"""h_{m} AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN v_{m} USING (query_id, neighbor_id) GROUP BY 1
+)"""
+        for m, _ in blocks
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{m}' AS method, kq.query_id, kq.k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6) AS recall_at_k
+FROM kq LEFT JOIN h_{m} h USING (query_id)"""
+        for m, _ in blocks
+    )
+    return f"""
+WITH {cte},
+truth AS (
+  SELECT query_id, neighbor_id FROM ({_knn_bruteforce_sql("clustered")})
+),
+kq AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
+{variant_ctes},
+{hit_ctes}
+{selects}
+"""
+
+
+ANN_RECALL_NPROBE_SWEEP_SQL = _ann_recall_nprobe_sweep_sql()

@@ -139,3 +139,32 @@ def test_clustered_ab_trained_scans_fewer_candidates(spark):
     )
     mean_cost = {r["method"]: r["c"] for r in rows}
     assert mean_cost["ivf_trained"] < mean_cost["ivf_seed"]
+
+
+def test_nprobe_sweep_monotone_and_trained_dominates(spark):
+    """The tuning curve must be internally consistent: recall is
+    monotone non-decreasing in nprobe for each method, and the trained
+    quantizer's macro recall is >= the seed's at EVERY probe budget
+    (strictly better at the budgets below saturation)."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators.similarity import (
+        NPROBE_SWEEP,
+        ann_recall_nprobe_sweep,
+    )
+
+    rows = (
+        ann_recall_nprobe_sweep(spark, "/root/testdata/sf0.001")
+        .groupBy("method")
+        .agg(F.avg("recall_at_k").alias("r"))
+        .collect()
+    )
+    macro = {r["method"]: r["r"] for r in rows}
+    for fam in ("ivf_seed", "ivf_trained"):
+        curve = [macro[f"{fam}_p{p}"] for p in NPROBE_SWEEP]
+        assert curve == sorted(curve), f"{fam} recall not monotone: {curve}"
+    assert all(
+        macro[f"ivf_trained_p{p}"] >= macro[f"ivf_seed_p{p}"]
+        for p in NPROBE_SWEEP
+    )
+    assert macro["ivf_trained_p1"] > macro["ivf_seed_p1"]

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "ann_recall_trained_vs_seed",  # composes knn_bruteforce ground truth
     "ann_recall_clustered",  # same composition over the clustered corpus
     "ann_probe_cost_clustered",  # candidate-count twin of the A/B
+    "ann_recall_nprobe_sweep",  # six probe-budget variants of the A/B
     "bm25_scores",  # 1-row avgdl scalar pin
     "embedding_neardup_exact",  # guarded O(n²) baseline, broadcast side
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
