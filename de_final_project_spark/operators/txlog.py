@@ -421,7 +421,12 @@ class VersionedTable:
                 conflicting = set()
                 for v in range(base_version + 1, head + 1):
                     e = self._read_entry(v)
-                    if e.get("op") != "merge":
+                    # merge and delete both enumerate EVERY partition
+                    # they modified/dropped in 'touched', so disjoint-
+                    # ness is a real proof for them; overwrite/compact
+                    # list only partitions they KEPT, so it proves
+                    # nothing and we must conflict.
+                    if e.get("op") not in ("merge", "delete"):
                         raise ConcurrentWriteError(
                             f"snapshot replaced by a concurrent "
                             f"'{e.get('op')}' at v{v} "
@@ -456,6 +461,113 @@ class VersionedTable:
             if self._try_commit(new_entry):
                 return new_entry["version"]
 
+    # --------------------------------------------------------- deletes
+    def _commit_delete(
+        self,
+        base_version: int,
+        touched: list[str],
+        rel: str | None,
+        parts: dict[str, str],
+    ) -> int:
+        """Shared commit loop for both delete forms: rewrite pointers
+        for touched partitions that still have data (``parts``), drop
+        the rest from live. Rebase rules match merge: disjoint
+        merges/deletes rebase over, overwrite/compact conflict."""
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            if head != base_version:
+                conflicting = set()
+                for v in range(base_version + 1, head + 1):
+                    e = self._read_entry(v)
+                    if e.get("op") not in ("merge", "delete"):
+                        raise ConcurrentWriteError(
+                            f"snapshot replaced by a concurrent "
+                            f"'{e.get('op')}' at v{v}"
+                        )
+                    conflicting |= set(e.get("touched", []))
+                if conflicting & set(touched) or _UNPARTITIONED in conflicting:
+                    raise ConcurrentWriteError(
+                        f"partitions {sorted(conflicting & set(touched))} "
+                        f"changed by a concurrent commit"
+                    )
+                base_version = head
+                head_entry = self._read_entry(head)
+            live = dict(head_entry["live"])
+            for p in touched:
+                if rel is not None and p in parts:
+                    live[p] = {"commit_dir": rel, "part_dir": parts[p]}
+                else:
+                    live.pop(p, None)  # every row of p deleted
+            new_entry = {
+                "version": head + 1,
+                "op": "delete",
+                "live": live,
+                "touched": touched,
+                "txn": dict(head_entry.get("txn", {})),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
+    def drop_partitions(self, values: Sequence[str]) -> int:
+        """METADATA-ONLY delete of whole partitions: the new log entry
+        simply omits their live pointers — zero data IO, zero scans,
+        the same O(1)-per-partition contract as Delta's
+        partition-predicate DELETE fast path. Old versions still read
+        the data (time travel) until vacuum reclaims the files."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        if not self.partition_col:
+            raise ValueError("drop_partitions needs a partitioned table")
+        touched = sorted(str(v) for v in values)
+        return self._commit_delete(base, touched, None, {})
+
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Row-level DELETE: rewrite only the partitions that contain
+        matching rows (one partition-pruned probe finds them), keeping
+        the non-matching rows; a partition whose every row matches is
+        dropped from live with no rewrite at all. Untouched partitions
+        keep their existing file pointers — DELETE cost tracks the
+        data actually deleted, not table size. ``predicate`` is a
+        Column or SQL string. Returns the new version (or the current
+        one when nothing matches)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        live = self._read_entry(base)["live"]
+        snapshot = self._read_live(spark, live)
+        assert snapshot is not None
+        if self.partition_col:
+            touched = sorted(
+                str(r[0])
+                for r in snapshot.where(cond)
+                .select(self.partition_col)
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = (
+                [_UNPARTITIONED]
+                if snapshot.where(cond).limit(1).count()
+                else []
+            )
+        if not touched:
+            return base
+        current = self._read_live(
+            spark, {p: live[p] for p in touched if p in live}
+        )
+        assert current is not None
+        remaining = current.where(~cond)
+        if remaining.limit(1).count() == 0:
+            # nothing survives in the touched partitions: pure drop
+            return self._commit_delete(base, touched, None, {})
+        rel, parts = self._stage(remaining)
+        if not self.partition_col:
+            parts = {_UNPARTITIONED: ""}
+        return self._commit_delete(base, touched, rel, parts)
+
     # ---------------------------------------------------------- reads
     def _read_live(self, spark: SparkSession, live: dict) -> DataFrame | None:
         """One scan per distinct commit dir (basePath restores the
@@ -489,7 +601,11 @@ class VersionedTable:
                 f"version {v} not found (vacuumed or never written)"
             )
         df = self._read_live(spark, self._read_entry(v)["live"])
-        assert df is not None
+        if df is None:
+            raise ValueError(
+                f"version {v} has no live data (every partition deleted); "
+                "time-travel to an earlier version to read prior rows"
+            )
         return df
 
     def read_changes(
@@ -746,4 +862,54 @@ WHERE l.rk = 1
 # Same post-state as the partitioned rename-MERGE demo.
 from de_final_project_spark.operators.merge import (  # noqa: E402
     MERGED_USER_SNAPSHOT_PARTITIONED_SQL as VERSIONED_USER_SNAPSHOT_SQL,  # noqa: F401
+)
+
+
+def versioned_snapshot_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable row-level DELETE on the transaction log: rebuild
+    the two-commit versioned user snapshot (v1 overwrite + v2 merge),
+    then ``delete_where(event_id % 3 = 0)`` — a predicate that hits a
+    subset of rows in most pbucket partitions, exercising the
+    partition-pruned rewrite (touched partitions rewritten without the
+    matching rows, untouched pointers preserved, a fully-matching
+    partition dropped with zero IO), and read back at the latest
+    version. The oracle restates the snapshot post-state with the
+    deleted rows filtered out — an integer-modulus predicate, so there
+    is no float/null boundary to diverge on."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    snap = lambda df, flag: (  # noqa: E731
+        keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.lit(flag).alias("from_delta"),
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_delete"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut), False))
+    table.merge(spark, snap(ev.where(F.col("event_id") > cut), True), ["user_id"])
+    table.delete_where(spark, "event_id % 3 = 0")
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_SNAPSHOT_ROW_DELETE_SQL = (
+    "SELECT * FROM ("
+    + VERSIONED_USER_SNAPSHOT_SQL
+    + ") WHERE event_id % 3 <> 0"
 )

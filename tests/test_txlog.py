@@ -503,3 +503,80 @@ def test_vacuum_retention_protects_inflight_staging(spark, tmp_path):
     assert os.path.isdir(os.path.join(t.path, rel))
     removed = t.vacuum(retain_versions=1, retention_seconds=0)
     assert rel in removed
+
+
+def test_drop_partitions_is_metadata_only(spark, table_factory):
+    """Whole-partition delete writes NO data: the new entry just omits
+    the dropped pointers; untouched partitions keep their exact
+    pointers; old versions still read the data (time travel)."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]))
+    dirs_before = set(os.listdir(os.path.join(t.path, "data")))
+    keep_ptr = t._read_entry(1)["live"]["0"]
+    v = t.drop_partitions(["1", "2"])
+    assert v == 2
+    assert set(os.listdir(os.path.join(t.path, "data"))) == dirs_before
+    e = t._read_entry(2)
+    assert e["op"] == "delete" and e["touched"] == ["1", "2"]
+    assert e["live"] == {"0": keep_ptr}
+    assert _rows(t.read(spark)) == {1: "a"}
+    assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b", 3: "c"}
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, table_factory):
+    """Row-level delete: partitions with matching rows are rewritten
+    without them; a fully-matching partition is dropped with no
+    rewrite; untouched partitions keep their pointers; CDC surfaces
+    the deletions."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(
+        _mk(spark, [(1, "kill", 0), (2, "keep", 0), (3, "kill", 1), (4, "keep", 2)])
+    )
+    untouched = t._read_entry(1)["live"]["2"]
+    v = t.delete_where(spark, "s = 'kill'")
+    assert v == 2
+    e = t._read_entry(2)
+    assert e["op"] == "delete" and e["touched"] == ["0", "1"]
+    assert "1" not in e["live"]  # pb=1 fully deleted: dropped, not rewritten
+    assert e["live"]["2"] == untouched
+    assert _rows(t.read(spark)) == {2: "keep", 4: "keep"}
+    feed = t.read_changes(spark, ["id"], 1, 2, include_deletes=True)
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(1, "delete"), (3, "delete")}
+    # no-op predicate returns the current version, no new commit
+    assert t.delete_where(spark, "s = 'absent'") == 2
+    assert t.latest_version() == 2
+
+
+def test_delete_where_unpartitioned_and_empty_table_read(spark, table_factory):
+    t = table_factory("t")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    v = t.delete_where(spark, "id = 1")
+    assert _rows(t.read(spark)) == {2: "b"}
+    v = t.delete_where(spark, "id = 2")  # last row gone -> live empty
+    with pytest.raises(ValueError, match="no live data"):
+        t.read(spark)
+    assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b"}  # time travel
+
+
+def test_merge_rebases_over_disjoint_delete(spark, table_factory):
+    """A delete names every partition it touched, so a concurrent merge
+    on DISJOINT partitions rebases over it (unlike overwrite/compact,
+    which conflict)."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = table_factory(t.path, partition_col="pb")
+            other.drop_partitions(["1"])
+        return out
+
+    t._stage = stage_and_race
+    v = t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
+    assert v == 3  # rebased over the delete at v2
+    assert _rows(t.read(spark)) == {1: "A"}  # pb=1 stays deleted
