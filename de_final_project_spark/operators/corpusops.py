@@ -689,3 +689,137 @@ FROM (SELECT degree, CAST(floor(log2(degree::DOUBLE)) AS BIGINT) AS bucket
       FROM deg)
 GROUP BY bucket
 """
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition (graph robustness over the copurchase graph)
+# ----------------------------------------------------------------------
+
+KCORE_K = 80
+KCORE_ITERS = 8
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core membership over the copurchase graph: the maximal
+    subgraph in which every vertex keeps >= KCORE_K neighbors — the
+    standard robustness/cohesion signal one tier above triangles (a
+    part in the core sits in a durably dense co-buy region; removing
+    peripheral parts cannot strand it).
+
+    Classic iterative peeling as a bounded fixed-point loop (the
+    PageRank/BPE/k-means discipline): each round restricts the
+    symmetric edge list to surviving endpoints (two vertex-keyed
+    equi-joins), recomputes degrees (one hash aggregate), and drops
+    vertices under K. Removal is monotone, so a round that removes
+    nothing is the fixed point — the loop EARLY-EXITS on an unchanged
+    survivor count (a control-plane scalar per round, same class as
+    the watermark probe), and the oracle's full KCORE_ITERS CTE chain
+    computes the identical converged set because peeling past the
+    fixed point is a no-op. tests/test_corpusops.py asserts the fixed
+    point is reached within KCORE_ITERS at both gate scales; at K=80
+    the sf0.01 core keeps 1857/2000 parts while sf0.001's collapses to
+    empty — both ends of the phase transition are exercised.
+
+    Scale shape: every join/aggregate keys on a vertex id; the edge
+    list is persisted loop state (re-filtered per round, never
+    recomputed); survivor frames are node-cardinality-sized.
+    """
+    edges = copurchase_edges(spark, sf_dir).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    alive = _kcore_alive(edges, KCORE_K, KCORE_ITERS)
+    return (
+        nodes.join(
+            alive.select(F.col("node"), F.lit(True).alias("_in")), "node", "left"
+        )
+        .select(
+            F.col("node").alias("part_key"),
+            F.coalesce(F.col("_in"), F.lit(False)).alias("in_kcore"),
+        )
+    )
+
+
+# Broadcast the survivor-node frame into the peel joins below this
+# count (~160 MB of single-long rows). Above it the rounds degrade to
+# shuffled equi-joins — the same automatic size gate as the triangle
+# closing edge.
+KCORE_BROADCAST_MAX_NODES = 10_000_000
+
+
+def _kcore_alive(edges: DataFrame, k: int, iters: int) -> DataFrame:
+    """Bounded peeling loop over a SYMMETRIC edge frame: surviving
+    nodes after up to ``iters`` remove-degree-below-k rounds, with the
+    monotone early exit (equal survivor count == fixed point).
+
+    Memory discipline (the driver-twin's plain 1 GB session is the
+    canary — it OOM'd two earlier formulations of this loop):
+
+    - the survivor frame is node-cardinality-sized, so it is BROADCAST
+      into both restriction joins while under KCORE_BROADCAST_MAX_NODES
+      (un-hinted, each round ran as two 200-partition sort-merge joins
+      whose 32 concurrent sort buffers exhausted a default heap);
+    - each round's survivors are ``localCheckpoint``-ed, not merely
+      persisted: a persist leaves the logical plan chained through
+      every earlier round, and the terminal action re-resolves that
+      O(iters)-deep broadcast-join lineage even when the data is
+      cached — the checkpoint truncates it so the loop's terminal plan
+      is one join over materialized blocks. (On a multi-node cluster,
+      reliable ``checkpoint()`` to shared storage is the
+      fault-tolerant variant of the same move.)"""
+    alive = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    prev_n = alive.count()
+    for _ in range(iters):
+        a = F.broadcast(alive) if prev_n <= KCORE_BROADCAST_MAX_NODES else alive
+        deg = (
+            edges.join(a.withColumnRenamed("node", "src"), "src")
+            .join(a.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        alive = nxt
+        if n == prev_n:
+            break  # monotone removal: equal count == fixed point
+        prev_n = n
+    return alive
+
+
+def _kcore_sql() -> str:
+    # Every alive{i} is referenced twice by the next round's degree
+    # join — without MATERIALIZED, DuckDB's per-reference inlining
+    # makes the CTE chain exponential in depth (the triangle-oracle
+    # lesson applied up front).
+    parts = [f"""
+WITH sym AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""]
+    for i in range(1, KCORE_ITERS + 1):
+        parts.append(f""",
+alive{i} AS MATERIALIZED (
+  SELECT e.src AS node
+  FROM sym e
+  JOIN alive{i - 1} a ON e.src = a.node
+  JOIN alive{i - 1} b ON e.dst = b.node
+  GROUP BY 1
+  HAVING count(*) >= {KCORE_K}
+)""")
+    parts.append(f"""
+SELECT n.node AS part_key,
+       coalesce(k.in_core, false) AS in_kcore
+FROM alive0 n
+LEFT JOIN (SELECT node, true AS in_core FROM alive{KCORE_ITERS}) k
+  USING (node)""")
+    return "".join(parts)
+
+
+COPURCHASE_KCORE_SQL = _kcore_sql()

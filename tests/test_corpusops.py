@@ -254,3 +254,27 @@ def test_degree_orientation_bounds_hub_wedges(spark):
     expect = {hub: 2, 1: 1, 2: 2, 3: 1}
     assert corner_counts(by_id) == expect
     assert corner_counts(by_deg) == expect
+
+
+def test_kcore_peeling_cascade_known_graph(spark):
+    """K=2 core of triangle{1,2,3} + tail 3-4-5: the whole tail peels
+    in a CASCADE (5 first, then 4 — two rounds), the triangle stays.
+    Exercises the iterative part the single-pass degree filter would
+    get wrong (node 4 has degree 2 before the cascade)."""
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    alive = {r["node"] for r in co._kcore_alive(sym, 2, 8).collect()}
+    assert alive == {1, 2, 3}
+    # K above the max degree empties the graph cleanly
+    assert co._kcore_alive(sym, 5, 8).count() == 0
+
+
+def test_kcore_reaches_fixed_point_within_budget(spark):
+    """KCORE_ITERS must cover the true fixed point at gate scale: one
+    more round changes nothing (monotone peeling => equal sets)."""
+    edges = co.copurchase_edges(spark, SF_DIR).persist()
+    a_n = {r["node"] for r in co._kcore_alive(edges, co.KCORE_K, co.KCORE_ITERS).collect()}
+    a_more = {r["node"] for r in co._kcore_alive(edges, co.KCORE_K, co.KCORE_ITERS + 3).collect()}
+    assert a_n == a_more
