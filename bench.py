@@ -80,8 +80,13 @@ BENCH_QUERIES_R5 = [
     "user_value_scd2_incremental",
     "kmeans_assignments",
     # round 7: the clustered-corpus trained-vs-seed ANN A/B (generator +
-    # trainer + three top-k pipelines + recall join in one query).
+    # trainer + three top-k pipelines + recall join in one query), its
+    # nprobe tuning curve (six pipeline variants, one trained fit), the
+    # k-core peel loop, and the transactional row-level DELETE.
     "ann_recall_clustered",
+    "ann_recall_nprobe_sweep",
+    "copurchase_kcore",
+    "versioned_snapshot_row_delete",
 ]
 # Round-6 third group: end-to-end AvailableNow replay cost of the three
 # driver-signed streaming queries (write replay batches -> run the
@@ -93,6 +98,8 @@ BENCH_QUERIES_STREAMING = [
     "event_transitions_streamed",
     "events_hourly_windowed_streamed",
     "purchase_view_join_streamed",
+    # round 7: streaming IVF index maintenance (train + replay + MERGE).
+    "streamed_ivf_index",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the
