@@ -559,6 +559,169 @@ def test_delete_where_unpartitioned_and_empty_table_read(spark, table_factory):
     assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b"}  # time travel
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, table_factory):
+    """SQL DELETE semantics: a predicate evaluating to NULL keeps the
+    row. Regression for ADVICE r7 (high): `where(~cond)` silently
+    dropped NULL-evaluating rows, but only in partitions that also had
+    a TRUE match — partition-dependent data loss."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(
+        _mk(
+            spark,
+            [(1, "kill", 0), (2, None, 0), (3, None, 1), (4, "keep", 1)],
+        )
+    )
+    t.delete_where(spark, "s = 'kill'")
+    # id=2 evaluates NULL in the rewritten partition 0 — must survive,
+    # same as id=3's NULL in the untouched partition 1.
+    assert _rows(t.read(spark)) == {2: None, 3: None, 4: "keep"}
+
+
+def test_delete_where_candidate_partitions_bounds_probe(spark, table_factory):
+    """candidate_partitions is the caller's proof of where matches
+    live: the probe and rewrite read only those partitions."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "kill", 0), (2, "keep", 0), (3, "c", 2)]))
+    untouched = t._read_entry(1)["live"]["2"]
+    v = t.delete_where(spark, "s = 'kill'", candidate_partitions=["0"])
+    assert v == 2
+    assert t._read_entry(2)["touched"] == ["0"]
+    assert t._read_entry(2)["live"]["2"] == untouched
+    assert _rows(t.read(spark)) == {2: "keep", 3: "c"}
+    # candidates naming only live-absent partitions: clean no-op
+    assert t.delete_where(spark, "s = 'x'", candidate_partitions=["9"]) == 2
+
+
+def test_update_where_rewrites_only_touched_partitions(spark, table_factory):
+    """Row-level UPDATE: partitions with matched rows are rewritten with
+    assignments applied to matched rows only; untouched partitions keep
+    their pointers; CDC surfaces the changes, incl. pre/post images."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]))
+    untouched = t._read_entry(1)["live"]["2"]
+    v = t.update_where(spark, "id <= 2", {"s": "upper(s)"})
+    assert v == 2
+    e = t._read_entry(2)
+    assert e["op"] == "update" and e["touched"] == ["0", "1"]
+    assert e["live"]["2"] == untouched
+    assert _rows(t.read(spark)) == {1: "A", 2: "B", 3: "c"}
+    # schema is stable across the update
+    assert dict(t.read(spark).dtypes) == dict(t.read(spark, version=1).dtypes)
+    feed = t.read_changes(spark, ["id"], 1, 2)
+    assert {(r["id"], r["_change_type"]) for r in feed.collect()} == {
+        (1, "update"),
+        (2, "update"),
+    }
+    images = t.read_changes(
+        spark, ["id"], 1, 2, include_update_preimages=True
+    )
+    got = {(r["id"], r["s"], r["_change_type"]) for r in images.collect()}
+    assert got == {
+        (1, "a", "update_preimage"),
+        (1, "A", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    # no-op predicate returns the current version, no new commit
+    assert t.update_where(spark, "s = 'absent'", {"s": "'x'"}) == 2
+
+
+def test_update_where_null_predicate_keeps_rows_unchanged(spark, table_factory):
+    """SQL UPDATE semantics: NULL-evaluating rows do not change, even
+    inside a rewritten partition."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "kill", 0), (2, None, 0)]))
+    t.update_where(spark, "s = 'kill'", {"s": "'dead'"})
+    assert _rows(t.read(spark)) == {1: "dead", 2: None}
+
+
+def test_update_where_rejects_partition_column_assignment(spark, table_factory):
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where(spark, "id = 1", {"pb": "1"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "id = 1", {"nope": "'x'"})
+
+
+def test_update_where_unpartitioned_and_time_travel(spark, table_factory):
+    t = table_factory("t")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    t.update_where(spark, "id = 1", {"s": "'A'"})
+    assert _rows(t.read(spark)) == {1: "A", 2: "b"}
+    assert _rows(t.read(spark, version=1)) == {1: "a", 2: "b"}
+
+
+def test_merge_rebases_over_disjoint_update(spark, table_factory):
+    """An update names every partition it touched, so a concurrent
+    merge on DISJOINT partitions rebases over it."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = table_factory(t.path, partition_col="pb")
+            other.update_where(spark, "id = 2", {"s": "'B2'"})
+        return out
+
+    t._stage = stage_and_race
+    v = t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
+    assert v == 3  # rebased over the update at v2
+    assert _rows(t.read(spark)) == {1: "A", 2: "B2"}
+
+
+def test_concurrent_overlapping_update_aborts(spark, table_factory):
+    """An update racing a merge on the SAME partition conflicts."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = table_factory(t.path, partition_col="pb")
+            other.merge(spark, _mk(spark, [(1, "THEIRS", 0)]), ["id"])
+        return out
+
+    t._stage = stage_and_race
+    with pytest.raises(ConcurrentWriteError):
+        t.update_where(spark, "id = 1", {"s": "'MINE'"})
+    assert _rows(t.read(spark)) == {1: "THEIRS"}
+
+
+def test_vacuumed_entry_mid_rebase_is_concurrent_write_error(
+    spark, table_factory
+):
+    """A vacuum that drops an intervening log entry while a writer is
+    rebasing must surface as ConcurrentWriteError (retryable), not a
+    raw FileNotFoundError (ADVICE r7)."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+
+    orig_stage = t._stage
+
+    def stage_race_and_vacuum(df):
+        out = orig_stage(df)
+        if not getattr(stage_race_and_vacuum, "raced", False):
+            stage_race_and_vacuum.raced = True
+            other = table_factory(t.path, partition_col="pb")
+            other.merge(spark, _mk(spark, [(2, "B2", 1)]), ["id"])  # v2
+            other.merge(spark, _mk(spark, [(2, "B3", 1)]), ["id"])  # v3
+            # vacuum-style log trim: v2's entry disappears mid-scan
+            t._store.delete(t._entry_name(2))
+        return out
+
+    t._stage = stage_race_and_vacuum
+    with pytest.raises(ConcurrentWriteError, match="vacuumed"):
+        t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
+
+
 def test_merge_rebases_over_disjoint_delete(spark, table_factory):
     """A delete names every partition it touched, so a concurrent merge
     on DISJOINT partitions rebases over it (unlike overwrite/compact,
