@@ -297,10 +297,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # naive formulation re-joins outdeg every iteration, tripling the
     # join count over PR_ITERATIONS rounds for a value that never
     # changes. The decorated edge list is the persisted loop state.
-    edges_deg = (
-        edges.join(outdeg, edges["src"] == outdeg["d_node"])
-        .select("src", "dst", "outdeg")
-        .persist()
+    from de_final_project_spark.session import scoped_persist
+
+    edges_deg = scoped_persist(
+        edges.join(outdeg, edges["src"] == outdeg["d_node"]).select(
+            "src", "dst", "outdeg"
+        ),
+        "copurchase_pagerank",
     )
     nodes = (
         read_testdata(spark, sf_dir, "lineitem")
@@ -399,16 +402,17 @@ def orient_by_degree(sym_edges: DataFrame) -> DataFrame:
 
     One aggregate over the symmetric list (degree = out-count, since the
     list is symmetric) and two id-keyed equi-joins to decorate the
-    endpoints — both loop-free, both on vertex keys. The input is
-    persisted here: it feeds both the degree aggregate and the
-    decoration joins, and without the persist the (possibly expensive)
-    upstream edge derivation runs twice (measured: the copurchase sym
-    self-join re-ran whole at sf0.1). The deg side is node-cardinality-
-    sized; AQE converts the decoration joins to broadcast at runtime
-    when it fits, and they stay shuffled equi-joins when it doesn't —
-    no manual hint, because node count is unbounded at 100 TB.
+    endpoints — both loop-free, both on vertex keys. The CALLER should
+    persist ``sym_edges`` (it feeds both the degree aggregate and the
+    decoration joins — unpersisted, the possibly-expensive upstream edge
+    derivation runs twice; measured: the copurchase sym self-join re-ran
+    whole at sf0.1) and release it once the oriented list is
+    materialized, which keeps cache lifetime in one scope instead of
+    leaking a persist per call (ADVICE r7). The deg side is node-
+    cardinality-sized; AQE converts the decoration joins to broadcast at
+    runtime when it fits, and they stay shuffled equi-joins when it
+    doesn't — no manual hint, because node count is unbounded at 100 TB.
     """
-    sym_edges = sym_edges.persist()
     deg = sym_edges.groupBy(F.col("src").alias("d_node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -454,14 +458,24 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs un-hinted as a shuffled semi-join on (a, c) — the
     documented degrade is automatic, not a manual edit.
     """
-    edges = orient_by_degree(copurchase_edges(spark, sf_dir)).persist()
+    from de_final_project_spark.session import scoped_persist
+
+    sym = copurchase_edges(spark, sf_dir).persist()
+    edges = scoped_persist(orient_by_degree(sym), "copurchase_triangles")
     ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
     closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     # Edge count is O(1) off the persisted relation; semantics of both
     # branches are identical, only the physical join strategy differs.
-    if edges.count() <= TRIANGLE_BROADCAST_MAX_EDGES:
+    n_edges = edges.count()
+    # The count materialized the oriented list, so the symmetric input's
+    # cache has served both its readers (degree agg + decoration joins)
+    # and is released here rather than leaking a second persist per call
+    # (ADVICE r7); edges itself stays cached query-scoped for the lazy
+    # wedge/closing reads below.
+    sym.unpersist()
+    if n_edges <= TRIANGLE_BROADCAST_MAX_EDGES:
         closing = F.broadcast(closing)
     triangles = wedges.join(closing, ["a", "c"], "left_semi")
     corners = triangles.select(
@@ -722,11 +736,18 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every join/aggregate keys on a vertex id; the edge
     list is persisted loop state (re-filtered per round, never
-    recomputed); survivor frames are node-cardinality-sized.
+    recomputed) and RELEASED when the loop ends — the peel is eager
+    (per-round survivor counts), so by return time everything the
+    result needs is localCheckpoint-ed and the edge cache would
+    otherwise leak for the session (ADVICE r7); survivor frames are
+    node-cardinality-sized.
     """
     edges = copurchase_edges(spark, sf_dir).persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    alive = _kcore_alive(edges, KCORE_K, KCORE_ITERS)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    alive = _kcore_alive(edges, KCORE_K, KCORE_ITERS, nodes0=nodes)
+    edges.unpersist()
     return (
         nodes.join(
             alive.select(F.col("node"), F.lit(True).alias("_in")), "node", "left"
@@ -745,7 +766,9 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_BROADCAST_MAX_NODES = 10_000_000
 
 
-def _kcore_alive(edges: DataFrame, k: int, iters: int) -> DataFrame:
+def _kcore_alive(
+    edges: DataFrame, k: int, iters: int, nodes0: DataFrame | None = None
+) -> DataFrame:
     """Bounded peeling loop over a SYMMETRIC edge frame: surviving
     nodes after up to ``iters`` remove-degree-below-k rounds, with the
     monotone early exit (equal survivor count == fixed point).
@@ -766,7 +789,9 @@ def _kcore_alive(edges: DataFrame, k: int, iters: int) -> DataFrame:
       reliable ``checkpoint()`` to shared storage is the
       fault-tolerant variant of the same move.)"""
     alive = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        nodes0
+        if nodes0 is not None
+        else edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     prev_n = alive.count()
     for _ in range(iters):

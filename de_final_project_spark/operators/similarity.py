@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_final_project_spark.functions.vector import cosine
+from de_final_project_spark.session import scoped_persist
 from de_final_project_spark.sources.readers import read_testdata
 
 # Bounded query set + k for the oracle-checked query.
@@ -182,10 +183,9 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    stage re-evaluates the whole normalization PER PAIR
     #    (O(dim^2) work x n^2 pairs); materialized, each pair costs one
     #    64-wide dot product.
-    u = (
-        unit_vectors(emb)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+    u = scoped_persist(
+        unit_vectors(emb).repartition(spark.sparkContext.defaultParallelism),
+        "embedding_neardup_exact",
     )
     a = u.select(F.col("vec_id").alias("a_id"), F.col("u").alias("u_a"))
     b = u.select(F.col("vec_id").alias("b_id"), F.col("u").alias("u_b"))
@@ -597,8 +597,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truth feeds BOTH the hits join and the per-query k aggregate —
     # without the boundary Catalyst recomputes the entire brute-force
     # subtree twice (it is the expensive branch of this plan).
-    truth = (
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    truth = scoped_persist(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_recall",
     )
     approx = ivf_knn(spark, sf_dir).select("query_id", "neighbor_id")
     hits = truth.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
@@ -653,8 +654,9 @@ def ann_recall_trained_vs_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells are the variant expected to win, and this report is the
     harness that would show it (the same keep-the-A/B discipline as the
     expression-vs-pandas-UDF bench row)."""
-    truth = (
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    truth = scoped_persist(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_recall",
     )
     return _recall_rows(
         truth,
@@ -1128,7 +1130,8 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = guard_exact_baseline(
         clustered_corpus(spark, sf_dir), "ann_recall_clustered", "ivf_knn"
-    ).persist()
+    )
+    emb = scoped_persist(emb, "clustered_ann")
     qdf = (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -1138,10 +1141,12 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.floor(x * km.SCALE).cast("long"),
             ).alias("q"),
         )
-        .persist()
     )
+    qdf = scoped_persist(qdf, "clustered_ann")
     centroids = km.train_kmeans_frame(qdf)
-    truth = _bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    truth = scoped_persist(
+        _bruteforce_topk(emb).select("query_id", "neighbor_id"), "clustered_ann"
+    )
     return _recall_rows(
         truth,
         [
@@ -1232,7 +1237,8 @@ def ann_probe_cost_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = guard_exact_baseline(
         clustered_corpus(spark, sf_dir), "ann_probe_cost_clustered", "ivf_knn"
-    ).persist()
+    )
+    emb = scoped_persist(emb, "clustered_ann")
     qdf = (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -1242,8 +1248,8 @@ def ann_probe_cost_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.floor(x * km.SCALE).cast("long"),
             ).alias("q"),
         )
-        .persist()
     )
+    qdf = scoped_persist(qdf, "clustered_ann")
     centroids = km.train_kmeans_frame(qdf)
 
     def cost(method: str, cands: DataFrame) -> DataFrame:
@@ -1298,7 +1304,8 @@ def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = guard_exact_baseline(
         clustered_corpus(spark, sf_dir), "ann_recall_nprobe_sweep", "ivf_knn"
-    ).persist()
+    )
+    emb = scoped_persist(emb, "clustered_ann")
     qdf = (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -1308,10 +1315,12 @@ def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.floor(x * km.SCALE).cast("long"),
             ).alias("q"),
         )
-        .persist()
     )
+    qdf = scoped_persist(qdf, "clustered_ann")
     centroids = km.train_kmeans_frame(qdf)
-    truth = _bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    truth = scoped_persist(
+        _bruteforce_topk(emb).select("query_id", "neighbor_id"), "clustered_ann"
+    )
     methods = []
     for p in NPROBE_SWEEP:
         methods.append((f"ivf_seed_p{p}", _rank_topk(_ivf_seed_candidates(emb, p))))

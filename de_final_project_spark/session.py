@@ -74,6 +74,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# scope -> frames persisted under it; see scoped_persist.
+_SCOPED_CACHES: dict[str, list] = {}
+
+
+def scoped_persist(df, scope: str):
+    """persist() with QUERY-SCOPED lifetime for hot paths whose result
+    is lazy (so the cache must outlive the building function, but not
+    the session): entering a DIFFERENT scope first releases every frame
+    registered under previous scopes, so a long many-query session
+    holds at most one query family's cached blocks instead of
+    accumulating them across 165 queries (ADVICE r7). Re-entering the
+    SAME scope keeps prior blocks — CacheManager matches by logical
+    plan, so best-of-N bench reps still reuse the warm cache exactly as
+    before. Unpersist is non-blocking and safe on frames whose blocks
+    were already evicted."""
+    for other in [k for k in _SCOPED_CACHES if k != scope]:
+        for f in _SCOPED_CACHES.pop(other):
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session gone / already released: nothing to hold
+    df = df.persist()
+    _SCOPED_CACHES.setdefault(scope, []).append(df)
+    return df
+
+
 def scratch_dir(name: str) -> str:
     """Fixed per-PROCESS scratch path for operators that materialize
     intermediate parquet (streaming replay dirs, merge snapshots).
