@@ -278,3 +278,37 @@ def test_kcore_reaches_fixed_point_within_budget(spark):
     a_n = {r["node"] for r in co._kcore_alive(edges, co.KCORE_K, co.KCORE_ITERS).collect()}
     a_more = {r["node"] for r in co._kcore_alive(edges, co.KCORE_K, co.KCORE_ITERS + 3).collect()}
     assert a_n == a_more
+
+
+def test_coreness_known_graph(spark):
+    """Hand-checkable core numbers: triangle{1,2,3} + tail 3-4-5.
+    Triangle members have coreness 2; the tail peels at k=2, so 4 and 5
+    sit at coreness 1 — including node 4, whose DEGREE is 2 (the case a
+    single-pass degree filter gets wrong, and the first H-index round
+    must correct downward via the cascade)."""
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["c"] for r in co._hindex_coreness(sym, 8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_coreness_converges_and_is_monotone_consistent_with_kcore(spark):
+    """Gate-scale invariants of the full decomposition (VERDICT r7
+    item 9): (a) the H-index iteration reaches its fixed point WITHIN
+    CORENESS_ITERS (the early exit fires, so the committed bound is
+    real, not lucky); (b) the core numbers are the monotone refinement
+    of K-membership — coreness(v) >= KCORE_K if and only if v survives
+    the KCORE_K peel — tying the two implementations (peeling vs
+    H-index) to the same ground truth from opposite directions."""
+    edges = co.copurchase_edges(spark, SF_DIR).persist()
+    c, rounds = co._hindex_coreness(edges, co.CORENESS_ITERS, return_rounds=True)
+    assert rounds < co.CORENESS_ITERS  # early exit fired: converged
+    coreness = {r["node"]: r["c"] for r in c.collect()}
+    alive = {
+        r["node"]
+        for r in co._kcore_alive(edges, co.KCORE_K, co.KCORE_ITERS).collect()
+    }
+    assert {v for v, cn in coreness.items() if cn >= co.KCORE_K} == alive
+    edges.unpersist()
