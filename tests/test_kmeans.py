@@ -168,3 +168,64 @@ def test_nprobe_sweep_monotone_and_trained_dominates(spark):
         for p in NPROBE_SWEEP
     )
     assert macro["ivf_trained_p1"] > macro["ivf_seed_p1"]
+
+
+def test_ivfpq_pipeline_invariants(spark):
+    """IVF-PQ composition on the clustered corpus: codes stay in the
+    codebook range, the ADC candidate set is exactly the probed-cell
+    candidate set (PQ changes RANKING, never membership), and — because
+    the clustered cells are tighter than RERANK_TOP — the reranked
+    top-k must equal the exact trained-IVF top-k per query."""
+    from de_final_project_spark.operators import similarity as sim
+
+    emb = sim.clustered_corpus(spark, SF_DIR)
+    qdf = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x * km.SCALE).cast("long")
+        ).alias("q"),
+    ).persist()
+    centroids = km.train_kmeans_frame(qdf)
+    cb = sim._pq_residual_codebook(qdf, centroids)
+    assert len(cb) == sim.PQ_M and all(len(b) == sim.PQ_K for b in cb)
+    codes = sim._pq_encode_residuals(
+        sim._residual_frame(qdf, centroids), cb
+    )
+    mx = codes.select(
+        F.max(F.array_max("codes")).alias("mx"),
+        F.min(F.array_min("codes")).alias("mn"),
+    ).first()
+    assert 0 <= mx["mn"] and mx["mx"] < sim.PQ_K
+    adc = sim._ivfpq_candidates(qdf, centroids, cb)
+    exact = sim._ivf_trained_candidates(emb, qdf, centroids)
+    assert (
+        {(r[0], r[1]) for r in adc.select("query_id", "neighbor_id").collect()}
+        == {(r[0], r[1]) for r in exact.select("query_id", "neighbor_id").collect()}
+    )
+    rerank = sim._ivfpq_rerank_topk(emb, qdf, centroids, cb)
+    ivf = sim._ivf_trained_topk(emb, qdf, centroids)
+    assert sorted(map(tuple, rerank.collect())) == sorted(map(tuple, ivf.collect()))
+    qdf.unpersist()
+
+
+def test_ivfpq_cost_report_bounds_exact_evals(spark):
+    from de_final_project_spark.operators import similarity as sim
+
+    rows = sim.ivfpq_cost_report(spark, SF_DIR).collect()
+    assert len(rows) == sim.N_QUERIES
+    for r in rows:
+        assert r["n_exact_rerank"] == min(sim.RERANK_TOP, r["n_candidates"])
+
+
+def test_pq_codebook_seed_contract(spark):
+    """Gapped seed ids must fail fast, same as the k-means trainer."""
+    import pytest
+
+    from de_final_project_spark.operators import similarity as sim
+
+    qdf = spark.createDataFrame(
+        [(i * 2, [0] * km.DIM) for i in range(sim.PQ_K)],
+        "vec_id long, q array<long>",
+    )
+    with pytest.raises(ValueError, match="contiguous vec_ids"):
+        sim._pq_residual_codebook(qdf, [[0] * km.DIM])
