@@ -908,6 +908,95 @@ class VersionedTable:
         return removed
 
 
+class ChangeFeedConsumer:
+    """Streaming-source adapter over a VersionedTable's change feed:
+    replays each committed version as ONE micro-batch (the Delta-CDF
+    ``readChangeFeed`` consumption model), with a consumer-side
+    checkpoint so replay is idempotent — the txn-stamp discipline
+    applied to the READ side of the log (VERDICT r7 item 3).
+
+    ``replay(spark, process)`` drives ``process(batch_df, version)``
+    for every version AFTER the checkpointed one, in commit order; the
+    checkpoint (a JSON sidecar, atomically replaced AFTER the handler
+    returns) advances per batch, so a crash mid-stream resumes at the
+    next unconsumed version and a second replay over a consumed log is
+    a no-op. Delivery to the handler is therefore at-least-once per
+    version (crash between handler success and checkpoint replace
+    re-delivers that version); handlers that fold into a VersionedTable
+    should pass ``txn=(consumer_id, version)`` to make the composition
+    effectively-once, exactly like the streaming MERGE sink.
+
+    Batches are partition-pruned by read_changes — an untouched
+    partition costs nothing — so consumption cost tracks churn, not
+    table size. A version whose live map is unchanged (pure-txn-stamp
+    commits) yields no feed and is checkpointed through silently."""
+
+    def __init__(
+        self,
+        table: VersionedTable,
+        keys: Sequence[str],
+        checkpoint_path: str,
+        include_deletes: bool = True,
+    ):
+        self.table = table
+        self.keys = list(keys)
+        self.checkpoint_path = checkpoint_path
+        self.include_deletes = include_deletes
+
+    def last_consumed(self) -> int | None:
+        try:
+            with open(self.checkpoint_path) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _advance(self, version: int) -> None:
+        os.makedirs(os.path.dirname(self.checkpoint_path), exist_ok=True)
+        tmp = f"{self.checkpoint_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.checkpoint_path)
+
+    def replay(
+        self,
+        spark: SparkSession,
+        process,
+        start_after: int | None = None,
+    ) -> int:
+        """Deliver every unconsumed version's change batch to
+        ``process(batch_df, version)``; returns the number of batches
+        delivered. ``start_after`` seeds a FRESH checkpoint (defaults
+        to the table's first retained version — its snapshot is the
+        consumer's bootstrap, as in Delta CDF's startingVersion)."""
+        head = self.table.latest_version()
+        if head is None:
+            return 0
+        consumed = self.last_consumed()
+        if consumed is None:
+            consumed = (
+                start_after
+                if start_after is not None
+                else self.table._list_versions()[0]
+            )
+        delivered = 0
+        for v in range(consumed + 1, head + 1):
+            try:
+                batch = self.table.read_changes(
+                    spark,
+                    self.keys,
+                    v - 1,
+                    v,
+                    include_deletes=self.include_deletes,
+                )
+            except ValueError:
+                batch = None  # no live pointer changed: empty batch
+            if batch is not None:
+                process(batch, v)
+            self._advance(v)
+            delivered += 1
+        return delivered
+
+
 def versioned_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable end-to-end exercise of VersionedTable: base
     snapshot commit (v1) + keyed MERGE of the delta half (v2), read back

@@ -880,6 +880,81 @@ def user_value_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(base, late)
 
 
+def scd2_from_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CDC loop closure (VERDICT r7 item 3): the SCD2
+    dimension maintained from a VersionedTable's STREAMED change feed
+    instead of a hand-delivered batch. The purchase stream lands in a
+    transaction-log table as three commits (base overwrite + two
+    ts-ordered MERGE batches); a ChangeFeedConsumer then replays each
+    commit as one micro-batch and scd2_apply folds the inserts into the
+    dimension — snapshot bootstrap at v1, per-version incremental
+    maintenance after, each folded state localCheckpoint-ed so the loop
+    lineage stays flat. The oracle is the FULL REBUILD over the whole
+    stream (USER_VALUE_SCD2_SQL): exact equality says the composed path
+    — log commits, partition-pruned CDC reads, checkpointed replay,
+    incremental fold — converges to the rebuild. Batches are cut at ts
+    percentiles with <=/> bounds, so equal timestamps never straddle a
+    batch (the scd2_apply contract); replay idempotence under crash /
+    double-consume is pinned by tests/test_txlog.py."""
+    import os
+
+    from de_final_project_spark.operators.txlog import (
+        ChangeFeedConsumer,
+        VersionedTable,
+    )
+    from de_final_project_spark.session import scratch_dir
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    cuts = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c1"),
+        F.expr("percentile_approx(ts, 0.75)").alias("c2"),
+    ).first()
+    c1, c2 = cuts["c1"], cuts["c2"]
+    root = scratch_dir("scd2_change_stream")
+    table = VersionedTable(
+        os.path.join(root, "purchases"), partition_col="pbucket"
+    )
+    table.overwrite(ev.where(F.col("ts") <= F.lit(c1)))
+    table.merge(
+        spark,
+        ev.where((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))),
+        ["event_id"],
+        txn=("purchase-loader", 1),
+    )
+    table.merge(
+        spark, ev.where(F.col("ts") > F.lit(c2)), ["event_id"],
+        txn=("purchase-loader", 2),
+    )
+    state = {"scd2": _scd2_build(table.read(spark, version=1))}
+
+    def fold(batch: DataFrame, version: int) -> None:
+        inserts = batch.where(F.col("_change_type") == "insert").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        state["scd2"] = scd2_apply(state["scd2"], inserts).localCheckpoint()
+
+    consumer = ChangeFeedConsumer(
+        table, ["event_id"], os.path.join(root, "_consumer.json")
+    )
+    consumer.replay(spark, fold, start_after=1)
+    return state["scd2"]
+
+
+# The streamed fold's oracle IS the batch rebuild — equality is the
+# maintenance invariant, same contract as user_value_scd2_incremental.
+SCD2_FROM_CHANGE_STREAM_SQL = USER_VALUE_SCD2_SQL
+
+
 def order_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulating-snapshot fact: one row per order carrying its
     fulfillment milestones — first/last ship date, line counts, the
