@@ -263,7 +263,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_pagerank(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """``PR_ITERATIONS`` rounds of PageRank over the copurchase graph in
     fixed-point BIGINT arithmetic.
 
@@ -333,6 +335,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        if checkpoint_dir is not None:
+            # Default is the lazy PR_ITERATIONS-deep chain (fine for a
+            # bounded loop); a reliable dir materializes each round to
+            # shared storage so a long chain survives executor loss.
+            from de_final_project_spark.session import loop_checkpoint
+
+            ranks = loop_checkpoint(ranks, checkpoint_dir)
     out = ranks.select(F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"))
     return out
 
@@ -713,7 +722,9 @@ KCORE_K = 80
 KCORE_ITERS = 8
 
 
-def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_kcore(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """K-core membership over the copurchase graph: the maximal
     subgraph in which every vertex keeps >= KCORE_K neighbors — the
     standard robustness/cohesion signal one tier above triangles (a
@@ -742,11 +753,15 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise leak for the session (ADVICE r7); survivor frames are
     node-cardinality-sized.
     """
+    from de_final_project_spark.session import loop_checkpoint
+
     edges = copurchase_edges(spark, sf_dir).persist()
-    nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = loop_checkpoint(
+        edges.select(F.col("src").alias("node")).distinct(), checkpoint_dir
     )
-    alive = _kcore_alive(edges, KCORE_K, KCORE_ITERS, nodes0=nodes)
+    alive = _kcore_alive(
+        edges, KCORE_K, KCORE_ITERS, nodes0=nodes, checkpoint_dir=checkpoint_dir
+    )
     edges.unpersist()
     return (
         nodes.join(
@@ -767,7 +782,11 @@ KCORE_BROADCAST_MAX_NODES = 10_000_000
 
 
 def _kcore_alive(
-    edges: DataFrame, k: int, iters: int, nodes0: DataFrame | None = None
+    edges: DataFrame,
+    k: int,
+    iters: int,
+    nodes0: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded peeling loop over a SYMMETRIC edge frame: surviving
     nodes after up to ``iters`` remove-degree-below-k rounds, with the
@@ -788,10 +807,14 @@ def _kcore_alive(
       is one join over materialized blocks. (On a multi-node cluster,
       reliable ``checkpoint()`` to shared storage is the
       fault-tolerant variant of the same move.)"""
+    from de_final_project_spark.session import loop_checkpoint
+
     alive = (
         nodes0
         if nodes0 is not None
-        else edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        else loop_checkpoint(
+            edges.select(F.col("src").alias("node")).distinct(), checkpoint_dir
+        )
     )
     prev_n = alive.count()
     for _ in range(iters):
@@ -802,10 +825,9 @@ def _kcore_alive(
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        nxt = (
-            deg.where(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint()
+        nxt = loop_checkpoint(
+            deg.where(F.col("deg") >= k).select(F.col("src").alias("node")),
+            checkpoint_dir,
         )
         n = nxt.count()
         alive = nxt
@@ -864,7 +886,9 @@ COPURCHASE_KCORE_SQL = _kcore_sql()
 CORENESS_ITERS = 16
 
 
-def copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_coreness(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Full coreness decomposition of the copurchase graph: each part's
     CORE NUMBER — the largest k for which it survives k-core peeling —
     not just membership at one K (`copurchase_kcore`). This is the form
@@ -892,7 +916,7 @@ def copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed to truncate the O(rounds) lineage, and the edge
     cache is released when the eager loop ends."""
     edges = copurchase_edges(spark, sf_dir).persist()
-    c = _hindex_coreness(edges, CORENESS_ITERS)
+    c = _hindex_coreness(edges, CORENESS_ITERS, checkpoint_dir=checkpoint_dir)
     edges.unpersist()
     all_nodes = (
         read_testdata(spark, sf_dir, "lineitem")
@@ -907,7 +931,10 @@ def copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hindex_coreness(
-    edges: DataFrame, iters: int, return_rounds: bool = False
+    edges: DataFrame,
+    iters: int,
+    return_rounds: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """H-index iteration over a SYMMETRIC edge frame: (node, c) after at
     most ``iters`` rounds, early-exiting on an unchanged sum(c) checksum
@@ -917,11 +944,14 @@ def _hindex_coreness(
     tests read it."""
     from pyspark.sql.window import Window
 
+    from de_final_project_spark.session import loop_checkpoint
+
     n_nodes = edges.select("src").distinct().count()
-    c = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+    c = loop_checkpoint(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        checkpoint_dir,
     )
     prev_sum = c.agg(F.sum("c")).first()[0]
     w = Window.partitionBy("src").orderBy(F.desc("c"))
@@ -935,8 +965,8 @@ def _hindex_coreness(
             .groupBy("src")
             .agg(F.max(F.least(F.col("rk").cast("long"), F.col("c"))).alias("c"))
             .select(F.col("src").alias("node"), "c")
-            .localCheckpoint()
         )
+        nxt = loop_checkpoint(nxt, checkpoint_dir)
         s = nxt.agg(F.sum("c")).first()[0]
         c = nxt
         rounds += 1

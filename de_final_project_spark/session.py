@@ -74,6 +74,30 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def loop_checkpoint(df, checkpoint_dir: str | None = None):
+    """Truncate an iterative loop's lineage. Default: localCheckpoint()
+    — executor-memory blocks, fast, the right choice on local[N] and
+    for short loops, but NON-RECOVERABLE if an executor dies mid-loop
+    on a real cluster. With ``checkpoint_dir``: RELIABLE checkpoint()
+    to that (shared) path, so loop state survives executor loss — the
+    cheap insurance VERDICT r7 item 7 asks the iterative operators
+    (k-core, coreness, PageRank) to offer. The directory is set once
+    per SparkContext; results are identical either way (asserted by
+    test)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    try:
+        unset = sc._jsc.sc().getCheckpointDir().isEmpty()
+    except Exception:
+        unset = True
+    if unset:
+        # setCheckpointDir mints a fresh <dir>/<uuid> per call; set it
+        # once per context so a loop's rounds share one directory.
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
 # scope -> frames persisted under it; see scoped_persist.
 _SCOPED_CACHES: dict[str, list] = {}
 

@@ -312,3 +312,51 @@ def test_coreness_converges_and_is_monotone_consistent_with_kcore(spark):
     }
     assert {v for v, cn in coreness.items() if cn >= co.KCORE_K} == alive
     edges.unpersist()
+
+
+def test_reliable_checkpoint_matches_local_and_writes_state(spark, tmp_path):
+    """The fault-tolerance option (VERDICT r7 item 7): running the
+    k-core peel and the coreness loop with a RELIABLE checkpoint dir
+    produces identical results to the default localCheckpoint path, and
+    the loop state actually lands in the shared directory (what makes
+    it recoverable after executor loss on a real cluster)."""
+    ckpt = str(tmp_path / "reliable")
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    local_alive = {r["node"] for r in co._kcore_alive(sym, 2, 8).collect()}
+    rel_alive = {
+        r["node"]
+        for r in co._kcore_alive(sym, 2, 8, checkpoint_dir=ckpt).collect()
+    }
+    assert rel_alive == local_alive == {1, 2, 3}
+    local_core = {r["node"]: r["c"] for r in co._hindex_coreness(sym, 8).collect()}
+    rel_core = {
+        r["node"]: r["c"]
+        for r in co._hindex_coreness(sym, 8, checkpoint_dir=ckpt).collect()
+    }
+    assert rel_core == local_core
+    # state really went to shared storage, not executor memory
+    import os
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert files, "reliable checkpoint dir is empty"
+
+
+def test_pagerank_reliable_checkpoint_identical(spark, tmp_path):
+    got_local = {
+        r["part_key"]: r["rank_fp"]
+        for r in co.copurchase_pagerank(spark, SF_DIR).collect()
+    }
+    got_rel = {
+        r["part_key"]: r["rank_fp"]
+        for r in co.copurchase_pagerank(
+            spark, SF_DIR, checkpoint_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert got_rel == got_local
