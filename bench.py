@@ -125,10 +125,28 @@ def main() -> None:
     REPS = 3
     timings: dict[str, float] = {}
     timings_r5: dict[str, float] = {}
-    for _ in range(REPS):
+    # Passive observability side effect (VERDICT r7 item 6): the frozen
+    # set's noop saves are the measured actions — the recorder snapshots
+    # stage state around them and never runs a second execution. Rows
+    # buffer in memory and flush once after the loops.
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.metrics import QueryMetricsRecorder
+
+    recorder = QueryMetricsRecorder(
+        spark, os.path.join(scratch_dir("bench_metrics"), "query_metrics")
+    )
+    for rep in range(REPS):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if rep == 0:
+                with recorder.observe(name):
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+            else:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
         for name in BENCH_QUERIES_R5:
@@ -179,6 +197,7 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings_r5[name] = min(timings_r5.get(name, dt), dt)
 
+    recorder.flush()  # one append job, outside every observation window
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -5,7 +5,12 @@ small parquet table.
 The reference alerts on every pipeline hop (CloudWatch alarms wired to
 each Lambda stage — reference README.md:21-34, mvp.png); the engine's
 analog is per-query execution metrics captured where Spark already
-exposes them. PySpark cannot subclass the JVM QueryExecutionListener
+exposes them. Capture is PASSIVE (VERDICT r7 item 6): ``observe`` is a
+context manager that snapshots stage state around WHATEVER action the
+caller runs — it never issues an action of its own, so observing a
+production run costs two REST snapshots, not a second execution.
+Rows buffer in memory and land in the parquet table on ``flush()``,
+so recording itself adds zero Spark jobs between snapshots. PySpark cannot subclass the JVM QueryExecutionListener
 without a py4j callback server (fragile in embedded/test contexts), so
 the recorder uses the equally-complete status REST API the UI serves:
 stage-level ``shuffleReadBytes`` / ``shuffleWriteBytes`` /
@@ -26,6 +31,7 @@ Contract notes:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import time
 import urllib.request
@@ -37,7 +43,7 @@ METRICS_SCHEMA = T.StructType(
     [
         T.StructField("query", T.StringType(), False),
         T.StructField("measured_at", T.TimestampType(), False),
-        T.StructField("rows", T.LongType(), False),
+        T.StructField("rows", T.LongType(), True),
         T.StructField("wall_ms", T.LongType(), False),
         T.StructField("n_stages", T.LongType(), True),
         T.StructField("shuffle_read_bytes", T.LongType(), True),
@@ -69,15 +75,26 @@ class QueryMetricsRecorder:
     def __init__(self, spark: SparkSession, metrics_path: str):
         self.spark = spark
         self.metrics_path = metrics_path
+        self._buffer: list[dict] = []
 
-    def measure(self, name: str, df: DataFrame) -> dict:
-        """Execute ``df`` (count action), snapshot stage metrics around
-        it, append one metrics row, and return it as a dict."""
+    @contextlib.contextmanager
+    def observe(self, name: str):
+        """PASSIVE per-query capture: snapshot stage state, yield to the
+        caller (who runs its OWN action — a collect, a noop write, a
+        sink commit), snapshot again, and buffer one metrics row
+        attributing the new stages to ``name``. The recorder launches
+        no Spark job of its own between the snapshots — observing a
+        run does not double its cost (the old measure() flaw). The
+        yielded dict accepts an optional ``rows`` count if the caller
+        happens to know it (null otherwise — row count is an answer,
+        not an observation) and carries the finished row under
+        ``metrics`` after exit."""
         import datetime as dt
 
         before = _stage_snapshot(self.spark)
         t0 = time.monotonic()
-        rows = df.count()
+        holder: dict = {"rows": None}
+        yield holder
         wall_ms = int((time.monotonic() - t0) * 1000)
         after = _stage_snapshot(self.spark)
 
@@ -92,17 +109,37 @@ class QueryMetricsRecorder:
         row = {
             "query": name,
             "measured_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
-            "rows": int(rows),
+            "rows": None if holder["rows"] is None else int(holder["rows"]),
             "wall_ms": wall_ms,
             "n_stages": n_stages,
             "shuffle_read_bytes": shuffle_r,
             "shuffle_write_bytes": shuffle_w,
             "input_bytes": input_b,
         }
-        self.spark.createDataFrame([row], METRICS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.metrics_path)
-        return row
+        self._buffer.append(row)
+        holder["metrics"] = row
+
+    def flush(self) -> int:
+        """Write buffered rows to the parquet table (ONE append job for
+        the whole batch, outside any observation window). Returns the
+        number of rows written."""
+        if not self._buffer:
+            return 0
+        n = len(self._buffer)
+        self.spark.createDataFrame(self._buffer, METRICS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(self.metrics_path)
+        self._buffer = []
+        return n
+
+    def measure(self, name: str, df: DataFrame) -> dict:
+        """Convenience ACTIVE form kept for benchmarking: runs a count
+        action itself inside an observe window, then flushes. Use
+        observe() to record a production run without re-executing it."""
+        with self.observe(name) as h:
+            h["rows"] = df.count()
+        self.flush()
+        return h["metrics"]
 
     def table(self) -> DataFrame:
         """The accumulated metrics table."""
