@@ -87,6 +87,15 @@ BENCH_QUERIES_R5 = [
     "ann_recall_nprobe_sweep",
     "copurchase_kcore",
     "versioned_snapshot_row_delete",
+    # round 8: the coreness H-index loop, the composed IVF-PQ path and
+    # its clustered A/B (three top-k pipelines + PQ encode + recall
+    # join), transactional row-level UPDATE, and the streamed
+    # change-feed SCD2 fold (3 log commits + 2 CDC batches + 2 applies).
+    "copurchase_coreness",
+    "ivf_pq_knn",
+    "ann_recall_ivfpq",
+    "versioned_snapshot_row_update",
+    "scd2_from_change_stream",
 ]
 # Round-6 third group: end-to-end AvailableNow replay cost of the three
 # driver-signed streaming queries (write replay batches -> run the
