@@ -96,6 +96,9 @@ BENCH_QUERIES_R5 = [
     "ann_recall_ivfpq",
     "versioned_snapshot_row_update",
     "scd2_from_change_stream",
+    # trained-PQ-codebook A/Bs (per-subspace Lloyd + two ADC pipelines).
+    "pq_train_error_ab",
+    "ann_recall_ivfpq_trained",
 ]
 # Round-6 third group: end-to-end AvailableNow replay cost of the three
 # driver-signed streaming queries (write replay batches -> run the

