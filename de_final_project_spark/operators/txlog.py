@@ -340,6 +340,7 @@ class VersionedTable:
             }
             entry = {
                 "version": base + 1,
+                "ts": time.time(),
                 "op": op,
                 "live": live,
                 "touched": sorted(parts),
@@ -464,6 +465,7 @@ class VersionedTable:
                 applied[txn[0]] = txn[1]
             new_entry = {
                 "version": head + 1,
+                "ts": time.time(),
                 "op": "merge",
                 "live": live,
                 "touched": touched,
@@ -520,6 +522,7 @@ class VersionedTable:
                     live.pop(p, None)  # every row of p deleted
             new_entry = {
                 "version": head + 1,
+                "ts": time.time(),
                 "op": op,
                 "live": live,
                 "touched": touched,
@@ -721,6 +724,32 @@ class VersionedTable:
         for s in scans[1:]:
             out = out.unionByName(s)
         return out
+
+    def version_as_of(self, timestamp: float) -> int:
+        """Largest RETAINED version committed at or before ``timestamp``
+        (epoch seconds) — Delta's timestampAsOf resolution rule. Commit
+        times are stamped into log entries by the winning writer, so
+        they are monotone per table up to clock skew between writers
+        (same contract as Delta, which also trusts the writer clock).
+        Entries from before the feature carry no stamp and are treated
+        as arbitrarily old. O(retained versions) entry reads — bounded
+        by vacuum, not by history length. Raises if every retained
+        commit is newer than the asked time."""
+        best = None
+        for v in self._list_versions():
+            ts = self._read_entry(v).get("ts")
+            if ts is None or ts <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained commit at or before {timestamp} "
+                f"(earliest retained version is newer, or table empty)"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, timestamp: float) -> DataFrame:
+        """Time travel by wall clock instead of version number."""
+        return self.read(spark, self.version_as_of(timestamp))
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.latest_version()

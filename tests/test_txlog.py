@@ -789,3 +789,22 @@ def test_merge_rebases_over_disjoint_delete(spark, table_factory):
     v = t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
     assert v == 3  # rebased over the delete at v2
     assert _rows(t.read(spark)) == {1: "A"}  # pb=1 stays deleted
+
+
+def test_read_as_of_timestamp(spark, table_factory):
+    """Delta-style timestampAsOf: a wall-clock time resolves to the
+    newest commit at or before it; asking before the first retained
+    commit raises; asking after head reads head."""
+    import time as _time
+
+    t = table_factory("t", partition_col="pb")
+    before_any = _time.time() - 1.0
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    between = _time.time()
+    _time.sleep(0.05)
+    t.merge(spark, _mk(spark, [(1, "A", 0), (2, "b", 1)]), ["id"])
+    assert t.version_as_of(between) == 1
+    assert _rows(t.read_as_of(spark, between)) == {1: "a"}
+    assert _rows(t.read_as_of(spark, _time.time())) == {1: "A", 2: "b"}
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.version_as_of(before_any)
