@@ -357,6 +357,7 @@ class VersionedTable:
         delta: DataFrame,
         keys: Sequence[str],
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Keyed upsert with touched-partition granularity. The
         partition column must be a pure function of the key (same
@@ -371,7 +372,16 @@ class VersionedTable:
         no-op returning the current version. This is what makes a
         foreachBatch retry (same epoch re-delivered after a crash
         between sink commit and checkpoint advance) safe — the
-        Delta txnAppId/txnVersion pattern."""
+        Delta txnAppId/txnVersion pattern.
+
+        ``merge_schema=True`` is Delta's mergeSchema opt-in: a delta
+        carrying NEW columns widens the table — survivors in touched
+        partitions are rewritten with the new columns null-filled, and
+        READS null-fill older partitions' files (the reader unions by
+        name with missing columns allowed, so old files never need a
+        rewrite — additive evolution only). Default False: schema
+        drift fails loudly, because silent widening is how a typo'd
+        producer forks a table."""
         keys = list(keys)
         if txn is not None:
             head0 = self.latest_version()
@@ -398,9 +408,21 @@ class VersionedTable:
             spark, {p: e for p, e in entry["live"].items() if p in set(touched)}
         )
         if current is not None:
+            new_cols = set(delta.columns) - set(current.columns)
+            if new_cols and not merge_schema:
+                raise ValueError(
+                    f"delta adds columns {sorted(new_cols)} not in the "
+                    "table schema; pass merge_schema=True to widen "
+                    "(additive evolution), or fix the producer"
+                )
             delta_keys = F.broadcast(delta.select(*keys).distinct())
             survivors = current.join(delta_keys, keys, "left_anti")
-            merged = survivors.select(*delta.columns).unionByName(delta)
+            if new_cols:
+                merged = survivors.unionByName(
+                    delta, allowMissingColumns=True
+                ).select(*delta.columns)
+            else:
+                merged = survivors.select(*delta.columns).unionByName(delta)
         else:
             merged = delta
         rel, parts = self._stage(merged)
@@ -722,7 +744,12 @@ class VersionedTable:
                 )
         out = scans[0]
         for s in scans[1:]:
-            out = out.unionByName(s)
+            # allowMissingColumns: after additive schema evolution
+            # (merge_schema=True) older commits' files lack the new
+            # columns — the reader null-fills them instead of forcing
+            # a historical rewrite. Identical schemas take the same
+            # path with zero behavior change.
+            out = out.unionByName(s, allowMissingColumns=True)
         return out
 
     def version_as_of(self, timestamp: float) -> int:
@@ -819,6 +846,17 @@ class VersionedTable:
         if old is None:
             return new.withColumn("_change_type", F.lit("insert"))
         cols = (new if new is not None else old).columns
+        if new is not None:
+            # Across an additive schema evolution the old version's
+            # files lack the new columns; null-fill them (typed from
+            # the new schema) so the row-struct compare still works —
+            # an old row then differs from its rewritten image exactly
+            # when real values changed OR the new column is non-null.
+            for f in new.schema.fields:
+                if f.name not in old.columns:
+                    old = old.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         old_k = old.select(
             *keys, F.struct(*cols).alias("_old_row")
         )

@@ -808,3 +808,34 @@ def test_read_as_of_timestamp(spark, table_factory):
     assert _rows(t.read_as_of(spark, _time.time())) == {1: "A", 2: "b"}
     with pytest.raises(ValueError, match="no retained commit"):
         t.version_as_of(before_any)
+
+
+def test_merge_schema_evolution(spark, table_factory):
+    """Delta-style additive schema evolution: a delta with a new column
+    fails loudly by default, widens the table with merge_schema=True
+    (old partitions' files null-fill on read — no historical rewrite),
+    time travel still reads the narrow pre-evolution schema, and the
+    change feed crosses the boundary with typed null pre-images."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "B", 1, 9.5)], "id long, s string, pb int, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.merge(spark, wide, ["id"])
+    v = t.merge(spark, wide, ["id"], merge_schema=True)
+    got = {r["id"]: (r["s"], r["score"]) for r in t.read(spark).collect()}
+    # untouched partition 0 null-fills; touched partition's survivor too
+    assert got == {1: ("a", None), 2: ("B", 9.5)}
+    assert dict(t.read(spark).dtypes)["score"] == "double"
+    # pre-evolution version still reads its own narrow schema
+    assert "score" not in t.read(spark, version=1).columns
+    feed = t.read_changes(spark, ["id"], 1, v)
+    assert {(r["id"], r["_change_type"]) for r in feed.collect()} == {
+        (2, "update")
+    }
+    # a later narrow merge keeps the wide schema (delta widened, not
+    # the other way: narrow delta into wide table needs its own
+    # null-fill — explicit columns keep that a loud failure today)
+    t.merge(spark, wide.select("id", "s", "pb", "score"), ["id"])
+    assert dict(t.read(spark).dtypes)["score"] == "double"
