@@ -404,20 +404,43 @@ class VersionedTable:
             )
         else:
             touched = [_UNPARTITIONED]
+        # Schema checks compare against the FULL live snapshot's
+        # columns, not the touched partitions' files: after an earlier
+        # evolution, a pre-evolution partition's files are narrower
+        # than the table, and judging by them would make acceptance
+        # partition-dependent (the delete_where NULL lesson applied to
+        # schemas). The full-map frame is lazy — resolving .columns
+        # reads footers, runs no job.
+        full = self._read_live(spark, entry["live"])
+        table_cols = set(full.columns) if full is not None else set(delta.columns)
+        new_cols = set(delta.columns) - table_cols
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"delta adds columns {sorted(new_cols)} not in the "
+                "table schema; pass merge_schema=True to widen "
+                "(additive evolution), or fix the producer"
+            )
+        dropped = table_cols - set(delta.columns)
+        if dropped:
+            # A narrow delta used to silently NARROW the table:
+            # survivors were projected to delta's columns, dropping the
+            # missing ones for every rewritten partition. That is data
+            # loss, not evolution — an upsert source missing table
+            # columns is ambiguous (null? keep old?), so the producer
+            # must say (select the columns, or run a real column-drop
+            # migration via overwrite).
+            raise ValueError(
+                f"delta is missing table columns {sorted(dropped)}; "
+                "an upsert source must carry the full row"
+            )
         current = self._read_live(
             spark, {p: e for p, e in entry["live"].items() if p in set(touched)}
         )
         if current is not None:
-            new_cols = set(delta.columns) - set(current.columns)
-            if new_cols and not merge_schema:
-                raise ValueError(
-                    f"delta adds columns {sorted(new_cols)} not in the "
-                    "table schema; pass merge_schema=True to widen "
-                    "(additive evolution), or fix the producer"
-                )
             delta_keys = F.broadcast(delta.select(*keys).distinct())
             survivors = current.join(delta_keys, keys, "left_anti")
-            if new_cols:
+            if set(current.columns) != set(delta.columns):
+                # pre-evolution files in touched partitions null-fill
                 merged = survivors.unionByName(
                     delta, allowMissingColumns=True
                 ).select(*delta.columns)

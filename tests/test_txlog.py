@@ -834,8 +834,10 @@ def test_merge_schema_evolution(spark, table_factory):
     assert {(r["id"], r["_change_type"]) for r in feed.collect()} == {
         (2, "update")
     }
-    # a later narrow merge keeps the wide schema (delta widened, not
-    # the other way: narrow delta into wide table needs its own
-    # null-fill — explicit columns keep that a loud failure today)
+    # a later full-width merge keeps the wide schema
     t.merge(spark, wide.select("id", "s", "pb", "score"), ["id"])
     assert dict(t.read(spark).dtypes)["score"] == "double"
+    # ...and a NARROW delta (missing an existing column) fails loudly
+    # instead of silently narrowing the table for rewritten partitions
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge(spark, _mk(spark, [(1, "z", 0)]), ["id"])
