@@ -841,3 +841,20 @@ def test_merge_schema_evolution(spark, table_factory):
     # instead of silently narrowing the table for rewritten partitions
     with pytest.raises(ValueError, match="missing table columns"):
         t.merge(spark, _mk(spark, [(1, "z", 0)]), ["id"])
+
+
+def test_read_as_of_after_vacuum(spark, tmp_path):
+    """Timestamp resolution only sees RETAINED versions: once vacuum
+    drops old entries, a pre-history timestamp raises cleanly instead
+    of resolving to a version whose files are gone."""
+    import time as _time
+
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    after_v1 = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(_mk(spark, [(1, "A", 0)]))
+    t.vacuum(retain_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.version_as_of(after_v1)
+    assert _rows(t.read_as_of(spark, _time.time())) == {1: "A"}
