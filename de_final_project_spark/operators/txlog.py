@@ -56,8 +56,10 @@ concurrent lakehouse deployment of the same pipeline needs.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -74,6 +76,111 @@ _UNPARTITIONED = "__all__"
 CHECKPOINT_INTERVAL = 10
 
 _CHECKPOINT_NAME = "_last_checkpoint"
+
+
+# ------------------------------------------------------------------ stats
+# File-level data skipping (Delta's per-file min/max stats). The point at
+# 100 TB is PLANNING-TIME pruning: parquet row-group skipping still costs
+# a footer read and a scheduled task per file, and with millions of files
+# that is the bottleneck — the log must answer "which files can match"
+# from metadata it already holds, before any file is opened. Stats are
+# harvested from the parquet footers the writer just produced (driver-
+# side, O(files) metadata reads, no data scan) and stored in the commit
+# entry next to each file reference.
+
+def _json_stat(v):
+    """A footer min/max as a JSON-storable value whose Python comparison
+    order matches the column's SQL order, or None when no such encoding
+    exists (bytes, decimals — those columns simply aren't indexed).
+    Timestamps use a space separator so the stored string compares
+    lexicographically against SQL literals like '2024-01-05 00:00:00'."""
+    if isinstance(v, bool):
+        return None  # True/False ranges prune ~nothing; skip the edge cases
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+_PRED_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*(<=|>=|==|=|<|>)\s*"
+    r"(?:\x00(\d+)\x00|(-?\d+(?:\.\d+)?))\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Extract the prunable conjuncts of a SQL predicate: top-level
+    AND-ed comparisons of the form ``col <op> literal``. Anything else —
+    OR branches, NOT, function calls, parenthesized subtrees, reversed
+    operand order — contributes no pruning (conservative: the full
+    predicate is always re-applied to the surviving scan, so pruning can
+    only ever skip files, never change results). String literals are
+    masked before the AND split so quoted text containing ``AND`` or
+    comparison-shaped fragments cannot forge a conjunct."""
+    lits: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        lits.append(m.group(1))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'([^']*)'", _stash, where)
+    out: list[tuple[str, str, object]] = []
+    for piece in re.split(r"(?i)\bAND\b", masked):
+        m = _PRED_RE.match(piece)
+        if not m:
+            continue
+        col, op, sref, num = m.groups()
+        lit: object
+        if sref is not None:
+            lit = lits[int(sref)]
+        else:
+            lit = float(num) if "." in num else int(num)
+        out.append((col, "=" if op == "==" else op, lit))
+    return out
+
+
+def _comparable(a, b) -> bool:
+    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if a_num and b_num:
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _range_excludes(mn, mx, op: str, lit) -> bool:
+    """True iff NO value in [mn, mx] can satisfy ``value <op> lit`` —
+    the license to skip the file. NULL rows never satisfy a comparison,
+    so min/max over non-null values is sufficient evidence."""
+    if not (_comparable(mn, lit) and _comparable(mx, lit)):
+        return False
+    if op == "<":
+        return mn >= lit
+    if op == "<=":
+        return mn > lit
+    if op == ">":
+        return mx <= lit
+    if op == ">=":
+        return mx < lit
+    if op == "=":
+        return lit < mn or lit > mx
+    return False
+
+
+def _partition_excludes(part_value: str, op: str, lit) -> bool:
+    """Partition-value pruning for a conjunct on the partition column.
+    Hive dir names store the value as a string; compare numerically when
+    the literal is numeric and the value parses, else as strings."""
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+        try:
+            v: object = float(part_value)
+        except ValueError:
+            return False
+    else:
+        v = part_value
+    return _range_excludes(v, v, op, lit)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -222,10 +329,17 @@ class VersionedTable:
         path: str,
         partition_col: str | None = None,
         log_store: LogStore | None = None,
+        stats_cols: Sequence[str] | None = None,
     ):
         self.path = path
         self.partition_col = partition_col
         self._store = log_store or LocalFSLogStore(os.path.join(path, "_txlog"))
+        # Columns indexed for data skipping (Delta's
+        # dataSkippingNumIndexedCols made explicit — an opt-in list keeps
+        # log entries bounded instead of indexing every column of a wide
+        # table). Governs WRITES only: reads prune with whatever stats
+        # the commit entries already carry, so a reader needs no config.
+        self.stats_cols = list(stats_cols) if stats_cols else None
 
     # ---------------------------------------------------------- log io
     @staticmethod
@@ -291,9 +405,13 @@ class VersionedTable:
         return ok
 
     # --------------------------------------------------------- staging
-    def _stage(self, df: DataFrame) -> tuple[str, dict[str, str]]:
+    def _stage(
+        self, df: DataFrame
+    ) -> tuple[str, dict[str, str], dict[str, list[dict]]]:
         """Write df as immutable files under a fresh commit dir; return
-        (commit_dir relpath, {partition value -> partition subdir})."""
+        (commit_dir relpath, {partition value -> partition subdir},
+        {partition value -> per-file stats entries} — empty dict when
+        stats are not enabled)."""
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", commit_id)
         full = os.path.join(self.path, rel)
@@ -307,7 +425,59 @@ class VersionedTable:
         else:
             df.write.parquet(full)
             parts = {_UNPARTITIONED: ""}
-        return rel, parts
+        return rel, parts, self._collect_file_stats(full, parts)
+
+    def _collect_file_stats(
+        self, full: str, parts: dict[str, str]
+    ) -> dict[str, list[dict]]:
+        """Harvest per-file min/max for ``stats_cols`` from the parquet
+        footers just written — driver-side metadata reads only, no data
+        scan. A row group without usable footer stats (e.g. all-null)
+        leaves that column unindexed for the file, which means the file
+        is never pruned on it — conservative by construction. Each entry
+        is ``{"f": path-relative-to-commit-dir, "s": {col: [min, max]}}``;
+        log entries grow O(files), the same bound Delta accepts (and the
+        same reason its checkpoints exist)."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[dict]] = {}
+        for p, sub in parts.items():
+            d = os.path.join(full, sub) if sub else full
+            entries = []
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, name)).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                stats: dict[str, list] = {}
+                for c in self.stats_cols:
+                    if c not in idx:
+                        continue
+                    mn = mx = None
+                    usable = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            usable = False
+                            break
+                        if mn is None or st.min < mn:
+                            mn = st.min
+                        if mx is None or st.max > mx:
+                            mx = st.max
+                    if usable and mn is not None:
+                        jmn, jmx = _json_stat(mn), _json_stat(mx)
+                        if jmn is not None and jmx is not None:
+                            stats[c] = [jmn, jmx]
+                entries.append(
+                    {"f": os.path.join(sub, name) if sub else name, "s": stats}
+                )
+            out[p] = entries
+        return out
 
     # --------------------------------------------------------- commits
     def overwrite(
@@ -324,7 +494,7 @@ class VersionedTable:
         entry after the fact, because a concurrent writer could read
         the unstamped entry and propagate a txn map without our
         watermark, losing the idempotence guarantee (ADVICE r6)."""
-        rel, parts = self._stage(df)
+        rel, parts, files = self._stage(df)
         while True:
             base = self.latest_version() or 0
             applied = dict(self._read_entry(base).get("txn", {})) if base else {}
@@ -335,7 +505,11 @@ class VersionedTable:
                     return base  # already applied — replay is a no-op
                 applied[txn[0]] = txn[1]
             live = {
-                p: {"commit_dir": rel, "part_dir": sub}
+                p: {
+                    "commit_dir": rel,
+                    "part_dir": sub,
+                    **({"files": files[p]} if files else {}),
+                }
                 for p, sub in parts.items()
             }
             entry = {
@@ -448,7 +622,7 @@ class VersionedTable:
                 merged = survivors.select(*delta.columns).unionByName(delta)
         else:
             merged = delta
-        rel, parts = self._stage(merged)
+        rel, parts, files = self._stage(merged)
         while True:
             head = self.latest_version()
             head_entry = self._read_entry(head)
@@ -502,7 +676,11 @@ class VersionedTable:
             # (touched came from delta's distinct), so _stage created
             # its dir; a KeyError here would be a real invariant break.
             for p in touched:
-                live[p] = {"commit_dir": rel, "part_dir": parts[p]}
+                live[p] = {
+                    "commit_dir": rel,
+                    "part_dir": parts[p],
+                    **({"files": files[p]} if files else {}),
+                }
             applied = dict(head_entry.get("txn", {}))
             if txn is not None:
                 if applied.get(txn[0], -1) >= txn[1]:
@@ -527,6 +705,7 @@ class VersionedTable:
         rel: str | None,
         parts: dict[str, str],
         op: str = "delete",
+        files: dict[str, list[dict]] | None = None,
     ) -> int:
         """Shared commit loop for the row-level DML forms (delete,
         partition drop, update): rewrite pointers for touched partitions
@@ -562,7 +741,11 @@ class VersionedTable:
             live = dict(head_entry["live"])
             for p in touched:
                 if rel is not None and p in parts:
-                    live[p] = {"commit_dir": rel, "part_dir": parts[p]}
+                    live[p] = {
+                        "commit_dir": rel,
+                        "part_dir": parts[p],
+                        **({"files": files[p]} if files else {}),
+                    }
                 else:
                     live.pop(p, None)  # every row of p deleted
             new_entry = {
@@ -652,10 +835,10 @@ class VersionedTable:
         if remaining.limit(1).count() == 0:
             # nothing survives in the touched partitions: pure drop
             return self._commit_delete(base, touched, None, {})
-        rel, parts = self._stage(remaining)
+        rel, parts, files = self._stage(remaining)
         if not self.partition_col:
             parts = {_UNPARTITIONED: ""}
-        return self._commit_delete(base, touched, rel, parts)
+        return self._commit_delete(base, touched, rel, parts, files=files)
 
     def update_where(
         self,
@@ -741,20 +924,30 @@ class VersionedTable:
                 for c, v in ((c, assignments.get(c)) for c in current.columns)
             ]
         )
-        rel, parts = self._stage(updated)
+        rel, parts, files = self._stage(updated)
         if not self.partition_col:
             parts = {_UNPARTITIONED: ""}
-        return self._commit_delete(base, touched, rel, parts, op="update")
+        return self._commit_delete(
+            base, touched, rel, parts, op="update", files=files
+        )
 
     # ---------------------------------------------------------- reads
     def _read_live(self, spark: SparkSession, live: dict) -> DataFrame | None:
         """One scan per distinct commit dir (basePath restores the
-        partition column), unioned — O(live commits) scans."""
+        partition column), unioned — O(live commits) scans. A pointer
+        restricted to an explicit file subset (the output of stats
+        pruning) scans exactly those files instead of its directory."""
         if not live:
             return None
         by_commit: dict[str, list[str]] = {}
+        by_commit_files: dict[str, list[str]] = {}
         for e in live.values():
-            by_commit.setdefault(e["commit_dir"], []).append(e["part_dir"])
+            if "only_files" in e:
+                by_commit_files.setdefault(e["commit_dir"], []).extend(
+                    e["only_files"]
+                )
+            else:
+                by_commit.setdefault(e["commit_dir"], []).append(e["part_dir"])
         scans = []
         for rel, subs in by_commit.items():
             base = os.path.join(self.path, rel)
@@ -765,6 +958,15 @@ class VersionedTable:
                 scans.append(
                     spark.read.option("basePath", base).parquet(*paths)
                 )
+        for rel, names in by_commit_files.items():
+            base = os.path.join(self.path, rel)
+            paths = [os.path.join(base, n) for n in sorted(names)]
+            if self.partition_col:
+                scans.append(
+                    spark.read.option("basePath", base).parquet(*paths)
+                )
+            else:
+                scans.append(spark.read.parquet(*paths))
         out = scans[0]
         for s in scans[1:]:
             # allowMissingColumns: after additive schema evolution
@@ -801,7 +1003,81 @@ class VersionedTable:
         """Time travel by wall clock instead of version number."""
         return self.read(spark, self.version_as_of(timestamp))
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def _prune_live(
+        self, live: dict, where: str
+    ) -> tuple[dict, dict[str, int]]:
+        """Data skipping: drop partitions and files the commit entry's
+        stats PROVE cannot contain a matching row. Returns the pruned
+        live map (file-pruned pointers carry ``only_files``) and an
+        accounting report. Pruning is advisory — the caller re-applies
+        the full predicate to the surviving scan, so a conjunct the
+        parser cannot use, a column without stats, or a file written
+        before stats were enabled merely costs a scan, never a row."""
+        conj = _parse_conjuncts(where)
+        report = {
+            "partitions_total": len(live),
+            "partitions_scanned": 0,
+            "files_total": 0,
+            "files_scanned": 0,
+            "dirs_without_stats": 0,
+        }
+        pruned: dict = {}
+        for p, e in live.items():
+            files = e.get("files")
+            report["files_total"] += len(files) if files is not None else 0
+            if self.partition_col and p != _UNPARTITIONED and any(
+                col == self.partition_col and _partition_excludes(p, op, lit)
+                for col, op, lit in conj
+            ):
+                continue
+            if files is None:
+                # pre-stats commit: no evidence, scan the whole pointer
+                report["dirs_without_stats"] += 1
+                report["partitions_scanned"] += 1
+                pruned[p] = e
+                continue
+            keep = [
+                fe
+                for fe in files
+                if not any(
+                    fe["s"].get(col) is not None
+                    and _range_excludes(
+                        fe["s"][col][0], fe["s"][col][1], op, lit
+                    )
+                    for col, op, lit in conj
+                )
+            ]
+            if keep:
+                pruned[p] = {**e, "only_files": [fe["f"] for fe in keep]}
+                report["partitions_scanned"] += 1
+                report["files_scanned"] += len(keep)
+        return pruned, report
+
+    def prune_report(
+        self, where: str, version: int | None = None
+    ) -> dict[str, int]:
+        """What would data skipping save for this predicate? Pure log
+        metadata — no files opened, no Spark job."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        _, report = self._prune_live(self._read_entry(v)["live"], where)
+        return report
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Snapshot read. With ``where`` (a SQL predicate string) the
+        scan is data-skipped: files whose logged min/max prove no match
+        are never listed, opened, or scheduled — planning-time pruning
+        from log metadata, the reason per-file stats live in the commit
+        entry at all (parquet row-group skipping still pays a footer
+        read and a task per file; at millions of files that IS the
+        cost). The full predicate is then applied to the surviving scan,
+        so results never depend on stats quality."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no commits at {self.path}")
@@ -809,13 +1085,23 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"version {v} not found (vacuumed or never written)"
             )
-        df = self._read_live(spark, self._read_entry(v)["live"])
+        live = self._read_entry(v)["live"]
+        if where is not None:
+            kept, _ = self._prune_live(live, where)
+            if not kept and live:
+                # every file pruned: an empty frame with the table schema
+                # (limit(0) short-circuits before any file is read)
+                full = self._read_live(spark, live)
+                assert full is not None
+                return full.limit(0).where(F.expr(where))
+            live = kept
+        df = self._read_live(spark, live)
         if df is None:
             raise ValueError(
                 f"version {v} has no live data (every partition deleted); "
                 "time-travel to an earlier version to read prior rows"
             )
-        return df
+        return df.where(F.expr(where)) if where is not None else df
 
     def read_changes(
         self,
@@ -1289,6 +1575,49 @@ def versioned_snapshot_row_update(spark: SparkSession, sf_dir: str) -> DataFrame
     return table.read(spark).withColumn(
         "pbucket", F.col("pbucket").cast("long")
     )
+
+
+def versioned_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable data skipping: commit the events table into a
+    versioned table with file-level min/max stats (``stats_cols``), laid
+    out so the stats discriminate (``repartitionByRange(8, event_id)``
+    gives each file a disjoint event_id range — the layout a clustered
+    OPTIMIZE produces), then read back through the log's skipping path
+    with a half-range predicate. The scan plans ~half the files; the
+    other half are pruned from log metadata before any file is opened —
+    the planning-time saving that matters at millions of files. The
+    oracle restates the same filter over the raw table (skipping is
+    advisory, results are layout-independent); the midpoint cut is a
+    scalar subquery so both engines derive the same constant.
+
+    Reference analog: none (the reference re-reads whole CSV zones,
+    src/process_lambda.py:48-56); this is the scan-avoidance a 100 TB
+    lake needs. tests/test_txlog.py pins that files are actually
+    skipped and that pruned results equal unpruned ones."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_skipping"), "events"),
+        stats_cols=["event_id", "ts"],
+    )
+    table.overwrite(ev.repartitionByRange(8, "event_id"))
+    return table.read(spark, where=f"event_id <= {cut}")
+
+
+VERSIONED_STATS_PRUNED_READ_SQL = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+WHERE event_id <= (
+    SELECT CAST(FLOOR((MIN(event_id) + MAX(event_id)) / 2.0) AS BIGINT)
+    FROM events
+)
+"""
 
 
 VERSIONED_SNAPSHOT_ROW_UPDATE_SQL = (

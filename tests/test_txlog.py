@@ -32,14 +32,19 @@ def table_factory(request, tmp_path):
     tests share one log like two clients of one bucket would."""
     stores: dict[str, ConditionalPutLogStore] = {}
 
-    def mk(name="t", partition_col=None):
+    def mk(name="t", partition_col=None, stats_cols=None):
         path = name if os.path.isabs(name) else str(tmp_path / name)
         store = (
             None
             if request.param == "posix"
             else stores.setdefault(path, ConditionalPutLogStore())
         )
-        return VersionedTable(path, partition_col=partition_col, log_store=store)
+        return VersionedTable(
+            path,
+            partition_col=partition_col,
+            log_store=store,
+            stats_cols=stats_cols,
+        )
 
     return mk
 
@@ -86,7 +91,7 @@ def test_crash_before_log_commit_is_invisible(spark, table_factory):
     t = table_factory("t", partition_col="pb")
     t.overwrite(_mk(spark, [(1, "a", 0)]))
     # simulate a writer that died after staging, before _try_commit
-    rel, parts = t._stage(_mk(spark, [(1, "ZZZ", 0)]))
+    rel, parts, _files = t._stage(_mk(spark, [(1, "ZZZ", 0)]))
     assert os.path.isdir(os.path.join(t.path, rel))
     assert _rows(t.read(spark)) == {1: "a"}
     t.merge(spark, _mk(spark, [(1, "A", 0)]), ["id"])
@@ -498,7 +503,7 @@ def test_vacuum_retention_protects_inflight_staging(spark, tmp_path):
     knows no writer is concurrent."""
     t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
     t.overwrite(_mk(spark, [(1, "a", 0)]))
-    rel, _ = t._stage(_mk(spark, [(1, "INFLIGHT", 0)]))  # writer mid-commit
+    rel, _, _ = t._stage(_mk(spark, [(1, "INFLIGHT", 0)]))  # writer mid-commit
     assert t.vacuum(retain_versions=1) == []  # default 24h window: kept
     assert os.path.isdir(os.path.join(t.path, rel))
     removed = t.vacuum(retain_versions=1, retention_seconds=0)
@@ -858,3 +863,163 @@ def test_read_as_of_after_vacuum(spark, tmp_path):
     with pytest.raises(ValueError, match="no retained commit"):
         t.version_as_of(after_v1)
     assert _rows(t.read_as_of(spark, _time.time())) == {1: "A"}
+
+
+# ------------------------------------------------------------- data skipping
+
+def _range_df(spark, n=400):
+    return spark.range(0, n).selectExpr(
+        "id AS k",
+        "CAST(id % 4 AS INT) AS pb",
+        "concat('s', CAST(id % 10 AS STRING)) AS s",
+        "date_add(DATE '2024-01-01', CAST(id % 60 AS INT)) AS d",
+        "CAST(id AS DOUBLE) * 0.5 AS v",
+    )
+
+
+def test_parse_conjuncts_shapes():
+    """The prunable-conjunct parser: col-op-literal conjuncts extracted,
+    everything else ignored, quoted text unable to forge a conjunct."""
+    p = txlog._parse_conjuncts
+    assert p("k <= 250") == [("k", "<=", 250)]
+    assert p("k <= 250 AND v > 1.5") == [("k", "<=", 250), ("v", ">", 1.5)]
+    assert p("d >= '2024-03-01'") == [("d", ">=", "2024-03-01")]
+    assert p("`k` = 3") == [("k", "=", 3)]
+    # OR trees, functions, reversed operands: no pruning evidence
+    assert p("k = 1 OR k = 2") == []
+    assert p("abs(k) < 5") == []
+    assert p("5 > k") == []
+    # a string literal containing AND / comparison text is inert
+    assert p("s = 'x AND k > 500'") == [("s", "=", "x AND k > 500")]
+    assert p("s = 'a AND b' AND k < 9") == [
+        ("s", "=", "a AND b"),
+        ("k", "<", 9),
+    ]
+
+
+def test_stats_skipping_prunes_files_and_matches_full_scan(
+    spark, table_factory
+):
+    """A range-laid-out table (disjoint per-file min/max) skips the
+    files outside the predicate range from LOG METADATA, and the pruned
+    read returns exactly what a full scan + filter returns."""
+    t = table_factory("t", stats_cols=["k", "d", "s"])
+    t.overwrite(_range_df(spark).repartitionByRange(8, "k"))
+    rep = t.prune_report("k <= 100")
+    assert rep["files_total"] == 8
+    assert 0 < rep["files_scanned"] <= 3
+    assert rep["dirs_without_stats"] == 0
+    for where in ["k <= 100", "k > 350 AND v >= 0.0", "s = 's3'",
+                  "d >= '2024-02-20'"]:
+        got = sorted(r["k"] for r in t.read(spark, where=where).collect())
+        want = sorted(
+            r["k"] for r in t.read(spark).where(where).collect()
+        )
+        assert got == want, where
+
+
+def test_stats_skipping_conservative_on_unparsable_predicate(
+    spark, table_factory
+):
+    """OR / function predicates produce no pruning evidence: every file
+    scans and the result is still exact."""
+    t = table_factory("t", stats_cols=["k"])
+    t.overwrite(_range_df(spark).repartitionByRange(8, "k"))
+    rep = t.prune_report("k <= 10 OR k > 390")
+    assert rep["files_scanned"] == rep["files_total"]
+    got = {r["k"] for r in t.read(spark, where="k <= 10 OR k > 390").collect()}
+    assert got == set(range(11)) | set(range(391, 400))
+
+
+def test_stats_skipping_quoted_text_cannot_forge_pruning(
+    spark, table_factory
+):
+    """A string literal containing comparison-shaped text ('AND k > 500')
+    must not be parsed as a conjunct — if it were, every file would be
+    pruned and these rows lost."""
+    t = table_factory("t", stats_cols=["k", "s"])
+    df = spark.range(0, 50).selectExpr(
+        "id AS k", "'x AND k > 500' AS s", "CAST(id % 4 AS INT) AS pb"
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))
+    got = t.read(spark, where="s = 'x AND k > 500'").count()
+    assert got == 50
+
+
+def test_stats_skipping_partition_and_file_pruning_compose(
+    spark, table_factory
+):
+    """A conjunct on the partition column drops whole partitions from
+    the live map; range conjuncts then drop files inside the survivor."""
+    t = table_factory("t", partition_col="pb", stats_cols=["k"])
+    df = _range_df(spark)
+    t.overwrite(df.where("k < 200").repartitionByRange(4, "k"))
+    t.merge(spark, df.where("k >= 200").repartitionByRange(4, "k"), ["k"])
+    rep = t.prune_report("pb = 2 AND k >= 300")
+    assert rep["partitions_scanned"] == 1
+    assert rep["partitions_total"] == 4
+    assert rep["files_scanned"] < rep["files_total"]
+    got = sorted(
+        r["k"] for r in t.read(spark, where="pb = 2 AND k >= 300").collect()
+    )
+    assert got == [k for k in range(300, 400) if k % 4 == 2]
+
+
+def test_stats_skipping_all_pruned_returns_empty_with_schema(
+    spark, table_factory
+):
+    t = table_factory("t", stats_cols=["k"])
+    t.overwrite(_range_df(spark).repartitionByRange(4, "k"))
+    out = t.read(spark, where="k > 1000000")
+    assert out.count() == 0
+    assert out.columns == ["k", "pb", "s", "d", "v"]
+
+
+def test_stats_skipping_pre_stats_commits_scan_conservatively(
+    spark, table_factory
+):
+    """Commits written before stats were enabled have no file lists:
+    their pointers scan whole dirs (dirs_without_stats accounts them)
+    and results stay exact across the mixed snapshot."""
+    old = table_factory("t", partition_col="pb")  # no stats
+    df = _range_df(spark)
+    old.overwrite(df.where("k < 200"))
+    t = table_factory("t", partition_col="pb", stats_cols=["k"])
+    # touches only partition 0, so partitions 1-3 keep stats-less pointers
+    t.merge(spark, df.where("k >= 200 AND k % 4 = 0"), ["k"])
+    rep = t.prune_report("k >= 390")
+    assert rep["dirs_without_stats"] == 3
+    got = sorted(r["k"] for r in t.read(spark, where="k >= 150").collect())
+    assert got == sorted(
+        list(range(150, 200)) + [k for k in range(200, 400) if k % 4 == 0]
+    )
+
+
+def test_stats_survive_row_level_dml(spark, table_factory):
+    """delete_where/update_where rewrites re-harvest stats for the new
+    files, so skipping keeps working after DML."""
+    t = table_factory("t", partition_col="pb", stats_cols=["k"])
+    t.overwrite(_range_df(spark))
+    t.delete_where(spark, "k % 7 = 0")
+    t.update_where(spark, "k % 5 = 0", {"v": "v * 2"})
+    live = t._read_entry(t.latest_version())["live"]
+    assert all("files" in e for e in live.values())
+    got = sorted(r["k"] for r in t.read(spark, where="k <= 50").collect())
+    assert got == [k for k in range(51) if k % 7 != 0]
+
+
+def test_compact_cluster_by_enables_skipping(spark, tmp_path):
+    """The OPTIMIZE synergy: a hash-scattered layout gives every file
+    the full value range (skipping proves nothing); compact(cluster_by)
+    rewrites into range-disjoint files and the SAME predicate then
+    prunes most of them — layout as part of the plan, measured through
+    the log's own accounting."""
+    t = VersionedTable(str(tmp_path / "t"), stats_cols=["k"])
+    t.overwrite(_range_df(spark, 2000).repartition(8))  # scattered
+    before = t.prune_report("k < 100")
+    assert before["files_scanned"] == before["files_total"]
+    t.compact(spark, cluster_by=["k"])
+    after = t.prune_report("k < 100")
+    assert after["files_scanned"] <= max(1, after["files_total"] // 4)
+    got = t.read(spark, where="k < 100").count()
+    assert got == 100
