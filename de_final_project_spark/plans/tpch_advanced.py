@@ -563,3 +563,127 @@ WHERE c_nationkey IN (3, 7, 11, 15, 19)
                   AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Q12: shipping-mode priority mix (big-big join + conditional counts)
+# --------------------------------------------------------------------------
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: for each shipping mode, how many SLOW lines
+    (shipped >30 days after the order date) in 1997 belonged to
+    critical-priority orders vs everything else.
+
+    Schema adaptation (module docstring): the testdata carries no
+    l_shipmode / commit / receipt dates, so ship mode derives
+    deterministically from the line number (``l_linenumber % 3`` ->
+    MAIL/SHIP/RAIL) and "slow" is the module's late rule
+    (shipdate > orderdate + 30).
+
+    Plan shape — the one Q12 exists to exercise: lineitem ⋈ orders is
+    the big-big equi-join on orderkey that CANNOT broadcast; both sides
+    shuffle once on the join key and the conditional priority counts
+    fold map-side into a 3-row hash aggregate. The 1997 filter sits on
+    the lineitem scan (row-group pruning); orders is projected to two
+    columns before the shuffle, so exchanged bytes are keys + one short
+    string. Reference analog: none (SURVEY §2.6 — no subquery/join
+    machinery); completes the 22-shape TPC-H sweep with Q16.
+    """
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .where(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            F.element_at(
+                F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("RAIL")),
+                (F.col("l_linenumber") % 3 + 1).cast("int"),
+            ).alias("ship_mode"),
+        )
+    )
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    slow = li.join(o, li["l_orderkey"] == o["o_orderkey"]).where(
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30)
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        slow.groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT
+  ['MAIL', 'SHIP', 'RAIL'][(l_linenumber % 3) + 1] AS ship_mode,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier variety per part profile (anti-join + COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: how many DISTINCT suppliers can provide each
+    (brand, type, size) part profile, excluding one brand, a size
+    whitelist, and blacklisted suppliers (the 'complaints' NOT IN —
+    adapted to negative account balance, the module's rule).
+
+    Plan shape: the part-supplier bridge (distinct l_partkey/l_suppkey
+    pairs, module docstring) aggregates lineitem once on the pair; the
+    supplier blacklist is a ~100-row broadcast LEFT ANTI join (NOT IN
+    with no NULL trap — an anti join, not a nullable-subquery
+    three-valued compare); part filters prune before the bridge join;
+    the final COUNT(DISTINCT suppkey) hash-aggregates on the 3-column
+    profile. Only the bridge build shuffles at scale.
+    """
+    bridge = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        read_testdata(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    bridge = bridge.join(
+        F.broadcast(bad), bridge["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    p = read_testdata(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    return (
+        p.join(bridge, p["p_partkey"] == bridge["l_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part
+JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""

@@ -116,3 +116,33 @@ def test_q21_matches_correlated_formulation(spark):
         """
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in literal.collect()]
+
+
+def test_q12_big_big_join_shuffles_not_broadcasts(plans, spark):
+    """The Q12 join is lineitem ⋈ orders — both sides over the broadcast
+    threshold at scale, so the plan must be a shuffle join keyed on
+    orderkey, with the 1997 window pushed onto the lineitem scan."""
+    p = plans(tq.q12_shipmode_priority)
+    assert "CartesianProduct" not in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].splitlines()[0]
+    out = tq.q12_shipmode_priority(spark, SF_DIR).collect()
+    # every line lands in exactly one bucket of exactly one mode
+    assert {r["ship_mode"] for r in out} <= {"MAIL", "SHIP", "RAIL"}
+    assert all(
+        r["high_line_count"] >= 0 and r["low_line_count"] >= 0 for r in out
+    )
+
+
+def test_q16_blacklist_is_broadcast_anti_join(plans, spark):
+    """The supplier 'complaints' NOT IN must plan as a broadcast LEFT
+    ANTI join (tiny blacklist), never a shuffled subquery compare; part
+    filters prune before the bridge join."""
+    p = plans(tq.q16_part_supplier_variety)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    out = tq.q16_part_supplier_variety(spark, SF_DIR).collect()
+    assert all(r["supplier_cnt"] >= 1 for r in out)
+    assert all(r["p_brand"] != "Brand#13" for r in out)
+    assert all(
+        r["p_size"] in (1, 4, 9, 14, 19, 23, 36, 49) for r in out
+    )
