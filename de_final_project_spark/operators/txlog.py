@@ -183,6 +183,11 @@ def _partition_excludes(part_value: str, op: str, lit) -> bool:
     return _range_excludes(v, v, op, lit)
 
 
+class ConstraintViolationError(ValueError):
+    """A write carried a row that breaks a table CHECK / NOT NULL
+    constraint. Raised BEFORE any log commit — the table is unchanged."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed a conflicting (overlapping-partition or
     snapshot-replacing) change between this writer's read and its
@@ -330,6 +335,8 @@ class VersionedTable:
         partition_col: str | None = None,
         log_store: LogStore | None = None,
         stats_cols: Sequence[str] | None = None,
+        constraints: dict[str, str] | None = None,
+        not_null: Sequence[str] | None = None,
     ):
         self.path = path
         self.partition_col = partition_col
@@ -340,6 +347,16 @@ class VersionedTable:
         # table). Governs WRITES only: reads prune with whatever stats
         # the commit entries already carry, so a reader needs no config.
         self.stats_cols = list(stats_cols) if stats_cols else None
+        # Delta-style table constraints: CHECK expressions (name -> SQL
+        # predicate; a row violates only when it evaluates FALSE — NULL
+        # is unknown, allowed, per SQL/Delta) and NOT NULL columns.
+        # Enforced inside the staging write itself (a per-row assert in
+        # the same pass — no second job), and STICKY: committed entries
+        # record them, and a table handle opened without the arguments
+        # inherits the head entry's set, so one producer forgetting the
+        # config cannot write rows another producer's contract forbids.
+        self.constraints = dict(constraints) if constraints else {}
+        self.not_null = list(not_null) if not_null else []
 
     # ---------------------------------------------------------- log io
     @staticmethod
@@ -404,6 +421,63 @@ class VersionedTable:
             self._advance_checkpoint(entry["version"])
         return ok
 
+    # ----------------------------------------------------- constraints
+    def _effective_constraints(self) -> tuple[dict[str, str], list[str]]:
+        """The handle's configured constraints unioned with whatever the
+        head commit recorded — the sticky half of the contract: once a
+        constraint is committed, every later writer enforces it whether
+        or not its handle was constructed with it."""
+        chk, nn = dict(self.constraints), list(self.not_null)
+        head = self.latest_version()
+        if head is not None:
+            e = self._read_entry(head)
+            for name, expr in e.get("constraints", {}).items():
+                chk.setdefault(name, expr)
+            for c in e.get("not_null", []):
+                if c not in nn:
+                    nn.append(c)
+        return chk, nn
+
+    def _meta_fields(self) -> dict:
+        chk, nn = self._effective_constraints()
+        out: dict = {}
+        if chk:
+            out["constraints"] = chk
+        if nn:
+            out["not_null"] = nn
+        return out
+
+    def _enforce(self, df: DataFrame) -> DataFrame:
+        """Weave the constraint checks into the staging write itself: a
+        per-row assert inside an always-true filter, so enforcement
+        costs zero extra jobs and zero extra scans (Delta's invariant
+        checker does the same inside its write exec). A violating row
+        fails the write BEFORE any log entry exists — atomicity makes
+        rejection free of cleanup. SQL/Delta semantics: a CHECK fails
+        only when the predicate evaluates FALSE (NULL is unknown, and
+        allowed — NOT NULL is its own declaration)."""
+        chk, nn = self._effective_constraints()
+        if not chk and not nn:
+            return df
+        guards = [
+            F.assert_true(
+                F.col(c).isNotNull(),
+                F.lit(
+                    f"[CONSTRAINT] NOT NULL violated: column '{c}'"
+                ),
+            ).cast("boolean")
+            for c in nn
+        ] + [
+            F.assert_true(
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+                F.lit(f"[CONSTRAINT] CHECK '{name}' violated: {expr}"),
+            ).cast("boolean")
+            for name, expr in sorted(chk.items())
+        ]
+        # assert_true returns NULL on success, so the coalesce chain
+        # evaluates EVERY guard per row and the filter is always true.
+        return df.where(F.coalesce(*guards, F.lit(True)))
+
     # --------------------------------------------------------- staging
     def _stage(
         self, df: DataFrame
@@ -415,15 +489,32 @@ class VersionedTable:
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", commit_id)
         full = os.path.join(self.path, rel)
+        df = self._enforce(df)
+        try:
+            if self.partition_col:
+                df.write.partitionBy(self.partition_col).parquet(full)
+            else:
+                df.write.parquet(full)
+        except Exception as e:  # noqa: BLE001 — rewrap the assert only
+            if "[CONSTRAINT]" in str(e):
+                shutil.rmtree(full, ignore_errors=True)
+                msg = next(
+                    (
+                        ln.strip()
+                        for ln in str(e).splitlines()
+                        if "[CONSTRAINT]" in ln
+                    ),
+                    "constraint violated",
+                )
+                raise ConstraintViolationError(msg) from None
+            raise
         if self.partition_col:
-            df.write.partitionBy(self.partition_col).parquet(full)
             parts = {
                 d.split("=", 1)[1]: d
                 for d in os.listdir(full)
                 if d.startswith(f"{self.partition_col}=")
             }
         else:
-            df.write.parquet(full)
             parts = {_UNPARTITIONED: ""}
         return rel, parts, self._collect_file_stats(full, parts)
 
@@ -519,6 +610,7 @@ class VersionedTable:
                 "live": live,
                 "touched": sorted(parts),
                 "txn": applied,
+                **self._meta_fields(),
             }
             if self._try_commit(entry):
                 return entry["version"]
@@ -693,6 +785,7 @@ class VersionedTable:
                 "live": live,
                 "touched": touched,
                 "txn": applied,
+                **self._meta_fields(),
             }
             if self._try_commit(new_entry):
                 return new_entry["version"]
@@ -755,6 +848,7 @@ class VersionedTable:
                 "live": live,
                 "touched": touched,
                 "txn": dict(head_entry.get("txn", {})),
+                **self._meta_fields(),
             }
             if self._try_commit(new_entry):
                 return new_entry["version"]
@@ -1608,6 +1702,43 @@ def versioned_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(ev.repartitionByRange(8, "event_id"))
     return table.read(spark, where=f"event_id <= {cut}")
+
+
+def versioned_constrained_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable write-time constraints: a VersionedTable with a
+    CHECK (event_id >= 0) and NOT NULL (event_id, user_id) contract
+    REJECTS a poisoned batch (event ids negated — the violation is
+    detected inside the staging write and no commit happens), then
+    accepts the clean load; the result is the table read back, and the
+    oracle restates the clean rows directly — a rejected batch leaving
+    any trace would hash-mismatch. This is the Delta-invariants quality
+    gate at the storage boundary; the reference has no write-side
+    validation at all (its CSVs re-infer types per read,
+    src/process_lambda.py:34)."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_constrained"), "events"),
+        constraints={"event_id_nonneg": "event_id >= 0"},
+        not_null=["event_id", "user_id"],
+    )
+    poisoned = ev.withColumn("event_id", -F.col("event_id") - 1)
+    try:
+        table.overwrite(poisoned)
+        raise AssertionError("constraint gate failed to reject")
+    except ConstraintViolationError:
+        pass
+    table.overwrite(ev)
+    return table.read(spark)
+
+
+VERSIONED_CONSTRAINED_LOAD_SQL = """
+SELECT event_id, user_id, event_type, ts, value FROM events
+"""
 
 
 VERSIONED_STATS_PRUNED_READ_SQL = """

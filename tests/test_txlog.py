@@ -32,7 +32,7 @@ def table_factory(request, tmp_path):
     tests share one log like two clients of one bucket would."""
     stores: dict[str, ConditionalPutLogStore] = {}
 
-    def mk(name="t", partition_col=None, stats_cols=None):
+    def mk(name="t", partition_col=None, **kw):
         path = name if os.path.isabs(name) else str(tmp_path / name)
         store = (
             None
@@ -40,10 +40,7 @@ def table_factory(request, tmp_path):
             else stores.setdefault(path, ConditionalPutLogStore())
         )
         return VersionedTable(
-            path,
-            partition_col=partition_col,
-            log_store=store,
-            stats_cols=stats_cols,
+            path, partition_col=partition_col, log_store=store, **kw
         )
 
     return mk
@@ -1023,3 +1020,61 @@ def test_compact_cluster_by_enables_skipping(spark, tmp_path):
     assert after["files_scanned"] <= max(1, after["files_total"] // 4)
     got = t.read(spark, where="k < 100").count()
     assert got == 100
+
+
+# --------------------------------------------------------------- constraints
+
+def _vk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double, pb int")
+
+
+def test_check_constraint_rejects_before_commit(spark, table_factory):
+    """A violating batch fails the staging write — no log entry, table
+    bit-identical, and the next valid commit just works (atomicity
+    makes rejection cleanup-free)."""
+    t = table_factory("t", constraints={"v_nonneg": "v >= 0"})
+    t.overwrite(_vk(spark, [(1, 1.0, 0)]))
+    with pytest.raises(txlog.ConstraintViolationError, match="v_nonneg"):
+        t.overwrite(_vk(spark, [(2, -1.0, 0)]))
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 1
+    t.merge(spark, _vk(spark, [(2, 2.0, 0)]), ["id"])
+    assert t.read(spark).count() == 2
+
+
+def test_not_null_constraint(spark, table_factory):
+    t = table_factory("t", not_null=["id"])
+    t.overwrite(_vk(spark, [(1, 1.0, 0)]))
+    with pytest.raises(txlog.ConstraintViolationError, match="NOT NULL"):
+        t.merge(spark, _vk(spark, [(None, 1.0, 0)]), ["id"])
+    assert t.latest_version() == 1
+
+
+def test_check_constraint_null_is_allowed(spark, table_factory):
+    """SQL/Delta CHECK semantics: NULL evaluation is unknown, not a
+    violation — only FALSE rejects."""
+    t = table_factory("t", constraints={"v_nonneg": "v >= 0"})
+    t.overwrite(_vk(spark, [(1, None, 0)]))
+    assert t.read(spark).count() == 1
+
+
+def test_constraints_are_sticky_across_handles(spark, table_factory):
+    """Committed constraints bind every later writer, including one
+    whose handle was opened without them — one producer forgetting the
+    config cannot break another producer's contract."""
+    t = table_factory("t", constraints={"v_nonneg": "v >= 0"})
+    t.overwrite(_vk(spark, [(1, 1.0, 0)]))
+    t2 = table_factory("t")  # no constraint args
+    with pytest.raises(txlog.ConstraintViolationError, match="v_nonneg"):
+        t2.overwrite(_vk(spark, [(2, -3.0, 0)]))
+    # ...and the entry it eventually commits re-records the contract
+    t2.merge(spark, _vk(spark, [(3, 3.0, 0)]), ["id"])
+    assert t2.history()[-1]["constraints"] == {"v_nonneg": "v >= 0"}
+
+
+def test_update_where_cannot_violate_constraints(spark, table_factory):
+    t = table_factory("t", constraints={"v_nonneg": "v >= 0"})
+    t.overwrite(_vk(spark, [(1, 5.0, 0), (2, 1.0, 0)]))
+    with pytest.raises(txlog.ConstraintViolationError):
+        t.update_where(spark, "id = 2", {"v": "v - 10"})
+    assert {r["v"] for r in t.read(spark).collect()} == {5.0, 1.0}
