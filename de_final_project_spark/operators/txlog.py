@@ -791,6 +791,153 @@ class VersionedTable:
                 return new_entry["version"]
 
     # --------------------------------------------------------- deletes
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: Sequence[str],
+        *,
+        matched_update: dict[str, str] | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | bool | None = None,
+        insert_unmatched: bool = True,
+        insert_condition: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """The full MERGE INTO grammar (Delta's WHEN clauses) on top of
+        the same touched-partition commit machinery as :meth:`merge`:
+
+        - WHEN MATCHED [AND matched_update_condition] THEN UPDATE SET
+          ``matched_update`` ({col -> SQL expr over ``t.<col>`` target /
+          ``s.<col>`` source qualifiers});
+        - WHEN MATCHED [AND matched_delete_condition] THEN DELETE
+          (pass ``True`` for unconditional; evaluated AFTER the update
+          clause — first matching clause wins, Delta's in-order rule);
+        - WHEN NOT MATCHED [AND insert_condition] THEN INSERT * (source
+          row as-is; ``insert_unmatched=False`` drops unmatched source
+          rows, the update-only MERGE).
+
+        Matched rows satisfying neither clause keep their target values
+        byte-identical; target rows with no source match are never
+        touched, and live in partitions the commit does not rewrite at
+        all (the table invariant: the partition column is a pure
+        function of the key, so a key's target row lives in the same
+        partition its source row names). One full-outer join on the key
+        within touched partitions; assignments cast back to the target
+        column type; constraints/stats flow through staging like every
+        other write; rebase/conflict and ``txn`` idempotence are the
+        merge rules unchanged. The plain :meth:`merge` stays the fast
+        path for unconditional upserts (left-anti survivors, no outer
+        join). Reference analog: none — this is the lakehouse DML
+        surface (VERDICT r7 item 2 family)."""
+        keys = list(on)
+        if txn is not None:
+            head0 = self.latest_version()
+            if head0 is not None:
+                applied = self._read_entry(head0).get("txn", {})
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head0
+        src = source.alias("s")
+        # SQL three-valued logic, null-safed once (the delete_where NULL
+        # lesson): a clause condition evaluating NULL is NOT satisfied.
+        _sat = lambda c: F.coalesce(c.cast("boolean"), F.lit(False))  # noqa: E731
+        ins_cond = (
+            _sat(F.expr(insert_condition))
+            if insert_condition
+            else F.lit(True)
+        )
+        if self.latest_version() is None:
+            if not insert_unmatched:
+                raise FileNotFoundError(
+                    f"no commits at {self.path} and insert_unmatched=False"
+                )
+            return self.overwrite(
+                src.where(ins_cond).select(*source.columns), txn=txn
+            )
+        base_version = self.latest_version()
+        entry = self._read_entry(base_version)
+        if self.partition_col:
+            touched = sorted(
+                str(r[0])
+                for r in source.select(self.partition_col)
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = [_UNPARTITIONED]
+        current = self._read_live(
+            spark,
+            {p: e for p, e in entry["live"].items() if p in set(touched)},
+        )
+        if current is None:
+            if not insert_unmatched:
+                return base_version
+            merged = src.where(ins_cond).select(*source.columns)
+        else:
+            if set(current.columns) != set(source.columns):
+                raise ValueError(
+                    "merge_into requires the source to carry exactly the "
+                    f"table columns; table {sorted(current.columns)} vs "
+                    f"source {sorted(source.columns)}"
+                )
+            if matched_update and self.partition_col in matched_update:
+                raise ValueError(
+                    f"cannot assign partition column '{self.partition_col}'"
+                    " (rows may not move partitions)"
+                )
+            types = dict(current.dtypes)
+            t = current.withColumn("__t", F.lit(True)).alias("t")
+            s2 = src.withColumn("__s", F.lit(True)).alias("s")
+            joined = t.join(s2, keys, "full_outer")
+            is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+            src_only = F.col("__t").isNull()
+            upd = (
+                is_matched
+                & (
+                    _sat(F.expr(matched_update_condition))
+                    if matched_update_condition
+                    else F.lit(True)
+                )
+                if matched_update is not None
+                else F.lit(False)
+            )
+            if matched_delete_condition is None:
+                dele = F.lit(False)
+            elif matched_delete_condition is True:
+                dele = is_matched & ~upd
+            else:
+                dele = (
+                    is_matched
+                    & ~upd
+                    & _sat(F.expr(matched_delete_condition))
+                )
+            keep = ~dele & ~(src_only & ~ins_cond)
+
+            def out_col(c: str):
+                if c in keys:
+                    return F.col(c)  # USING join already coalesced it
+                tv, sv = F.col(f"t.{c}"), F.col(f"s.{c}")
+                v = F.when(src_only, sv).otherwise(tv)
+                if matched_update is not None and c in matched_update:
+                    v = F.when(
+                        upd, F.expr(matched_update[c]).cast(types[c])
+                    ).otherwise(v)
+                return v.alias(c)
+
+            merged = joined.where(keep).select(
+                *[out_col(c) for c in current.columns]
+            )
+        # Staging an empty partitioned result writes no partition dirs,
+        # so the commit below simply drops every touched pointer — the
+        # everything-deleted case needs no special probe.
+        rel, parts, files = self._stage(merged)
+        if not self.partition_col:
+            parts = {_UNPARTITIONED: ""}
+        return self._commit_delete(
+            base_version, touched, rel, parts, op="merge", files=files,
+            txn=txn,
+        )
+
     def _commit_delete(
         self,
         base_version: int,
@@ -799,12 +946,14 @@ class VersionedTable:
         parts: dict[str, str],
         op: str = "delete",
         files: dict[str, list[dict]] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Shared commit loop for the row-level DML forms (delete,
-        partition drop, update): rewrite pointers for touched partitions
-        that still have data (``parts``), drop the rest from live.
-        Rebase rules match merge: disjoint merges/deletes/updates rebase
-        over, overwrite/compact conflict."""
+        partition drop, update, conditional merge): rewrite pointers for
+        touched partitions that still have data (``parts``), drop the
+        rest from live. Rebase rules match merge: disjoint merges/
+        deletes/updates rebase over, overwrite/compact conflict. ``txn``
+        threads the same per-stream idempotence watermark merge uses."""
         while True:
             head = self.latest_version()
             head_entry = self._read_entry(head)
@@ -841,13 +990,18 @@ class VersionedTable:
                     }
                 else:
                     live.pop(p, None)  # every row of p deleted
+            applied = dict(head_entry.get("txn", {}))
+            if txn is not None:
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head  # rebase revealed our txn already landed
+                applied[txn[0]] = txn[1]
             new_entry = {
                 "version": head + 1,
                 "ts": time.time(),
                 "op": op,
                 "live": live,
                 "touched": touched,
-                "txn": dict(head_entry.get("txn", {})),
+                "txn": applied,
                 **self._meta_fields(),
             }
             if self._try_commit(new_entry):
@@ -1702,6 +1856,108 @@ def versioned_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(ev.repartitionByRange(8, "event_id"))
     return table.read(spark, where=f"event_id <= {cut}")
+
+
+def versioned_merge_into_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable conditional MERGE INTO: target = the keep-latest
+    user snapshot over the first event-id half, source = the keep-latest
+    snapshot over the second half, then one ``merge_into`` applying the
+    full WHEN grammar — UPDATE when the source row has a strictly higher
+    value (all payload columns taken from the source), DELETE surviving
+    matches whose source row is an 'error' event, INSERT unmatched
+    source users unless they arrive as errors. Untouched users keep
+    byte-identical rows in partitions the commit never rewrites. The
+    oracle restates the same three-valued CASE over a FULL OUTER JOIN of
+    the two halves' window-picked heads; value comparisons are on
+    doubles the testdata generates exactly, and every branch feeds the
+    hash, so a wrong clause precedence or a NULL-condition leak flips
+    the verdict."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    snap = lambda df: (  # noqa: E731
+        keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_merge_into"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut)))
+    table.merge_into(
+        spark,
+        snap(ev.where(F.col("event_id") > cut)),
+        ["user_id"],
+        matched_update={
+            "event_id": "s.event_id",
+            "event_type": "s.event_type",
+            "ts": "s.ts",
+            "value": "s.value",
+        },
+        matched_update_condition="s.value > t.value",
+        matched_delete_condition="s.event_type = 'error'",
+        insert_condition="s.event_type <> 'error'",
+    )
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_MERGE_INTO_SNAPSHOT_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+), t AS (
+  SELECT user_id, event_id, event_type, ts, value FROM (
+    SELECT e.*, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events e, c WHERE e.event_id <= c.cut)
+  WHERE rk = 1
+), s AS (
+  SELECT user_id, event_id, event_type, ts, value FROM (
+    SELECT e.*, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events e, c WHERE e.event_id > c.cut)
+  WHERE rk = 1
+), m AS (
+  SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+         t.user_id IS NOT NULL AND s.user_id IS NOT NULL AS matched,
+         t.user_id IS NULL AS src_only,
+         t.event_id AS t_event_id, t.event_type AS t_event_type,
+         t.ts AS t_ts, t.value AS t_value,
+         s.event_id AS s_event_id, s.event_type AS s_event_type,
+         s.ts AS s_ts, s.value AS s_value
+  FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+), clauses AS (
+  SELECT *,
+         matched AND s_value > t_value AS upd,
+         matched AND NOT (s_value > t_value)
+                 AND s_event_type = 'error' AS dele,
+         src_only AND s_event_type <> 'error' AS ins
+  FROM m
+)
+SELECT user_id,
+       CASE WHEN upd OR src_only THEN s_event_id ELSE t_event_id END
+         AS event_id,
+       CASE WHEN upd OR src_only THEN s_event_type ELSE t_event_type END
+         AS event_type,
+       CASE WHEN upd OR src_only THEN s_ts ELSE t_ts END AS ts,
+       CASE WHEN upd OR src_only THEN s_value ELSE t_value END AS value,
+       (user_id % 4)::BIGINT AS pbucket
+FROM clauses
+WHERE NOT dele AND NOT (src_only AND NOT ins)
+"""
 
 
 def versioned_constrained_load(spark: SparkSession, sf_dir: str) -> DataFrame:

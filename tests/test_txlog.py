@@ -1078,3 +1078,156 @@ def test_update_where_cannot_violate_constraints(spark, table_factory):
     with pytest.raises(txlog.ConstraintViolationError):
         t.update_where(spark, "id = 2", {"v": "v - 10"})
     assert {r["v"] for r in t.read(spark).collect()} == {5.0, 1.0}
+
+
+# ---------------------------------------------------------------- merge_into
+
+def _mi(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double, tag string, pb int")
+
+
+def test_merge_into_full_when_grammar(spark, table_factory):
+    """UPDATE-when / DELETE-when / INSERT-when in one commit, Delta's
+    in-order clause precedence (update evaluated before delete), with
+    untouched-partition pointers preserved byte-identical."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(
+        _mi(
+            spark,
+            [
+                (1, 10.0, "keep", 0),
+                (2, 5.0, "old", 0),
+                (3, 1.0, "kill", 1),
+                (4, 2.0, "x", 1),
+                (9, 9.0, "iso", 2),
+            ],
+        )
+    )
+    v = t.merge_into(
+        spark,
+        _mi(
+            spark,
+            [
+                (2, 50.0, "new", 0),   # s.v > t.v -> update
+                (3, 0.0, "del", 1),    # t.tag kill -> delete
+                (4, 1.0, "low", 1),    # no clause -> keep target
+                (7, 7.0, "ins", 0),    # unmatched -> insert
+                (8, -1.0, "neg", 1),   # unmatched, fails insert cond
+            ],
+        ),
+        ["id"],
+        matched_update={"v": "s.v", "tag": "concat('u:', s.tag)"},
+        matched_update_condition="s.v > t.v",
+        matched_delete_condition="t.tag = 'kill'",
+        insert_condition="s.v >= 0",
+    )
+    assert v == 2
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {
+        1: (10.0, "keep"),
+        2: (50.0, "u:new"),
+        4: (2.0, "x"),
+        7: (7.0, "ins"),
+        9: (9.0, "iso"),
+    }
+    # partition 2 (user 9) was never touched: original pointer survives
+    assert (
+        t._read_entry(2)["live"]["2"] == t._read_entry(1)["live"]["2"]
+    )
+    assert t.history()[-1]["op"] == "merge"
+
+
+def test_merge_into_null_condition_keeps_row(spark, table_factory):
+    """A WHEN condition evaluating NULL is NOT satisfied — the matched
+    row is neither updated nor deleted (the delete_where NULL lesson
+    applied to clause conditions)."""
+    t = table_factory("t")
+    t.overwrite(_mi(spark, [(1, 5.0, "a", 0)]))
+    t.merge_into(
+        spark,
+        _mi(spark, [(1, None, "b", 0)]),
+        ["id"],
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v > t.v",      # NULL -> unknown
+        matched_delete_condition="s.v < t.v",      # NULL -> unknown
+    )
+    got = t.read(spark).collect()
+    assert [(r["id"], r["v"], r["tag"]) for r in got] == [(1, 5.0, "a")]
+
+
+def test_merge_into_unconditional_delete_drops_partition(
+    spark, table_factory
+):
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mi(spark, [(1, 1.0, "a", 0), (2, 2.0, "b", 1)]))
+    t.merge_into(
+        spark,
+        _mi(spark, [(2, 0.0, "z", 1)]),
+        ["id"],
+        matched_delete_condition=True,
+        insert_unmatched=False,
+    )
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # every row of partition 1 deleted: pointer dropped, zero rewrite
+    assert "1" not in t._read_entry(t.latest_version())["live"]
+
+
+def test_merge_into_first_commit_and_txn_idempotent(spark, table_factory):
+    t = table_factory("t")
+    v = t.merge_into(spark, _mi(spark, [(1, 1.0, "a", 0)]), ["id"], txn=("app", 1))
+    assert v == 1
+    # same txn seq replays as a no-op even with a different payload
+    v2 = t.merge_into(
+        spark,
+        _mi(spark, [(1, 99.0, "b", 0)]),
+        ["id"],
+        matched_update={"v": "s.v"},
+        txn=("app", 1),
+    )
+    assert v2 == 1
+    assert t.read(spark).collect()[0]["v"] == 1.0
+
+
+def test_merge_into_respects_constraints_and_stats(spark, table_factory):
+    """merge_into writes flow through the same staging pass: committed
+    constraints reject a violating UPDATE, and the rewritten files
+    carry skipping stats."""
+    t = table_factory(
+        "t", constraints={"v_nonneg": "v >= 0"}, stats_cols=["v"]
+    )
+    t.overwrite(_mi(spark, [(1, 5.0, "a", 0), (2, 3.0, "b", 0)]))
+    with pytest.raises(txlog.ConstraintViolationError):
+        t.merge_into(
+            spark,
+            _mi(spark, [(1, 0.0, "x", 0)]),
+            ["id"],
+            matched_update={"v": "t.v - 100"},
+        )
+    v = t.merge_into(
+        spark,
+        _mi(spark, [(2, 30.0, "B", 0)]),
+        ["id"],
+        matched_update={"v": "s.v"},
+    )
+    live = t._read_entry(v)["live"]
+    assert all("files" in e for e in live.values())
+
+
+def test_merge_into_rejects_schema_drift_and_partition_assignment(
+    spark, table_factory
+):
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mi(spark, [(1, 1.0, "a", 0)]))
+    with pytest.raises(ValueError, match="exactly the table columns"):
+        t.merge_into(
+            spark,
+            _mi(spark, [(1, 2.0, "b", 0)]).withColumn("extra", F.lit(1)),
+            ["id"],
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        t.merge_into(
+            spark,
+            _mi(spark, [(1, 2.0, "b", 0)]),
+            ["id"],
+            matched_update={"pb": "s.pb + 1"},
+        )
