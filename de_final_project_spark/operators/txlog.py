@@ -1460,7 +1460,10 @@ class VersionedTable:
         return out
 
     def compact(
-        self, spark: SparkSession, cluster_by: Sequence[str] | None = None
+        self,
+        spark: SparkSession,
+        cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the live set into ONE fresh commit. After
         many merges the live map references many commit dirs (one scan
@@ -1470,21 +1473,61 @@ class VersionedTable:
         until vacuum. Run it on the cadence small-file growth dictates,
         exactly like Delta OPTIMIZE / Iceberg rewrite_data_files.
 
-        ``cluster_by`` = OPTIMIZE ... ZORDER BY: the rewrite sorts rows
-        within each write partition by the named columns (range-
-        partitioned multi-column sort), so parquet row-group min/max
-        footers become a coarse index on those columns — a predicate on
-        a clustered column prunes to a bounded set of row groups on the
-        compacted snapshot (the same layout-as-part-of-the-plan
-        discipline as plans/clustering.py, applied to the table
-        format's maintenance op)."""
+        ``cluster_by``: the rewrite sorts rows by the named columns
+        (range-partitioned multi-column LEXICOGRAPHIC sort), so parquet
+        footers — and, with ``stats_cols``, the log's file stats —
+        become a coarse index on the LEADING column; a trailing column's
+        values still span every file, so only the first key buys
+        skipping (the same layout-as-part-of-the-plan discipline as
+        plans/clustering.py, applied to the table format's maintenance
+        op).
+
+        ``zorder_by`` = OPTIMIZE ... ZORDER BY proper: numeric columns
+        are min/max-scaled onto a 2^Z_BITS grid and Morton-interleaved
+        (plans/clustering.py), and the rewrite range-partitions + sorts
+        on the z-value — EVERY named dimension stays bounded per file,
+        so a predicate on ANY of them prunes most files through the
+        stats-skipping read path. The min/max scan is one control-plane
+        aggregate (2 scalars per column)."""
         df = self.read(spark)
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if cluster_by:
             cols = (
                 [self.partition_col] if self.partition_col else []
             ) + list(cluster_by)
-            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        elif zorder_by:
+            from de_final_project_spark.plans.clustering import (
+                grid_scale,
+                morton_n,
+            )
+
+            bounds = df.agg(
+                *[
+                    f(c).cast("double")
+                    for c in zorder_by
+                    for f in (F.min, F.max)
+                ]
+            ).first()
+            z = morton_n(
+                [
+                    grid_scale(
+                        F.col(c), bounds[2 * i], bounds[2 * i + 1]
+                    )
+                    for i, c in enumerate(zorder_by)
+                ]
+            )
+            cols = (
+                [self.partition_col] if self.partition_col else []
+            ) + ["__z"]
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, *cols)
+                .sortWithinPartitions(*cols)
+                .drop("__z")
+            )
         # op is part of the entry from the start (no post-hoc relabel of
         # a visible entry), and concurrent merges rebasing across this
         # commit see 'compact' and conflict correctly.

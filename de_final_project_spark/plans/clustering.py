@@ -105,6 +105,43 @@ def _morton2(x, y):
     return terms
 
 
+def morton_n(cols):
+    """N-column Morton interleave: bit ``k`` of column ``i`` lands at
+    position ``k * n + i``. With n=2 this reproduces :func:`_morton2`'s
+    layout up to bit order; each column contributes Z_BITS bits, so n
+    must satisfy n * Z_BITS <= 63 (long). Inputs are [0, 2^Z_BITS)
+    grid-scaled nonneg ints (see :func:`grid_scale`)."""
+    n = len(cols)
+    if n * Z_BITS > 63:
+        raise ValueError(f"{n} columns x {Z_BITS} bits exceeds a long")
+    terms = None
+    for i, c in enumerate(cols):
+        for k in range(Z_BITS):
+            t = F.shiftleft(
+                F.shiftright(c, k).bitwiseAND(F.lit(1)), k * n + i
+            )
+            terms = t if terms is None else terms.bitwiseOR(t)
+    return terms
+
+
+def grid_scale(col, lo: float, hi: float):
+    """Scale a numeric column onto the [0, 2^Z_BITS) grid (the layout
+    variant of :func:`_grid`: doubles allowed — layout placement needs
+    no cross-engine exactness, unlike the oracle-paired report below)."""
+    span = hi - lo if hi > lo else 1.0
+    return F.least(
+        F.lit((1 << Z_BITS) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (col.cast("double") - F.lit(float(lo)))
+                * F.lit(float((1 << Z_BITS) - 1))
+                / F.lit(float(span))
+            ).cast("long"),
+        ),
+    )
+
+
 def _grid(col, lo: int, hi: int):
     """Scale an integer key into the [0, 2^Z_BITS) grid by exact integer
     arithmetic: (x - lo) * (2^B - 1) // max(1, hi - lo)."""

@@ -1231,3 +1231,48 @@ def test_merge_into_rejects_schema_drift_and_partition_assignment(
             ["id"],
             matched_update={"pb": "s.pb + 1"},
         )
+
+
+def test_compact_zorder_bounds_every_dimension(spark, tmp_path):
+    """Lexicographic cluster_by indexes only its LEADING column — a
+    predicate on the trailing dimension scans every file. zorder_by
+    Morton-interleaves both, so the same stats-skipping read prunes on
+    EITHER dimension — the measurable difference between a sort and a
+    z-order, read off the log's own accounting."""
+    t = VersionedTable(str(tmp_path / "t"), stats_cols=["a", "b"])
+    # a and b must be INDEPENDENT dimensions (a modular-arithmetic pair
+    # would make b a function of a, and a sort on a would accidentally
+    # index b too): a walks the range, b is a hash of the row id.
+    df = spark.range(40_000).select(
+        (F.col("id") % 1000).alias("a"),
+        (F.abs(F.hash(F.col("id"))) % 1000).alias("b"),
+        F.col("id").alias("k"),
+    )
+    t.overwrite(df.repartition(8))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        t.compact(spark, cluster_by=["a"])
+        lex_a = t.prune_report("a < 100")
+        lex_b = t.prune_report("b < 100")
+        t.compact(spark, zorder_by=["a", "b"])
+        z_a = t.prune_report("a < 100")
+        z_b = t.prune_report("b < 100")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # the sort indexes a...
+    assert lex_a["files_scanned"] <= lex_a["files_total"] // 4
+    # ...but b spans every file
+    assert lex_b["files_scanned"] == lex_b["files_total"]
+    # z-order bounds BOTH
+    assert z_a["files_scanned"] <= z_a["files_total"] // 2
+    assert z_b["files_scanned"] <= z_b["files_total"] // 2
+    # and the data is untouched by either rewrite: pruned reads equal
+    # full-scan filters
+    assert t.read(spark, where="a < 100").count() == 4000
+    assert (
+        t.read(spark, where="b < 100").count()
+        == t.read(spark).where("b < 100").count()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(spark, cluster_by=["a"], zorder_by=["b"])
