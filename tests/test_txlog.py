@@ -1276,3 +1276,51 @@ def test_compact_zorder_bounds_every_dimension(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not both"):
         t.compact(spark, cluster_by=["a"], zorder_by=["b"])
+
+
+def test_stream_merge_respects_constraints_without_advancing(
+    spark, tmp_path
+):
+    """A poisoned micro-batch fails the streaming MERGE sink BEFORE any
+    log commit: the query errors, the table is unchanged, and because
+    the checkpoint never advanced past the bad epoch, a retry with a
+    fixed transform re-delivers and lands the repaired rows — the ops
+    story for a constrained gold table fed by a stream."""
+    from de_final_project_spark.streaming.pipeline import stream_merge_into
+
+    src = tmp_path / "replay"
+    good = spark.createDataFrame([(1, 5.0, 0)], "id long, v double, pb int")
+    bad = spark.createDataFrame([(2, -7.0, 1)], "id long, v double, pb int")
+    good.coalesce(1).write.parquet(str(src / "a"))
+    bad.coalesce(1).write.parquet(str(src / "b"))
+    t = VersionedTable(
+        str(tmp_path / "gold"),
+        partition_col="pb",
+        constraints={"v_nonneg": "v >= 0"},
+    )
+
+    def run(transform=None):
+        stream = (
+            spark.readStream.schema(good.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        stream_merge_into(
+            stream,
+            t,
+            ["id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            app_id="t",
+            transform=transform,
+        )
+
+    with pytest.raises(Exception, match="CONSTRAINT"):
+        run()
+    # good batch may have landed; poisoned one did not
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert 2 not in got
+    # retry quarantining violations: the bad epoch re-delivers (its
+    # checkpoint never advanced) and now commits its clean subset
+    run(transform=lambda df: df.where(F.col("v") >= 0))
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
