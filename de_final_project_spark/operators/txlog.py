@@ -337,6 +337,7 @@ class VersionedTable:
         stats_cols: Sequence[str] | None = None,
         constraints: dict[str, str] | None = None,
         not_null: Sequence[str] | None = None,
+        generated: dict[str, str] | None = None,
     ):
         self.path = path
         self.partition_col = partition_col
@@ -357,6 +358,14 @@ class VersionedTable:
         # config cannot write rows another producer's contract forbids.
         self.constraints = dict(constraints) if constraints else {}
         self.not_null = list(not_null) if not_null else []
+        # Delta-style generated columns ({col -> SQL expr over the other
+        # columns}): computed during staging when the writer omits the
+        # column, VALIDATED (null-safe equality assert, same in-pass
+        # mechanism as CHECK) when the writer supplies it. Sticky like
+        # constraints. The canonical use is the derived partition column
+        # (pbucket = user_id % 4): writers stop hand-rolling it and can
+        # never disagree with the table's definition.
+        self.generated = dict(generated) if generated else {}
 
     # ---------------------------------------------------------- log io
     @staticmethod
@@ -422,12 +431,15 @@ class VersionedTable:
         return ok
 
     # ----------------------------------------------------- constraints
-    def _effective_constraints(self) -> tuple[dict[str, str], list[str]]:
-        """The handle's configured constraints unioned with whatever the
-        head commit recorded — the sticky half of the contract: once a
-        constraint is committed, every later writer enforces it whether
-        or not its handle was constructed with it."""
+    def _effective_constraints(
+        self,
+    ) -> tuple[dict[str, str], list[str], dict[str, str]]:
+        """The handle's configured constraints/generated columns unioned
+        with whatever the head commit recorded — the sticky half of the
+        contract: once committed, every later writer enforces them
+        whether or not its handle was constructed with them."""
         chk, nn = dict(self.constraints), list(self.not_null)
+        gen = dict(self.generated)
         head = self.latest_version()
         if head is not None:
             e = self._read_entry(head)
@@ -436,16 +448,31 @@ class VersionedTable:
             for c in e.get("not_null", []):
                 if c not in nn:
                     nn.append(c)
-        return chk, nn
+            for c, expr in e.get("generated", {}).items():
+                gen.setdefault(c, expr)
+        return chk, nn, gen
 
     def _meta_fields(self) -> dict:
-        chk, nn = self._effective_constraints()
+        chk, nn, gen = self._effective_constraints()
         out: dict = {}
         if chk:
             out["constraints"] = chk
         if nn:
             out["not_null"] = nn
+        if gen:
+            out["generated"] = gen
         return out
+
+    def _materialize_generated(self, df: DataFrame) -> DataFrame:
+        """Add omitted generated columns up front, BEFORE schema checks
+        and touched-partition probes see the frame (a producer omitting
+        the derived partition column is the feature's main point).
+        Supplied columns pass through; _enforce validates them."""
+        _, _, gen = self._effective_constraints()
+        for c, expr in sorted(gen.items()):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+        return df
 
     def _enforce(self, df: DataFrame) -> DataFrame:
         """Weave the constraint checks into the staging write itself: a
@@ -455,11 +482,27 @@ class VersionedTable:
         fails the write BEFORE any log entry exists — atomicity makes
         rejection free of cleanup. SQL/Delta semantics: a CHECK fails
         only when the predicate evaluates FALSE (NULL is unknown, and
-        allowed — NOT NULL is its own declaration)."""
-        chk, nn = self._effective_constraints()
-        if not chk and not nn:
+        allowed — NOT NULL is its own declaration). Generated columns
+        are materialized here when the writer omits them, and validated
+        with a null-safe equality assert when supplied."""
+        chk, nn, gen = self._effective_constraints()
+        if not chk and not nn and not gen:
             return df
-        guards = [
+        gen_checks = []
+        for c, expr in sorted(gen.items()):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+            else:
+                gen_checks.append(
+                    F.assert_true(
+                        F.col(c).eqNullSafe(F.expr(expr)),
+                        F.lit(
+                            f"[CONSTRAINT] GENERATED column '{c}' "
+                            f"disagrees with its definition: {expr}"
+                        ),
+                    ).cast("boolean")
+                )
+        guards = gen_checks + [
             F.assert_true(
                 F.col(c).isNotNull(),
                 F.lit(
@@ -585,6 +628,7 @@ class VersionedTable:
         entry after the fact, because a concurrent writer could read
         the unstamped entry and propagate a txn map without our
         watermark, losing the idempotence guarantee (ADVICE r6)."""
+        df = self._materialize_generated(df)
         rel, parts, files = self._stage(df)
         while True:
             base = self.latest_version() or 0
@@ -649,6 +693,7 @@ class VersionedTable:
         drift fails loudly, because silent widening is how a typo'd
         producer forks a table."""
         keys = list(keys)
+        delta = self._materialize_generated(delta)
         if txn is not None:
             head0 = self.latest_version()
             if head0 is not None:
@@ -831,6 +876,7 @@ class VersionedTable:
         join). Reference analog: none — this is the lakehouse DML
         surface (VERDICT r7 item 2 family)."""
         keys = list(on)
+        source = self._materialize_generated(source)
         if txn is not None:
             head0 = self.latest_version()
             if head0 is not None:

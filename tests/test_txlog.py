@@ -1324,3 +1324,46 @@ def test_stream_merge_respects_constraints_without_advancing(
     # checkpoint never advanced) and now commits its clean subset
     run(transform=lambda df: df.where(F.col("v") >= 0))
     assert {r["id"] for r in t.read(spark).collect()} == {1}
+
+
+# ---------------------------------------------------------- generated columns
+
+def test_generated_column_materialized_and_validated(spark, table_factory):
+    """A writer omitting the generated partition column gets it computed
+    from the table's definition; a writer supplying a DISAGREEING value
+    is rejected; a correct supplied value passes. Sticky across handles
+    like constraints."""
+    t = table_factory(
+        "t", partition_col="pb", generated={"pb": "cast(id % 4 as int)"}
+    )
+    bare = spark.createDataFrame([(1, "a"), (6, "b")], "id long, s string")
+    t.overwrite(bare)  # pb derived: 1 -> 1, 6 -> 2
+    got = {r["id"]: r["pb"] for r in t.read(spark).collect()}
+    assert got == {1: 1, 6: 2}
+    # a merge from a handle WITHOUT the definition still derives it
+    t2 = table_factory("t", partition_col="pb")
+    t2.merge(spark, spark.createDataFrame([(9, "c")], "id long, s string"), ["id"])
+    assert {r["id"]: r["pb"] for r in t2.read(spark).collect()}[9] == 1
+    # supplying the column with the RIGHT values is fine
+    ok = spark.createDataFrame([(4, "d", 0)], "id long, s string, pb int")
+    t.merge(spark, ok, ["id"])
+    # ...and with WRONG values is a constraint violation, not silent skew
+    bad = spark.createDataFrame([(5, "e", 3)], "id long, s string, pb int")
+    with pytest.raises(txlog.ConstraintViolationError, match="GENERATED"):
+        t.merge(spark, bad, ["id"])
+    assert t.history()[-1]["generated"] == {"pb": "cast(id % 4 as int)"}
+
+
+def test_generated_column_in_merge_into(spark, table_factory):
+    t = table_factory(
+        "t", partition_col="pb", generated={"pb": "cast(id % 2 as int)"}
+    )
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    t.merge_into(
+        spark,
+        spark.createDataFrame([(1, 9.0), (2, 2.0)], "id long, v double"),
+        ["id"],
+        matched_update={"v": "s.v"},
+    )
+    got = {r["id"]: (r["v"], r["pb"]) for r in t.read(spark).collect()}
+    assert got == {1: (9.0, 1), 2: (2.0, 0)}
