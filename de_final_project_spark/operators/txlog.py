@@ -105,6 +105,18 @@ def _json_stat(v):
     return None
 
 
+# Bloom file index defaults: 16384 bits (256 longs, ~4 KB hex per file
+# per column in the log) x 4 probes gives ~1% false positives around
+# ~1.6k distinct values per file; size ``bloom_bits`` at ~10 bits per
+# expected distinct value. A false positive only costs a scan. The
+# index is LOG-RESIDENT (entry size grows with it) — right for the
+# compaction-sized files these tables produce; a production variant for
+# million-row files would spill the bitmap to an index sidecar like
+# Delta's bloom index files do.
+BLOOM_BITS = 16384
+BLOOM_K = 4
+
+
 _PRED_RE = re.compile(
     r"^\s*`?(\w+)`?\s*(<=|>=|==|=|<|>)\s*"
     r"(?:\x00(\d+)\x00|(-?\d+(?:\.\d+)?))\s*$"
@@ -338,6 +350,8 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         not_null: Sequence[str] | None = None,
         generated: dict[str, str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = BLOOM_BITS,
     ):
         self.path = path
         self.partition_col = partition_col
@@ -366,6 +380,17 @@ class VersionedTable:
         # (pbucket = user_id % 4): writers stop hand-rolling it and can
         # never disagree with the table's definition.
         self.generated = dict(generated) if generated else {}
+        # Bloom file indexes (Delta's bloom filter index): per-file bit
+        # sets for EQUALITY lookups on high-cardinality columns, where
+        # min/max stats prove nothing on an unclustered layout. Costs
+        # one extra read of the NEWLY STAGED files per commit (not the
+        # table) — opt-in for exactly that reason. A membership miss
+        # skips the file; false positives only cost a scan, and the
+        # lookup value is hashed by SPARK's own xxhash64 at prune time,
+        # so a false negative (wrong skip) cannot arise from a hash
+        # reimplementation.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        self.bloom_bits = int(bloom_bits)
 
     # ---------------------------------------------------------- log io
     @staticmethod
@@ -559,7 +584,114 @@ class VersionedTable:
             }
         else:
             parts = {_UNPARTITIONED: ""}
-        return rel, parts, self._collect_file_stats(full, parts)
+        files = self._collect_file_stats(full, parts)
+        if self.bloom_cols:
+            if not files:
+                # blooms ride the same per-file log entries as stats
+                files = {
+                    p: [
+                        {"f": os.path.join(sub, n) if sub else n, "s": {}}
+                        for n in sorted(
+                            os.listdir(
+                                os.path.join(full, sub) if sub else full
+                            )
+                        )
+                        if n.endswith(".parquet")
+                    ]
+                    for p, sub in parts.items()
+                }
+            self._collect_blooms(df.sparkSession, full, files)
+        return rel, parts, files
+
+    def _collect_blooms(
+        self, spark: SparkSession, full: str, files: dict[str, list[dict]]
+    ) -> None:
+        """Build per-file Bloom bit sets for ``bloom_cols`` and annotate
+        the file entries in place (``"b": {col: {"t": dtype, "h": hex}}``).
+        One aggregate over the newly staged files per column: k=BLOOM_K
+        positions per value via Spark's xxhash64 (value, seed) chaining,
+        folded into 64-bit words with bit_or — all JVM-side; only the
+        (files x 64)-row word table is collected."""
+        scan = (
+            spark.read.option("basePath", full).parquet(full)
+            if self.partition_col
+            else spark.read.parquet(full)
+        )
+        dtypes = dict(scan.dtypes)
+        nwords = self.bloom_bits // 64
+        for c in self.bloom_cols:
+            if c not in dtypes or c == self.partition_col:
+                continue
+            pos = F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(c), F.lit(s)),
+                            F.lit(self.bloom_bits),
+                        )
+                        for s in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+            words = (
+                scan.where(F.col(c).isNotNull())
+                .select(F.input_file_name().alias("fp"), pos)
+                .select(
+                    "fp",
+                    (F.col("pos") / 64).cast("int").alias("w"),
+                    # shiftleft's bit-count arg must be a column-typed
+                    # expression, which the SQL form accepts directly
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), "
+                        "cast(pos % 64 as int))"
+                    ).alias("m"),
+                )
+                .groupBy("fp", "w")
+                .agg(F.expr("bit_or(m)").alias("bits"))
+                .collect()
+            )
+            by_file: dict[str, list[int]] = {}
+            for r in words:
+                by_file.setdefault(r["fp"], [0] * nwords)[r["w"]] |= (
+                    r["bits"] & 0xFFFFFFFFFFFFFFFF
+                )
+            for entries in files.values():
+                for fe in entries:
+                    bits = next(
+                        (
+                            v
+                            for k, v in by_file.items()
+                            if k.endswith("/" + fe["f"])
+                        ),
+                        None,
+                    )
+                    if bits is not None:
+                        fe.setdefault("b", {})[c] = {
+                            "t": dtypes[c],
+                            "h": "".join(f"{w:016x}" for w in bits),
+                        }
+
+    def _bloom_positions(
+        self, spark: SparkSession, value, dtype: str, bits: int
+    ):
+        """The k bit positions Spark's own xxhash64 assigns ``value`` —
+        computed BY Spark (one 1-row local job, cached per read call),
+        so the prune-side hash is the write-side hash by construction
+        and a wrong skip cannot come from a hash reimplementation."""
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(dtype), F.lit(s)),
+                        F.lit(bits),
+                    ).alias(f"p{s}")
+                    for s in range(BLOOM_K)
+                ]
+            )
+            .first()
+        )
+        return [row[f"p{s}"] for s in range(BLOOM_K)]
 
     def _collect_file_stats(
         self, full: str, parts: dict[str, str]
@@ -1298,7 +1430,7 @@ class VersionedTable:
         return self.read(spark, self.version_as_of(timestamp))
 
     def _prune_live(
-        self, live: dict, where: str
+        self, live: dict, where: str, spark: SparkSession | None = None
     ) -> tuple[dict, dict[str, int]]:
         """Data skipping: drop partitions and files the commit entry's
         stats PROVE cannot contain a matching row. Returns the pruned
@@ -1306,8 +1438,34 @@ class VersionedTable:
         accounting report. Pruning is advisory — the caller re-applies
         the full predicate to the surviving scan, so a conjunct the
         parser cannot use, a column without stats, or a file written
-        before stats were enabled merely costs a scan, never a row."""
+        before stats were enabled merely costs a scan, never a row.
+        With ``spark``, equality conjuncts also consult per-file Bloom
+        indexes (one 1-row hash job per distinct lookup value)."""
         conj = _parse_conjuncts(where)
+        bloom_pos: dict[tuple, list[int] | None] = {}
+
+        def bloom_excludes(fe: dict, col: str, lit) -> bool:
+            be = fe.get("b", {}).get(col)
+            if be is None or spark is None:
+                return False
+            bits = len(be["h"]) * 4  # the width this file was written with
+            key = (col, lit, bits)
+            if key not in bloom_pos:
+                try:
+                    bloom_pos[key] = self._bloom_positions(
+                        spark, lit, be["t"], bits
+                    )
+                except Exception:  # noqa: BLE001 — uncastable literal
+                    bloom_pos[key] = None
+            positions = bloom_pos[key]
+            if positions is None:
+                return False
+            h = be["h"]
+            return not all(
+                (int(h[(p // 64) * 16 : (p // 64 + 1) * 16], 16) >> (p % 64))
+                & 1
+                for p in positions
+            )
         report = {
             "partitions_total": len(live),
             "partitions_scanned": 0,
@@ -1334,10 +1492,13 @@ class VersionedTable:
                 fe
                 for fe in files
                 if not any(
-                    fe["s"].get(col) is not None
-                    and _range_excludes(
-                        fe["s"][col][0], fe["s"][col][1], op, lit
+                    (
+                        fe.get("s", {}).get(col) is not None
+                        and _range_excludes(
+                            fe["s"][col][0], fe["s"][col][1], op, lit
+                        )
                     )
+                    or (op == "=" and bloom_excludes(fe, col, lit))
                     for col, op, lit in conj
                 )
             ]
@@ -1348,14 +1509,21 @@ class VersionedTable:
         return pruned, report
 
     def prune_report(
-        self, where: str, version: int | None = None
+        self,
+        where: str,
+        version: int | None = None,
+        spark: SparkSession | None = None,
     ) -> dict[str, int]:
         """What would data skipping save for this predicate? Pure log
-        metadata — no files opened, no Spark job."""
+        metadata — no files opened, no Spark job — unless ``spark`` is
+        passed, which additionally consults Bloom indexes for equality
+        conjuncts (a 1-row hash job per distinct lookup value)."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no commits at {self.path}")
-        _, report = self._prune_live(self._read_entry(v)["live"], where)
+        _, report = self._prune_live(
+            self._read_entry(v)["live"], where, spark=spark
+        )
         return report
 
     def read(
@@ -1381,7 +1549,7 @@ class VersionedTable:
             )
         live = self._read_entry(v)["live"]
         if where is not None:
-            kept, _ = self._prune_live(live, where)
+            kept, _ = self._prune_live(live, where, spark=spark)
             if not kept and live:
                 # every file pruned: an empty frame with the table schema
                 # (limit(0) short-circuits before any file is read)
@@ -2083,6 +2251,41 @@ def versioned_constrained_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VERSIONED_CONSTRAINED_LOAD_SQL = """
 SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+
+def versioned_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable Bloom file index: commit the documents table
+    (metadata columns) into a versioned table with a Bloom index on
+    doc_id, deliberately HASH-scattered across files so min/max stats
+    prove nothing, then answer a point lookup through the skipping read
+    — the per-file bit sets prune all but ~1 file before any file is
+    opened (the membership contract and the skip counts are pinned in
+    tests/test_txlog.py; this query is the end-to-end result check).
+    Oracle: the same lookup on the raw table, the midpoint doc chosen by
+    scalar subquery so both engines derive the same key."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_bloom"), "documents"),
+        bloom_cols=["doc_id"],
+    )
+    table.overwrite(docs.repartition(8, "doc_id"))
+    return table.read(spark, where=f"doc_id = {cut}")
+
+
+VERSIONED_BLOOM_POINT_LOOKUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id = (
+    SELECT CAST(FLOOR((MIN(doc_id) + MAX(doc_id)) / 2.0) AS BIGINT)
+    FROM documents
+)
 """
 
 

@@ -1367,3 +1367,66 @@ def test_generated_column_in_merge_into(spark, table_factory):
     )
     got = {r["id"]: (r["v"], r["pb"]) for r in t.read(spark).collect()}
     assert got == {1: (9.0, 1), 2: (2.0, 0)}
+
+
+# ------------------------------------------------------------- bloom indexes
+
+def _doc_df(spark, n=8000):
+    return spark.range(n).select(
+        F.concat(
+            F.lit("doc-"),
+            F.format_string("%05d", (F.col("id") * 7919) % 100000),
+        ).alias("doc_id"),
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("pb"),
+    )
+
+
+def test_bloom_index_point_lookup_skips_files(spark, table_factory):
+    """On a scattered high-cardinality column, min/max stats prove
+    nothing — the per-file Bloom index is what turns a point lookup
+    into a near-single-file scan. Both string and long columns."""
+    t = table_factory("t", bloom_cols=["doc_id", "k"])
+    df = _doc_df(spark)
+    t.overwrite(df.repartition(8))
+    val = df.where("k = 1234").first()["doc_id"]
+    # without spark there is no hash job, hence no bloom pruning
+    assert (
+        t.prune_report(f"doc_id = '{val}'")["files_scanned"] == 8
+    )
+    rep = t.prune_report(f"doc_id = '{val}'", spark=spark)
+    assert rep["files_scanned"] <= 2
+    got = t.read(spark, where=f"doc_id = '{val}'").collect()
+    assert [(r["doc_id"], r["k"]) for r in got] == [(val, 1234)]
+    rep_k = t.prune_report("k = 4321", spark=spark)
+    assert rep_k["files_scanned"] <= 2
+    assert t.read(spark, where="k = 4321").count() == 1
+
+
+def test_bloom_index_never_false_negative(spark, table_factory):
+    """The membership contract: EVERY present value must survive
+    pruning (the lookup literal is hashed by Spark's own xxhash64, so a
+    divergent reimplementation cannot sneak in a wrong skip). Absent
+    values may prune to zero files and return empty."""
+    t = table_factory("t", bloom_cols=["doc_id"])
+    df = _doc_df(spark, 2000)
+    t.overwrite(df.repartition(8))
+    sample = [r["doc_id"] for r in df.where("k % 97 = 0").collect()]
+    assert len(sample) >= 20
+    for v in sample:
+        assert t.read(spark, where=f"doc_id = '{v}'").count() >= 1, v
+    assert t.read(spark, where="doc_id = 'doc-xxxxx'").count() == 0
+
+
+def test_bloom_index_on_merge_commits(spark, table_factory):
+    """Delta commits carry blooms too, and pruning works across a
+    mixed multi-commit live map."""
+    t = table_factory("t", partition_col="pb", bloom_cols=["doc_id"])
+    df = _doc_df(spark)
+    t.overwrite(df.where("k < 4000"))
+    t.merge(spark, df.where("k >= 4000"), ["doc_id"])
+    val_new = df.where("k = 7777").first()["doc_id"]
+    rep = t.prune_report(f"doc_id = '{val_new}'", spark=spark)
+    assert rep["files_scanned"] < rep["files_total"]
+    got = t.read(spark, where=f"doc_id = '{val_new}'").collect()
+    assert any(r["k"] == 7777 for r in got)
