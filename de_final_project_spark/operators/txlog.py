@@ -1747,6 +1747,39 @@ class VersionedTable:
         # commit see 'compact' and conflict correctly.
         return self.overwrite(df, op="compact")
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: roll the table back to ``version`` as a NEW
+        commit whose live map is the old version's — metadata-only (zero
+        data IO; the old files are still on disk until vacuum, which is
+        exactly why vacuum has a retention window). History is preserved:
+        the bad commits stay readable for forensics, and the restore
+        itself is an auditable entry. Snapshot-replacing like overwrite
+        (op='restore'), so concurrent merges rebasing across it conflict
+        rather than resurrect rows. Raises if ``version``'s entry or any
+        of its data dirs has been vacuumed away."""
+        entry = self._read_entry(version)  # raises if vacuumed
+        for e in entry["live"].values():
+            if not os.path.isdir(os.path.join(self.path, e["commit_dir"])):
+                raise FileNotFoundError(
+                    f"data dir {e['commit_dir']} of v{version} was "
+                    "vacuumed; restore target must be within retention"
+                )
+        while True:
+            head = self.latest_version()
+            applied = dict(self._read_entry(head).get("txn", {}))
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "restore",
+                "restored_from": version,
+                "live": dict(entry["live"]),
+                "touched": sorted(entry["live"]),
+                "txn": applied,
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
     # --------------------------------------------------------- vacuum
     def vacuum(
         self, retain_versions: int = 1, retention_seconds: float = 86_400.0

@@ -1430,3 +1430,36 @@ def test_bloom_index_on_merge_commits(spark, table_factory):
     assert rep["files_scanned"] < rep["files_total"]
     got = t.read(spark, where=f"doc_id = '{val_new}'").collect()
     assert any(r["k"] == 7777 for r in got)
+
+
+# -------------------------------------------------------------------- restore
+
+def test_restore_rolls_back_metadata_only(spark, table_factory):
+    """RESTORE commits the old version's live map as a NEW entry: the
+    bad commits stay in history for forensics, no data moves, and the
+    table continues (merges land on the restored state)."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "good", 0), (2, "good", 1)]))
+    t.merge(spark, _mk(spark, [(1, "BAD", 0), (3, "BAD", 2)]), ["id"])
+    v = t.restore(1)
+    assert v == 3
+    assert _rows(t.read(spark)) == {1: "good", 2: "good"}
+    assert t.history()[-1]["op"] == "restore"
+    assert t.history()[-1]["restored_from"] == 1
+    # the bad version is still time-travelable
+    assert _rows(t.read(spark, version=2))[1] == "BAD"
+    # live pointers are the v1 pointers verbatim — zero data IO
+    assert t._read_entry(3)["live"] == t._read_entry(1)["live"]
+    t.merge(spark, _mk(spark, [(4, "d", 0)]), ["id"])
+    assert _rows(t.read(spark)) == {1: "good", 2: "good", 4: "d"}
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"), partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    t.overwrite(_mk(spark, [(1, "b", 0)]))
+    t.overwrite(_mk(spark, [(1, "c", 0)]))
+    t.vacuum(retain_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+    assert _rows(t.read(spark)) == {1: "c"}
