@@ -1747,6 +1747,65 @@ class VersionedTable:
         # commit see 'compact' and conflict correctly.
         return self.overwrite(df, op="compact")
 
+    def clone_to(
+        self,
+        dest_path: str,
+        log_store: LogStore | None = None,
+        version: int | None = None,
+    ) -> "VersionedTable":
+        """Delta SHALLOW CLONE: a new table whose first commit references
+        THIS table's data files by absolute path — zero data copied, so
+        a dev/test branch of a petabyte table costs one log entry.
+        Writes to the clone stage into the clone's OWN data dir and only
+        rewrite the partitions they touch, so divergence is natural
+        copy-on-write; the source never sees them. The clone's vacuum
+        cannot delete source files (it only lists its own data root),
+        but the SOURCE's vacuum can invalidate a clone that still
+        references pre-clone files — Delta's documented shallow-clone
+        caveat; re-clone or compact the clone (one full rewrite makes it
+        self-contained) before vacuuming the source past the clone
+        point. Constraints/generated/stats metadata carries over via the
+        cloned entry, so the contract follows the data."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        entry = self._read_entry(v)
+        src_root = os.path.abspath(self.path)
+        dest = VersionedTable(
+            dest_path,
+            partition_col=self.partition_col,
+            log_store=log_store,
+            stats_cols=self.stats_cols,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+        )
+        if dest.latest_version() is not None:
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        live = {
+            p: {**e, "commit_dir": os.path.join(src_root, e["commit_dir"])}
+            for p, e in entry["live"].items()
+        }
+        os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
+        new_entry = {
+            "version": 1,
+            "ts": time.time(),
+            "op": "clone",
+            "cloned_from": {"path": src_root, "version": v},
+            "live": live,
+            "touched": sorted(live),
+            "txn": {},
+            **{
+                k: entry[k]
+                for k in ("constraints", "not_null", "generated")
+                if k in entry
+            },
+        }
+        if not dest._try_commit(new_entry):
+            raise ConcurrentWriteError(
+                f"another writer initialized {dest_path} concurrently"
+            )
+        return dest
+
     def restore(self, version: int) -> int:
         """Delta RESTORE: roll the table back to ``version`` as a NEW
         commit whose live map is the old version's — metadata-only (zero

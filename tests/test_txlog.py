@@ -1463,3 +1463,54 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.restore(1)
     assert _rows(t.read(spark)) == {1: "c"}
+
+
+# ---------------------------------------------------------------- clone
+
+def test_shallow_clone_zero_copy_then_copy_on_write(spark, tmp_path):
+    """A clone reads the source's files through one metadata entry (no
+    data under the clone), diverges copy-on-write on its own writes,
+    and neither table's later commits leak into the other."""
+    src = VersionedTable(str(tmp_path / "src"), partition_col="pb")
+    src.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    cl = src.clone_to(str(tmp_path / "cl"))
+    assert _rows(cl.read(spark)) == {1: "a", 2: "b"}
+    # zero-copy: nothing but the (empty) data root under the clone
+    assert os.listdir(str(tmp_path / "cl" / "data")) == []
+    assert cl.history()[0]["op"] == "clone"
+    assert cl.history()[0]["cloned_from"]["version"] == 1
+    # clone writes stay in the clone...
+    cl.merge(spark, _mk(spark, [(2, "CLONE", 1), (3, "c", 2)]), ["id"])
+    assert _rows(cl.read(spark)) == {1: "a", 2: "CLONE", 3: "c"}
+    assert _rows(src.read(spark)) == {1: "a", 2: "b"}
+    # ...and only touched partitions got clone-local files; partition 0
+    # still reads the source's file
+    live = cl._read_entry(cl.latest_version())["live"]
+    assert live["0"]["commit_dir"].startswith(str(tmp_path / "src"))
+    assert not live["1"]["commit_dir"].startswith(str(tmp_path / "src"))
+    # source writes stay in the source
+    src.merge(spark, _mk(spark, [(1, "SRC", 0)]), ["id"])
+    assert _rows(cl.read(spark))[1] == "a"
+    # clone's vacuum cannot touch source files
+    cl.compact(spark)
+    removed = cl.vacuum(retain_versions=1, retention_seconds=0)
+    assert all("src" not in r for r in removed)
+    assert _rows(src.read(spark)) == {1: "SRC", 2: "b"}
+
+
+def test_clone_carries_constraints_and_refuses_nonempty_dest(
+    spark, tmp_path
+):
+    src = VersionedTable(
+        str(tmp_path / "src"), constraints={"v_nonneg": "v >= 0"}
+    )
+    src.overwrite(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+    )
+    cl = src.clone_to(str(tmp_path / "cl"))
+    with pytest.raises(txlog.ConstraintViolationError):
+        cl.overwrite(
+            spark.createDataFrame([(2, -1.0)], "id long, v double")
+        )
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(str(tmp_path / "cl"))
