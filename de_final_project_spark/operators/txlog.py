@@ -122,6 +122,11 @@ _PRED_RE = re.compile(
     r"(?:\x00(\d+)\x00|(-?\d+(?:\.\d+)?))\s*$"
 )
 
+_IN_RE = re.compile(r"(?i)^\s*`?(\w+)`?\s+IN\s*\(([^()]*)\)\s*$")
+_IN_ITEM_RE = re.compile(
+    r"^\s*(?:\x00(\d+)\x00|(-?\d+(?:\.\d+)?))\s*$"
+)
+
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Extract the prunable conjuncts of a SQL predicate: top-level
@@ -139,18 +144,42 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         return f"\x00{len(lits) - 1}\x00"
 
     masked = re.sub(r"'([^']*)'", _stash, where)
+    # BETWEEN contains an AND of its own: rewrite it to the two-sided
+    # form BEFORE the conjunct split (literals already masked, so a
+    # quoted 'between' cannot trigger this)
+    masked = re.sub(
+        r"(?i)`?(\w+)`?\s+BETWEEN\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)"
+        r"\s+AND\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)",
+        r"\1 >= \2 AND \1 <= \3",
+        masked,
+    )
+
+    def _lit(sref: str | None, num: str | None) -> object:
+        if sref is not None:
+            return lits[int(sref)]
+        assert num is not None
+        return float(num) if "." in num else int(num)
+
     out: list[tuple[str, str, object]] = []
     for piece in re.split(r"(?i)\bAND\b", masked):
         m = _PRED_RE.match(piece)
-        if not m:
+        if m:
+            col, op, sref, num = m.groups()
+            out.append((col, "=" if op == "==" else op, _lit(sref, num)))
             continue
-        col, op, sref, num = m.groups()
-        lit: object
-        if sref is not None:
-            lit = lits[int(sref)]
-        else:
-            lit = float(num) if "." in num else int(num)
-        out.append((col, "=" if op == "==" else op, lit))
+        m = _IN_RE.match(piece)
+        if m:
+            col, body = m.groups()
+            vals = []
+            ok = True
+            for item in body.split(","):
+                im = _IN_ITEM_RE.match(item)
+                if not im:
+                    ok = False  # an expression inside IN: no pruning
+                    break
+                vals.append(_lit(im.group(1), im.group(2)))
+            if ok and vals:
+                out.append((col, "in", vals))
     return out
 
 
@@ -165,7 +194,10 @@ def _comparable(a, b) -> bool:
 def _range_excludes(mn, mx, op: str, lit) -> bool:
     """True iff NO value in [mn, mx] can satisfy ``value <op> lit`` —
     the license to skip the file. NULL rows never satisfy a comparison,
-    so min/max over non-null values is sufficient evidence."""
+    so min/max over non-null values is sufficient evidence. ``op="in"``
+    takes a value list and excludes only when EVERY member does."""
+    if op == "in":
+        return all(_range_excludes(mn, mx, "=", v) for v in lit)
     if not (_comparable(mn, lit) and _comparable(mx, lit)):
         return False
     if op == "<":
@@ -185,6 +217,8 @@ def _partition_excludes(part_value: str, op: str, lit) -> bool:
     """Partition-value pruning for a conjunct on the partition column.
     Hive dir names store the value as a string; compare numerically when
     the literal is numeric and the value parses, else as strings."""
+    if op == "in":
+        return all(_partition_excludes(part_value, "=", v) for v in lit)
     if isinstance(lit, (int, float)) and not isinstance(lit, bool):
         try:
             v: object = float(part_value)
@@ -1499,6 +1533,12 @@ class VersionedTable:
                         )
                     )
                     or (op == "=" and bloom_excludes(fe, col, lit))
+                    or (
+                        op == "in"
+                        and all(
+                            bloom_excludes(fe, col, v) for v in lit
+                        )
+                    )
                     for col, op, lit in conj
                 )
             ]

@@ -1514,3 +1514,37 @@ def test_clone_carries_constraints_and_refuses_nonempty_dest(
         )
     with pytest.raises(ValueError, match="not empty"):
         src.clone_to(str(tmp_path / "cl"))
+
+
+def test_parse_conjuncts_in_and_between():
+    p = txlog._parse_conjuncts
+    assert p("k BETWEEN 10 AND 20") == [("k", ">=", 10), ("k", "<=", 20)]
+    assert p("d BETWEEN '2024-01-01' AND '2024-02-01' AND k < 5") == [
+        ("d", ">=", "2024-01-01"),
+        ("d", "<=", "2024-02-01"),
+        ("k", "<", 5),
+    ]
+    assert p("k IN (1, 2, 3)") == [("k", "in", [1, 2, 3])]
+    assert p("s IN ('a', 'b')") == [("s", "in", ["a", "b"])]
+    # an expression inside IN poisons only that conjunct
+    assert p("k IN (1, f(2)) AND v > 0") == [("v", ">", 0)]
+    # a quoted 'BETWEEN' is inert
+    assert p("s = 'x BETWEEN 1 AND 2'") == [("s", "=", "x BETWEEN 1 AND 2")]
+
+
+def test_stats_skipping_in_and_between_predicates(spark, table_factory):
+    t = table_factory("t", stats_cols=["k"], bloom_cols=["s"])
+    t.overwrite(_range_df(spark).repartitionByRange(8, "k"))
+    rep = t.prune_report("k BETWEEN 50 AND 99")
+    assert 0 < rep["files_scanned"] <= 2
+    got = sorted(
+        r["k"] for r in t.read(spark, where="k BETWEEN 50 AND 99").collect()
+    )
+    assert got == list(range(50, 100))
+    rep_in = t.prune_report("k IN (5, 399)")
+    assert rep_in["files_scanned"] == 2  # first and last range file
+    got_in = {r["k"] for r in t.read(spark, where="k IN (5, 399)").collect()}
+    assert got_in == {5, 399}
+    # bloom on a string IN list
+    got_s = t.read(spark, where="s IN ('s3', 's7')").count()
+    assert got_s == 80
