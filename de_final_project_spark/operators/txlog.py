@@ -1758,17 +1758,33 @@ class VersionedTable:
                 morton_n,
             )
 
+            def zkey(c: str):
+                """An order-preserving numeric key per supported type:
+                numerics as-is, date/timestamp via epoch seconds,
+                strings via their first-7-bytes big-endian integer
+                (monotone in the prefix — exactly the resolution the
+                2^Z_BITS grid can use anyway)."""
+                t = dict(df.dtypes)[c]
+                if t in ("date", "timestamp", "timestamp_ntz"):
+                    return F.col(c).cast("timestamp").cast("double")
+                if t in ("string", "varchar"):
+                    return F.expr(
+                        f"cast(conv(hex(cast(substring({c}, 1, 7) "
+                        "as binary)), 16, 10) as double)"
+                    )
+                return F.col(c).cast("double")
+
+            keyed = {c: zkey(c) for c in zorder_by}
             bounds = df.agg(
-                *[
-                    f(c).cast("double")
-                    for c in zorder_by
-                    for f in (F.min, F.max)
-                ]
+                *[f(keyed[c]) for c in zorder_by for f in (F.min, F.max)]
             ).first()
             z = morton_n(
                 [
                     grid_scale(
-                        F.col(c), bounds[2 * i], bounds[2 * i + 1]
+                        keyed[c],
+                        # an all-null column contributes a constant 0
+                        bounds[2 * i] or 0.0,
+                        bounds[2 * i + 1] or 1.0,
                     )
                     for i, c in enumerate(zorder_by)
                 ]

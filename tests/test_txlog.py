@@ -1548,3 +1548,37 @@ def test_stats_skipping_in_and_between_predicates(spark, table_factory):
     # bloom on a string IN list
     got_s = t.read(spark, where="s IN ('s3', 's7')").count()
     assert got_s == 80
+
+
+def test_compact_zorder_string_and_date_dimensions(spark, tmp_path):
+    """Non-numeric z-order dimensions get order-preserving numeric keys
+    (string -> 7-byte-prefix integer, date -> epoch), so skipping works
+    on them too instead of silently degenerating to one bucket."""
+    t = VersionedTable(str(tmp_path / "t"), stats_cols=["s", "d"])
+    df = spark.range(20_000).select(
+        F.format_string("u%05d", (F.col("id") * 7919) % 20000).alias("s"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            ((F.col("id") * 104729) % 365).cast("int"),
+        ).alias("d"),
+        F.col("id").alias("k"),
+    )
+    t.overwrite(df.repartition(8))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        t.compact(spark, zorder_by=["s", "d"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    rep_s = t.prune_report("s < 'u02000'")
+    rep_d = t.prune_report("d >= '2024-12-01'")
+    assert rep_s["files_scanned"] <= rep_s["files_total"] // 2
+    assert rep_d["files_scanned"] <= rep_d["files_total"] // 2
+    assert (
+        t.read(spark, where="s < 'u02000'").count()
+        == t.read(spark).where("s < 'u02000'").count()
+    )
+    assert (
+        t.read(spark, where="d >= '2024-12-01'").count()
+        == t.read(spark).where("d >= '2024-12-01'").count()
+    )
