@@ -2365,6 +2365,59 @@ WHERE NOT dele AND NOT (src_only AND NOT ins)
 """
 
 
+def versioned_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable RESTORE: commit the first-half user snapshot,
+    pollute it with a keyed merge of the second half, then
+    ``restore(1)`` — a metadata-only rollback commit — and read the
+    head. The oracle restates the FIRST-half snapshot only: any leaked
+    second-half row or lost first-half row flips the hash. The polluted
+    version stays time-travelable (asserted in tests/test_txlog.py);
+    this query checks the restored head state end-to-end."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    snap = lambda df: (  # noqa: E731
+        keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_restore"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut)))
+    table.merge(spark, snap(ev.where(F.col("event_id") > cut)), ["user_id"])
+    table.restore(1)
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_RESTORE_SNAPSHOT_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+)
+SELECT user_id, event_id, event_type, ts, value,
+       (user_id % 4)::BIGINT AS pbucket
+FROM (
+  SELECT e.*, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events e, c WHERE e.event_id <= c.cut)
+WHERE rk = 1
+"""
+
+
 def versioned_constrained_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable write-time constraints: a VersionedTable with a
     CHECK (event_id >= 0) and NOT NULL (event_id, user_id) contract
