@@ -624,7 +624,15 @@ class VersionedTable:
                 # blooms ride the same per-file log entries as stats
                 files = {
                     p: [
-                        {"f": os.path.join(sub, n) if sub else n, "s": {}}
+                        {
+                            "f": os.path.join(sub, n) if sub else n,
+                            "s": {},
+                            "sz": os.path.getsize(
+                                os.path.join(full, sub, n)
+                                if sub
+                                else os.path.join(full, n)
+                            ),
+                        }
                         for n in sorted(
                             os.listdir(
                                 os.path.join(full, sub) if sub else full
@@ -774,7 +782,11 @@ class VersionedTable:
                         if jmn is not None and jmx is not None:
                             stats[c] = [jmn, jmx]
                 entries.append(
-                    {"f": os.path.join(sub, name) if sub else name, "s": stats}
+                    {
+                        "f": os.path.join(sub, name) if sub else name,
+                        "s": stats,
+                        "sz": os.path.getsize(os.path.join(d, name)),
+                    }
                 )
             out[p] = entries
         return out
@@ -1505,12 +1517,17 @@ class VersionedTable:
             "partitions_scanned": 0,
             "files_total": 0,
             "files_scanned": 0,
+            "bytes_total": 0,
+            "bytes_scanned": 0,
             "dirs_without_stats": 0,
         }
         pruned: dict = {}
         for p, e in live.items():
             files = e.get("files")
             report["files_total"] += len(files) if files is not None else 0
+            report["bytes_total"] += sum(
+                fe.get("sz", 0) for fe in files or ()
+            )
             if self.partition_col and p != _UNPARTITIONED and any(
                 col == self.partition_col and _partition_excludes(p, op, lit)
                 for col, op, lit in conj
@@ -1546,6 +1563,9 @@ class VersionedTable:
                 pruned[p] = {**e, "only_files": [fe["f"] for fe in keep]}
                 report["partitions_scanned"] += 1
                 report["files_scanned"] += len(keep)
+                report["bytes_scanned"] += sum(
+                    fe.get("sz", 0) for fe in keep
+                )
         return pruned, report
 
     def prune_report(

@@ -1585,3 +1585,17 @@ def test_compact_zorder_string_and_date_dimensions(spark, tmp_path):
         t.read(spark, where="d >= '2024-12-01'").count()
         == t.read(spark).where("d >= '2024-12-01'").count()
     )
+
+
+def test_prune_report_accounts_bytes(spark, table_factory):
+    """The report quantifies the IO the skip avoided in bytes — the
+    number an operator actually budgets at 100 TB."""
+    t = table_factory("t", stats_cols=["k"])
+    t.overwrite(_range_df(spark, 2000).repartitionByRange(8, "k"))
+    rep = t.prune_report("k < 250")
+    assert rep["bytes_total"] > 0
+    assert 0 < rep["bytes_scanned"] < rep["bytes_total"]
+    # scanned bytes are exactly the kept files' sizes
+    assert rep["bytes_scanned"] <= rep["bytes_total"] * rep[
+        "files_scanned"
+    ] // max(1, rep["files_total"]) + rep["bytes_total"] // 4
