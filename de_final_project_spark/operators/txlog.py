@@ -967,12 +967,15 @@ class VersionedTable:
                             f"log entry v{v} vacuumed during rebase "
                             f"(base v{base_version}); re-read and retry"
                         ) from None
-                    # merge, delete and update all enumerate EVERY
-                    # partition they modified/dropped in 'touched', so
-                    # disjointness is a real proof for them; overwrite/
-                    # compact list only partitions they KEPT, so it
-                    # proves nothing and we must conflict.
-                    if e.get("op") not in ("merge", "delete", "update"):
+                    # merge, delete, update and compact_parts all
+                    # enumerate EVERY partition they modified/dropped in
+                    # 'touched', so disjointness is a real proof for
+                    # them; overwrite/compact/restore list only
+                    # partitions they KEPT, so it proves nothing and we
+                    # must conflict.
+                    if e.get("op") not in (
+                        "merge", "delete", "update", "compact_parts"
+                    ):
                         raise ConcurrentWriteError(
                             f"snapshot replaced by a concurrent "
                             f"'{e.get('op')}' at v{v} "
@@ -1191,7 +1194,9 @@ class VersionedTable:
                             f"log entry v{v} vacuumed during rebase "
                             f"(base v{base_version}); re-read and retry"
                         ) from None
-                    if e.get("op") not in ("merge", "delete", "update"):
+                    if e.get("op") not in (
+                        "merge", "delete", "update", "compact_parts"
+                    ):
                         raise ConcurrentWriteError(
                             f"snapshot replaced by a concurrent "
                             f"'{e.get('op')}' at v{v}"
@@ -1881,6 +1886,68 @@ class VersionedTable:
                 f"another writer initialized {dest_path} concurrently"
             )
         return dest
+
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        partitions: Sequence[str] | None = None,
+        min_files: int = 2,
+    ) -> int:
+        """Partition-scoped OPTIMIZE: rewrite only fragmented partitions
+        (those whose live pointer references >= ``min_files`` files, or
+        an explicit list) into one fresh commit each batch, leaving
+        every other pointer untouched. This is the form OPTIMIZE takes
+        at scale — a full-snapshot :meth:`compact` is a table rewrite,
+        unrealistic at 100 TB, while small-file debt accumulates
+        per-partition and can be paid per-partition. Because the commit
+        enumerates exactly the partitions it rewrote, it joins the
+        merge/delete/update rebase class: concurrent DISJOINT writers
+        rebase over it instead of conflicting (a whole-snapshot compact
+        must conflict; this one must not — that asymmetry is the
+        point). Returns the current version when nothing is fragmented.
+        Requires a partitioned table; file counts come from the log's
+        stats entries when present, else from listing the pointer's
+        directory (one listdir per candidate)."""
+        if not self.partition_col:
+            raise ValueError(
+                "compact_partitions needs a partitioned table; use "
+                "compact() for the whole-snapshot rewrite"
+            )
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        live = self._read_entry(base)["live"]
+
+        def file_count(e: dict) -> int:
+            if e.get("files") is not None:
+                return len(e["files"])
+            d = os.path.join(self.path, e["commit_dir"], e["part_dir"])
+            try:
+                return sum(
+                    1 for n in os.listdir(d) if n.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                return 0
+
+        if partitions is not None:
+            touched = sorted(str(p) for p in partitions if str(p) in live)
+        else:
+            touched = sorted(
+                p for p, e in live.items() if file_count(e) >= min_files
+            )
+        if not touched:
+            return base
+        current = self._read_live(
+            spark, {p: live[p] for p in touched}
+        )
+        assert current is not None
+        # one output file per partition value: the defragmented layout
+        rel, parts, files = self._stage(
+            current.repartition(self.partition_col)
+        )
+        return self._commit_delete(
+            base, touched, rel, parts, op="compact_parts", files=files
+        )
 
     def restore(self, version: int) -> int:
         """Delta RESTORE: roll the table back to ``version`` as a NEW

@@ -1599,3 +1599,61 @@ def test_prune_report_accounts_bytes(spark, table_factory):
     assert rep["bytes_scanned"] <= rep["bytes_total"] * rep[
         "files_scanned"
     ] // max(1, rep["files_total"]) + rep["bytes_total"] // 4
+
+
+# ------------------------------------------------------ partition compaction
+
+def test_compact_partitions_rewrites_only_fragmented(spark, table_factory):
+    """Partition-scoped OPTIMIZE: fragmented partitions (many files)
+    are rewritten to one file each; partitions already compact keep
+    their pointers byte-identical — the 100 TB form of OPTIMIZE, paid
+    per-partition instead of per-table."""
+    t = table_factory("t", partition_col="pb", stats_cols=["id"])
+    # partition 0 fragmented (8 files), partition 1 compact (1 file)
+    frag = spark.range(0, 800).selectExpr(
+        "id", "'x' AS s", "CAST(0 AS INT) AS pb"
+    ).repartition(8)
+    tight = spark.range(800, 900).selectExpr(
+        "id", "'y' AS s", "CAST(1 AS INT) AS pb"
+    ).coalesce(1)
+    t.overwrite(frag.unionByName(tight))
+    live1 = t._read_entry(1)["live"]
+    assert len(live1["0"]["files"]) >= 4
+    before = {r["id"] for r in t.read(spark).collect()}
+    v = t.compact_partitions(spark, min_files=2)
+    assert v == 2
+    live2 = t._read_entry(2)["live"]
+    assert len(live2["0"]["files"]) == 1      # defragmented
+    assert live2["1"] == live1["1"]           # untouched pointer
+    assert {r["id"] for r in t.read(spark).collect()} == before
+    assert t.history()[-1]["op"] == "compact_parts"
+    # nothing left to do: no-op returns the current version
+    assert t.compact_partitions(spark, min_files=2) == 2
+
+
+def test_compact_partitions_rebases_under_disjoint_merge(
+    spark, table_factory
+):
+    """Because compact_parts enumerates its touched partitions, a
+    concurrent merge on a DISJOINT partition rebases over it — the
+    asymmetry vs whole-snapshot compact (which must conflict) is the
+    reason the op exists."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(
+        _mk(spark, [(1, "a", 0), (2, "b", 1)]).repartition(4)
+    )
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        out = orig_stage(df)
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            other = table_factory(t.path, partition_col="pb")
+            other.compact_partitions(spark, partitions=["0"])
+        return out
+
+    t._stage = stage_and_race
+    v = t.merge(spark, _mk(spark, [(2, "B", 1)]), ["id"])
+    assert v == 3  # rebased over the interloping partition compaction
+    assert _rows(t.read(spark)) == {1: "a", 2: "B"}
