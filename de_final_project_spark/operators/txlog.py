@@ -1982,6 +1982,39 @@ class VersionedTable:
             if self._try_commit(new_entry):
                 return new_entry["version"]
 
+    def register_sql(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        where: str | None = None,
+    ) -> str:
+        """Expose a snapshot (optionally time-traveled and/or
+        stats-pruned) as a temp view, so the table is queryable through
+        plain ``spark.sql`` — the SQL front-end of the same Catalyst
+        plan the DataFrame read produces. Returns the view name."""
+        self.read(spark, version=version, where=where).createOrReplaceTempView(
+            name
+        )
+        return name
+
+    def register_changes_sql(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: Sequence[str],
+        from_version: int,
+        to_version: int | None = None,
+        **kw,
+    ) -> str:
+        """Expose a change feed window as a temp view (the SQL analog
+        of Delta's ``table_changes``): ``SELECT * FROM <name>`` yields
+        the keyed diff rows with ``_change_type``."""
+        self.read_changes(
+            spark, keys, from_version, to_version, **kw
+        ).createOrReplaceTempView(name)
+        return name
+
     # --------------------------------------------------------- vacuum
     def vacuum(
         self, retain_versions: int = 1, retention_seconds: float = 86_400.0
