@@ -580,6 +580,57 @@ class VersionedTable:
         # evaluates EVERY guard per row and the filter is always true.
         return df.where(F.coalesce(*guards, F.lit(True)))
 
+    def split_violations(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Quarantine-mode expectations (the DLT 'expect or drop/
+        quarantine' shape, vs the hard-fail CHECK path): split a batch
+        into (clean, dirty) against the table's effective constraints,
+        where ``dirty`` carries a ``_violations`` column naming every
+        failed expectation — so the caller commits the clean rows and
+        routes the dirty ones to a side table for triage instead of
+        failing the whole load. Pure column expressions, one pass, no
+        assert; the same null-safe semantics as enforcement (a CHECK
+        evaluating NULL passes; NOT NULL is its own rule). Generated
+        columns are materialized first so expectations can reference
+        them."""
+        df = self._materialize_generated(df)
+        chk, nn, _ = self._effective_constraints()
+        flags = [
+            (
+                f"not_null:{c}",
+                F.col(c).isNotNull(),
+            )
+            for c in nn
+        ] + [
+            (
+                f"check:{name}",
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+            )
+            for name, expr in sorted(chk.items())
+        ]
+        if not flags:
+            return df, df.limit(0).withColumn(
+                "_violations", F.lit("").cast("string")
+            )
+        ok = flags[0][1]
+        for _, f in flags[1:]:
+            ok = ok & f
+        viol = F.concat_ws(
+            ",",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(~f, F.lit(label))
+                        for label, f in flags
+                    ]
+                )
+            ),
+        )
+        clean = df.where(ok)
+        dirty = df.where(~ok).withColumn("_violations", viol)
+        return clean, dirty
+
     # --------------------------------------------------------- staging
     def _stage(
         self, df: DataFrame
@@ -2348,6 +2399,46 @@ def versioned_snapshot_row_update(spark: SparkSession, sf_dir: str) -> DataFrame
     return table.read(spark).withColumn(
         "pbucket", F.col("pbucket").cast("long")
     )
+
+
+def versioned_quarantined_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable quarantine-mode expectations: poison a
+    deterministic slice of events (negate value where event_id % 5 = 0),
+    split against the table's constraints, commit the clean rows, and
+    return the loaded table UNIONed with the quarantine side (tagged by
+    the violations column) — both halves feed the hash, so a row
+    silently dropped or mis-routed flips the verdict. The oracle
+    restates the split as a CASE over the same poisoned frame."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, -F.abs(F.col("value")) - 1.0)
+        .otherwise(F.col("value")),
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_quarantine"), "events"),
+        constraints={"value_nonneg": "value >= 0"},
+    )
+    clean, dirty = table.split_violations(poisoned)
+    table.overwrite(clean)
+    return table.read(spark).withColumn(
+        "_violations", F.lit("").cast("string")
+    ).unionByName(dirty)
+
+
+VERSIONED_QUARANTINED_LOAD_SQL = """
+SELECT event_id, user_id, event_type, ts,
+       CASE WHEN event_id % 5 = 0 THEN -abs(value) - 1.0
+            ELSE value END AS value,
+       CASE WHEN event_id % 5 = 0 THEN 'check:value_nonneg'
+            ELSE '' END AS _violations
+FROM events
+"""
 
 
 def versioned_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1704,3 +1704,33 @@ def test_many_threads_merge_without_lost_updates(spark, tmp_path):
     assert all(
         h["op"] in ("overwrite", "merge") for h in t.history()
     )
+
+
+def test_split_violations_quarantine_mode(spark, table_factory):
+    """The soft path of the constraint system: clean rows commit, dirty
+    rows are diverted WITH every failed expectation named — no batch
+    failure, no silent drop."""
+    t = table_factory(
+        "t",
+        constraints={"v_nonneg": "v >= 0", "id_small": "id < 100"},
+        not_null=["id"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 5.0),       # clean
+            (2, None),      # clean: NULL check passes
+            (None, 1.0),    # not_null:id
+            (3, -2.0),      # check:v_nonneg
+            (200, -1.0),    # both checks
+        ],
+        "id long, v double",
+    )
+    clean, dirty = t.split_violations(df)
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    got = {r["id"]: r["_violations"] for r in dirty.collect()}
+    assert got[None] == "not_null:id"
+    assert got[3] == "check:v_nonneg"
+    assert set(got[200].split(",")) == {"check:id_small", "check:v_nonneg"}
+    # the clean half commits through the hard gate without incident
+    t.overwrite(clean)
+    assert t.read(spark).count() == 2
