@@ -872,6 +872,7 @@ class VersionedTable:
                 p: {
                     "commit_dir": rel,
                     "part_dir": sub,
+                    "v": base + 1,
                     **({"files": files[p]} if files else {}),
                 }
                 for p, sub in parts.items()
@@ -883,6 +884,9 @@ class VersionedTable:
                 "live": live,
                 "touched": sorted(parts),
                 "txn": applied,
+                # a full-snapshot rewrite reads THROUGH the tombstones
+                # (read() applies them), so the new files are
+                # materialized and the dv list resets
                 **self._meta_fields(),
             }
             if self._try_commit(entry):
@@ -973,8 +977,10 @@ class VersionedTable:
                 f"delta is missing table columns {sorted(dropped)}; "
                 "an upsert source must carry the full row"
             )
-        current = self._read_live(
-            spark, {p: e for p, e in entry["live"].items() if p in set(touched)}
+        current = self._read_snapshot(
+            spark,
+            {p: e for p, e in entry["live"].items() if p in set(touched)},
+            entry,
         )
         if current is not None:
             delta_keys = F.broadcast(delta.select(*keys).distinct())
@@ -1048,6 +1054,7 @@ class VersionedTable:
                 live[p] = {
                     "commit_dir": rel,
                     "part_dir": parts[p],
+                    "v": head + 1,
                     **({"files": files[p]} if files else {}),
                 }
             applied = dict(head_entry.get("txn", {}))
@@ -1062,6 +1069,16 @@ class VersionedTable:
                 "live": live,
                 "touched": touched,
                 "txn": applied,
+                # tombstones carry forward: they still apply to the
+                # untouched pointers (older v); the rewritten pointers
+                # carry v = head+1 > every tombstone's v, and their
+                # rows were read THROUGH the tombstones, so nothing
+                # deleted can resurface
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
                 **self._meta_fields(),
             }
             if self._try_commit(new_entry):
@@ -1143,9 +1160,10 @@ class VersionedTable:
             )
         else:
             touched = [_UNPARTITIONED]
-        current = self._read_live(
+        current = self._read_snapshot(
             spark,
             {p: e for p, e in entry["live"].items() if p in set(touched)},
+            entry,
         )
         if current is None:
             if not insert_unmatched:
@@ -1266,6 +1284,7 @@ class VersionedTable:
                     live[p] = {
                         "commit_dir": rel,
                         "part_dir": parts[p],
+                        "v": head + 1,
                         **({"files": files[p]} if files else {}),
                     }
                 else:
@@ -1282,6 +1301,11 @@ class VersionedTable:
                 "live": live,
                 "touched": touched,
                 "txn": applied,
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
                 **self._meta_fields(),
             }
             if self._try_commit(new_entry):
@@ -1331,13 +1355,14 @@ class VersionedTable:
         # rows in untouched partitions survive — partition-dependent
         # data loss diverging from SQL/Delta DELETE (ADVICE r7).
         cond = F.coalesce(cond.cast("boolean"), F.lit(False))
-        live = self._read_entry(base)["live"]
+        entry = self._read_entry(base)
+        live = entry["live"]
         if candidate_partitions is not None:
             cand = {str(v) for v in candidate_partitions}
             live = {p: e for p, e in live.items() if p in cand}
             if not live:
                 return base
-        snapshot = self._read_live(spark, live)
+        snapshot = self._read_snapshot(spark, live, entry)
         assert snapshot is not None
         if self.partition_col:
             touched = sorted(
@@ -1355,8 +1380,8 @@ class VersionedTable:
             )
         if not touched:
             return base
-        current = self._read_live(
-            spark, {p: live[p] for p in touched if p in live}
+        current = self._read_snapshot(
+            spark, {p: live[p] for p in touched if p in live}, entry
         )
         assert current is not None
         remaining = current.where(~cond)
@@ -1405,13 +1430,14 @@ class VersionedTable:
             )
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         cond = F.coalesce(cond.cast("boolean"), F.lit(False))
-        live = self._read_entry(base)["live"]
+        entry = self._read_entry(base)
+        live = entry["live"]
         if candidate_partitions is not None:
             cand = {str(v) for v in candidate_partitions}
             live = {p: e for p, e in live.items() if p in cand}
             if not live:
                 return base
-        snapshot = self._read_live(spark, live)
+        snapshot = self._read_snapshot(spark, live, entry)
         assert snapshot is not None
         if self.partition_col:
             touched = sorted(
@@ -1429,8 +1455,8 @@ class VersionedTable:
             )
         if not touched:
             return base
-        current = self._read_live(
-            spark, {p: live[p] for p in touched if p in live}
+        current = self._read_snapshot(
+            spark, {p: live[p] for p in touched if p in live}, entry
         )
         assert current is not None
         types = dict(current.dtypes)
@@ -1459,7 +1485,95 @@ class VersionedTable:
             base, touched, rel, parts, op="update", files=files
         )
 
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        """Merge-on-read DELETE (Iceberg equality-delete / Delta
+        deletion-vector territory): commit a small TOMBSTONE file of
+        key values instead of rewriting any data partition — write cost
+        is O(deleted keys), zero data IO, regardless of how many
+        petabyte-partitions the victims live in. Readers anti-join the
+        tombstones; a tombstone applies only to pointers whose version
+        stamp is <= its own, so a LATER merge re-inserting a key is not
+        retro-deleted (its rewritten pointers carry a higher stamp and
+        were themselves read THROUGH the tombstones — nothing deleted
+        can resurface). ``compact()`` / any overwrite materializes the
+        deletes and clears the list; read cost until then is one
+        broadcast-sized anti-join per tombstone column-set.
+
+        Concurrency: the commit touches no partitions, so it never
+        conflicts; a concurrent merge racing PAST it conflicts instead
+        (its survivors were computed blind to the tombstone — the
+        serializable answer is retry). vs :meth:`delete_where`: that is
+        copy-on-write (read-optimal, O(touched partitions) write);
+        this is merge-on-read (write-optimal, small per-read tax) —
+        the standard lakehouse trade, now available on both sides."""
+        keys_df = keys_df.distinct()
+        cols = list(keys_df.columns)
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", commit_id)
+        keys_df.coalesce(1).write.parquet(os.path.join(self.path, rel))
+        while True:
+            head = self.latest_version()
+            if head is None:
+                raise FileNotFoundError(f"no commits at {self.path}")
+            head_entry = self._read_entry(head)
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "delete_keys",
+                "live": dict(head_entry["live"]),
+                "touched": [],
+                "txn": dict(head_entry.get("txn", {})),
+                "dv": head_entry.get("dv", [])
+                + [{"commit_dir": rel, "cols": cols, "v": head + 1}],
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
     # ---------------------------------------------------------- reads
+    def _read_snapshot(
+        self, spark: SparkSession, live: dict, entry: dict
+    ) -> DataFrame | None:
+        """A live-map subset read with the entry's merge-on-read
+        tombstones applied: pointers are grouped by WHICH tombstones
+        apply (tombstone.v >= pointer.v — a rewritten pointer is exempt
+        from older tombstones because its rows were read through them),
+        each group anti-joins the union of its applicable key sets, and
+        the groups re-union. No tombstones = exactly :meth:`_read_live`."""
+        dvs = entry.get("dv", [])
+        if not dvs:
+            return self._read_live(spark, live)
+        groups: dict[tuple, dict] = {}
+        for p, e in live.items():
+            applicable = tuple(
+                i for i, t in enumerate(dvs) if t["v"] >= e.get("v", 0)
+            )
+            groups.setdefault(applicable, {})[p] = e
+        out = None
+        for applicable, sub in groups.items():
+            df = self._read_live(spark, sub)
+            if df is None:
+                continue
+            by_cols: dict[tuple, list[dict]] = {}
+            for i in applicable:
+                by_cols.setdefault(tuple(dvs[i]["cols"]), []).append(
+                    dvs[i]
+                )
+            for cset, ts in by_cols.items():
+                keys = None
+                for t in ts:
+                    k = spark.read.parquet(
+                        os.path.join(self.path, t["commit_dir"])
+                    )
+                    keys = k if keys is None else keys.unionByName(k)
+                df = df.join(keys.distinct(), list(cset), "left_anti")
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out
+
     def _read_live(self, spark: SparkSession, live: dict) -> DataFrame | None:
         """One scan per distinct commit dir (basePath restores the
         partition column), unioned — O(live commits) scans. A pointer
@@ -1663,7 +1777,8 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"version {v} not found (vacuumed or never written)"
             )
-        live = self._read_entry(v)["live"]
+        entry = self._read_entry(v)
+        live = entry["live"]
         if where is not None:
             kept, _ = self._prune_live(live, where, spark=spark)
             if not kept and live:
@@ -1673,7 +1788,7 @@ class VersionedTable:
                 assert full is not None
                 return full.limit(0).where(F.expr(where))
             live = kept
-        df = self._read_live(spark, live)
+        df = self._read_snapshot(spark, live, entry)
         if df is None:
             raise ValueError(
                 f"version {v} has no live data (every partition deleted); "
@@ -1713,25 +1828,74 @@ class VersionedTable:
         to_version = (
             to_version if to_version is not None else self.latest_version()
         )
-        e_from = self._read_entry(from_version)["live"]
-        e_to = self._read_entry(to_version)["live"]
+        from_entry = self._read_entry(from_version)
+        to_entry = self._read_entry(to_version)
+        e_from, e_to = from_entry["live"], to_entry["live"]
         changed = {p: ptr for p, ptr in e_to.items() if e_from.get(p) != ptr}
         dropped = {p: ptr for p, ptr in e_from.items() if p not in e_to}
-        new = self._read_live(spark, changed)
-        old = self._read_live(
+        # both sides read THROUGH their version's tombstones, so a row
+        # merge-on-read-deleted before from_version can never reappear
+        # in the diff
+        new = self._read_snapshot(spark, changed, to_entry)
+        old = self._read_snapshot(
             spark,
             {
                 **{p: e_from[p] for p in changed if p in e_from},
                 **dropped,
             },
+            from_entry,
         )
-        if new is None and old is None:
+        # tombstones ADDED in the window delete rows out of partitions
+        # whose pointers never moved; surface them as 'delete' changes.
+        # Cost is O(unchanged snapshot ⋉ new tombstones) — inherent to
+        # equality deletes being global (Delta's DV CDF pays the same).
+        new_dv = [
+            t
+            for t in to_entry.get("dv", [])
+            if t not in from_entry.get("dv", [])
+        ]
+        dv_gone = None
+        if include_deletes and new_dv:
+            unchanged = {
+                p: e for p, e in e_from.items() if e_to.get(p) == e
+            }
+            remaining = self._read_snapshot(spark, unchanged, from_entry)
+            if remaining is not None:
+                by_cols: dict[tuple, list[dict]] = {}
+                for t in new_dv:
+                    by_cols.setdefault(tuple(t["cols"]), []).append(t)
+                hits = []
+                for cset, ts in by_cols.items():
+                    kdf = None
+                    for t in ts:
+                        k = spark.read.parquet(
+                            os.path.join(self.path, t["commit_dir"])
+                        )
+                        kdf = k if kdf is None else kdf.unionByName(k)
+                    kdf = kdf.distinct()
+                    hits.append(
+                        remaining.join(kdf, list(cset), "left_semi")
+                    )
+                    remaining = remaining.join(
+                        kdf, list(cset), "left_anti"
+                    )
+                dv_gone = hits[0]
+                for h in hits[1:]:
+                    dv_gone = dv_gone.unionByName(h)
+        if new is None and old is None and dv_gone is None:
             raise ValueError(
                 f"versions {from_version} and {to_version} share every "
                 "live partition — empty change feed"
             )
+        if new is None and old is None:
+            return dv_gone.withColumn("_change_type", F.lit("delete"))
         if old is None:
-            return new.withColumn("_change_type", F.lit("insert"))
+            inserts = new.withColumn("_change_type", F.lit("insert"))
+            if dv_gone is not None:
+                inserts = inserts.unionByName(
+                    dv_gone.withColumn("_change_type", F.lit("delete"))
+                )
+            return inserts
         cols = (new if new is not None else old).columns
         if new is not None:
             # Across an additive schema evolution the old version's
@@ -1786,6 +1950,11 @@ class VersionedTable:
                 else old
             ).select(*cols, F.lit("delete").alias("_change_type"))
             out = gone if out is None else out.unionByName(gone)
+        if dv_gone is not None:
+            tombed = dv_gone.select(
+                *cols, F.lit("delete").alias("_change_type")
+            )
+            out = tombed if out is None else out.unionByName(tombed)
         assert out is not None
         return out
 
@@ -1913,6 +2082,16 @@ class VersionedTable:
         )
         if dest.latest_version() is not None:
             raise ValueError(f"clone destination {dest_path} is not empty")
+        if entry.get("dv"):
+            # tombstone version stamps order against the SOURCE's
+            # commit numbering; a clone restarts at v1, and remapping
+            # both spaces soundly (re-inserted keys must stay
+            # re-inserted) is not worth the edge — compact the source
+            # first, which materializes the deletes and clears the list
+            raise ValueError(
+                "source has live merge-on-read tombstones; compact it "
+                "first (materializes deletes), then clone"
+            )
         live = {
             p: {**e, "commit_dir": os.path.join(src_root, e["commit_dir"])}
             for p, e in entry["live"].items()
@@ -1988,8 +2167,8 @@ class VersionedTable:
             )
         if not touched:
             return base
-        current = self._read_live(
-            spark, {p: live[p] for p in touched}
+        current = self._read_snapshot(
+            spark, {p: live[p] for p in touched}, self._read_entry(base)
         )
         assert current is not None
         # one output file per partition value: the defragmented layout
@@ -2028,6 +2207,7 @@ class VersionedTable:
                 "live": dict(entry["live"]),
                 "touched": sorted(entry["live"]),
                 "txn": applied,
+                **({"dv": entry["dv"]} if entry.get("dv") else {}),
                 **self._meta_fields(),
             }
             if self._try_commit(new_entry):
@@ -2088,8 +2268,11 @@ class VersionedTable:
         keep = range(max(1, head - retain_versions + 1), head + 1)
         referenced = set()
         for v in keep:
-            for e in self._read_entry(v)["live"].values():
+            ent = self._read_entry(v)
+            for e in ent["live"].values():
                 referenced.add(e["commit_dir"])
+            for t in ent.get("dv", []):
+                referenced.add(t["commit_dir"])
         removed = []
         cutoff = time.time() - retention_seconds
         data_root = os.path.join(self.path, "data")
