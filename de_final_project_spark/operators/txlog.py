@@ -92,8 +92,9 @@ def _json_stat(v):
     """A footer min/max as a JSON-storable value whose Python comparison
     order matches the column's SQL order, or None when no such encoding
     exists (bytes, decimals — those columns simply aren't indexed).
-    Timestamps use a space separator so the stored string compares
-    lexicographically against SQL literals like '2024-01-05 00:00:00'."""
+    Timestamps use a space separator matching SQL literal shape;
+    ``_range_excludes`` re-parses both sides to instants before
+    comparing (text order breaks on optional fractional seconds)."""
     if isinstance(v, bool):
         return None  # True/False ranges prune ~nothing; skip the edge cases
     if isinstance(v, (int, float, str)):
@@ -128,6 +129,31 @@ _IN_ITEM_RE = re.compile(
 )
 
 
+def _split_top_level_and(masked: str) -> list[str] | None:
+    """Split ``masked`` at AND tokens that sit at parenthesis depth 0,
+    or return None when a depth-0 OR exists — then the string is not a
+    pure conjunction and NO textual piece is a necessary condition (SQL
+    binds AND tighter than OR, so in ``a>1 OR b<2 AND c=3`` the piece
+    ``c=3`` lives under the OR and must not prune). ANDs inside parens
+    never split (``NOT (a=1 AND b=2)`` stays one unparseable piece
+    instead of leaking ``b=2`` as a fake conjunct)."""
+    pieces: list[str] = []
+    depth, start = 0, 0
+    for m in re.finditer(r"[()]|(?i:\b(?:AND|OR)\b)", masked):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if tok.upper() == "OR":
+                return None
+            pieces.append(masked[start : m.start()])
+            start = m.end()
+    pieces.append(masked[start:])
+    return pieces
+
+
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Extract the prunable conjuncts of a SQL predicate: top-level
     AND-ed comparisons of the form ``col <op> literal``. Anything else —
@@ -136,7 +162,10 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     predicate is always re-applied to the surviving scan, so pruning can
     only ever skip files, never change results). String literals are
     masked before the AND split so quoted text containing ``AND`` or
-    comparison-shaped fragments cannot forge a conjunct."""
+    comparison-shaped fragments cannot forge a conjunct. The AND split
+    is parenthesis-depth-aware and aborts entirely on a top-level OR —
+    a piece that parses clean is then genuinely a top-level conjunct,
+    never a fragment of an OR branch or a NOT-ed group."""
     lits: list[str] = []
 
     def _stash(m: re.Match) -> str:
@@ -160,8 +189,11 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         assert num is not None
         return float(num) if "." in num else int(num)
 
+    pieces = _split_top_level_and(masked)
+    if pieces is None:  # top-level OR: nothing here is a conjunct
+        return []
     out: list[tuple[str, str, object]] = []
-    for piece in re.split(r"(?i)\bAND\b", masked):
+    for piece in pieces:
         m = _PRED_RE.match(piece)
         if m:
             col, op, sref, num = m.groups()
@@ -188,7 +220,30 @@ def _comparable(a, b) -> bool:
     b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
     if a_num and b_num:
         return True
+    if isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime):
+        return True
     return isinstance(a, str) and isinstance(b, str)
+
+
+_TS_LIT_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?$"
+)
+
+
+def _instant_or_self(v):
+    """A string shaped like a SQL date/timestamp literal, parsed to a
+    datetime so comparisons are by INSTANT, not text: a stored stat
+    '2024-01-05 00:00:00' and a predicate literal
+    '2024-01-05 00:00:00.000000' are the same moment but compare
+    unequal (and wrongly ordered for <=) as strings. Non-timestamp
+    strings pass through; a mixed pair then fails ``_comparable`` and
+    simply doesn't prune."""
+    if isinstance(v, str) and _TS_LIT_RE.match(v):
+        try:
+            return datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return v
+    return v
 
 
 def _range_excludes(mn, mx, op: str, lit) -> bool:
@@ -198,6 +253,7 @@ def _range_excludes(mn, mx, op: str, lit) -> bool:
     takes a value list and excludes only when EVERY member does."""
     if op == "in":
         return all(_range_excludes(mn, mx, "=", v) for v in lit)
+    mn, mx, lit = _instant_or_self(mn), _instant_or_self(mx), _instant_or_self(lit)
     if not (_comparable(mn, lit) and _comparable(mx, lit)):
         return False
     if op == "<":
@@ -1141,6 +1197,12 @@ class VersionedTable:
             if insert_condition
             else F.lit(True)
         )
+        if not insert_unmatched:
+            # Update-only MERGE: unmatched source rows drop on EVERY
+            # path — folding the flag into ins_cond covers the
+            # full-outer-join branch, not just the empty-table /
+            # empty-partition short circuits.
+            ins_cond = F.lit(False)
         if self.latest_version() is None:
             if not insert_unmatched:
                 raise FileNotFoundError(
@@ -1506,6 +1568,11 @@ class VersionedTable:
         copy-on-write (read-optimal, O(touched partitions) write);
         this is merge-on-read (write-optimal, small per-read tax) —
         the standard lakehouse trade, now available on both sides."""
+        if self.latest_version() is None:
+            # Probe BEFORE staging the tombstone parquet: failing after
+            # the write leaves orphan files under data/ that no log
+            # entry references (dead weight until vacuum).
+            raise FileNotFoundError(f"no commits at {self.path}")
         keys_df = keys_df.distinct()
         cols = list(keys_df.columns)
         commit_id = uuid.uuid4().hex[:12]
@@ -1665,7 +1732,12 @@ class VersionedTable:
             if be is None or spark is None:
                 return False
             bits = len(be["h"]) * 4  # the width this file was written with
-            key = (col, lit, bits)
+            # be["t"] is part of the key: xxhash64 hashes e.g. int vs
+            # bigint differently, and schema evolution lets files of the
+            # same column carry different dtypes — reusing positions
+            # across dtypes probes the wrong bits and drops files that
+            # DO contain the value.
+            key = (col, lit, be["t"], bits)
             if key not in bloom_pos:
                 try:
                     bloom_pos[key] = self._bloom_positions(

@@ -1734,3 +1734,115 @@ def test_split_violations_quarantine_mode(spark, table_factory):
     # the clean half commits through the hard gate without incident
     t.overwrite(clean)
     assert t.read(spark).count() == 2
+
+
+# ------------------------------------------------- round-9 ADVICE regressions
+
+def test_parse_conjuncts_or_precedence_and_paren_groups():
+    """SQL binds AND tighter than OR: ``a>1 OR b<2 AND c=3`` parses as
+    a>1 OR (b<2 AND c=3), so ``c=3`` is NOT a necessary condition and
+    must not prune; same for pieces leaked out of a NOT(...) group. A
+    parenthesized OR branch NEXT TO a real conjunct keeps the real one
+    (the depth-aware split leaves the group as one unparseable piece)."""
+    p = txlog._parse_conjuncts
+    assert p("a > 1 OR b < 2 AND c = 3") == []
+    assert p("b < 2 AND c = 3 OR a > 1") == []
+    assert p("NOT (a = 1 AND b = 2 AND c = 3)") == []
+    assert p("a = 1 AND (b = 2 OR c = 3)") == [("a", "=", 1)]
+    assert p("k BETWEEN 2 AND 5 AND (x = 1 OR y = 2)") == [
+        ("k", ">=", 2),
+        ("k", "<=", 5),
+    ]
+
+
+def test_stats_skipping_or_precedence_no_row_loss(spark, table_factory):
+    """End-to-end ADVICE regression: a mixed-precedence predicate reads
+    the same rows through the pruned path as through a full scan —
+    before the fix, ``k = 5`` was extracted as a conjunct and the files
+    holding the OR's left-branch rows (k > 390) were skipped."""
+    t = table_factory("t", stats_cols=["k"])
+    t.overwrite(_range_df(spark).repartitionByRange(8, "k"))
+    where = "k > 390 OR s = 's5' AND k = 5"
+    got = sorted(r["k"] for r in t.read(spark, where=where).collect())
+    want = sorted(r["k"] for r in t.read(spark).where(where).collect())
+    assert got == want
+    assert got == [5] + list(range(391, 400))
+
+
+def test_merge_into_update_only_ignores_unmatched_in_live_partition(
+    spark, table_factory
+):
+    """``insert_unmatched=False`` must drop unmatched source rows on the
+    full-outer-join path (touched partition HAS live rows), not only on
+    the empty-table / empty-partition short circuits."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 0)]))
+    t.merge_into(
+        spark,
+        _mk(spark, [(2, "B", 0), (99, "nope", 0)]),
+        on=["id"],
+        matched_update={"s": "s.s"},
+        insert_unmatched=False,
+    )
+    assert _rows(t.read(spark)) == {1: "a", 2: "B"}
+
+
+def test_range_excludes_timestamp_fraction_boundary():
+    """'2024-01-05 00:00:00' and '2024-01-05 00:00:00.000000' are the
+    same instant: no boundary comparison may exclude the file holding
+    the boundary row, in either fractional direction."""
+    ex = txlog._range_excludes
+    lo = "2024-01-05 00:00:00"
+    hi = "2024-01-05 00:00:00.000000"
+    assert not ex(lo, lo, ">=", hi)
+    assert not ex(hi, hi, "<=", lo)
+    assert not ex(lo, lo, "=", hi)
+    # genuine exclusions still hold across the two formats
+    assert ex(lo, lo, ">", hi)
+    assert ex(
+        "2024-01-04 23:59:59.999999",
+        "2024-01-04 23:59:59.999999",
+        ">=",
+        lo,
+    )
+
+
+def test_stats_skipping_timestamp_fraction_literals(spark, table_factory):
+    """A predicate literal with explicit .000000 microseconds must not
+    skip the file whose stored max is the same instant without them."""
+    t = table_factory("t", stats_cols=["ts"])
+    df = spark.range(0, 8).selectExpr(
+        "id AS k",
+        "timestampadd(DAY, CAST(id AS INT),"
+        " TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    )
+    t.overwrite(df.repartitionByRange(8, "k"))
+    for where in [
+        "ts >= '2024-01-03 00:00:00.000000'",
+        "ts <= '2024-01-03 00:00:00.000000'",
+        "ts = '2024-01-03 00:00:00.000000'",
+    ]:
+        got = sorted(r["k"] for r in t.read(spark, where=where).collect())
+        want = sorted(r["k"] for r in t.read(spark).where(where).collect())
+        assert got == want and got, where
+
+
+def test_bloom_positions_differ_by_dtype(spark, table_factory):
+    """Premise of the dtype-keyed Bloom position cache: xxhash64 hashes
+    the same numeric value differently per type, so positions computed
+    against one file's dtype are wrong probes for a file written with
+    another (schema-evolved) dtype."""
+    t = table_factory("t")
+    a = t._bloom_positions(spark, 5, "int", txlog.BLOOM_BITS)
+    b = t._bloom_positions(spark, 5, "bigint", txlog.BLOOM_BITS)
+    assert a != b
+
+
+def test_delete_keys_empty_table_stages_nothing(spark, table_factory):
+    """delete_keys on a never-committed table raises BEFORE writing the
+    tombstone parquet — no orphan files under data/ for vacuum to carry."""
+    t = table_factory("t")
+    with pytest.raises(FileNotFoundError):
+        t.delete_keys(spark, spark.createDataFrame([(1,)], "id long"))
+    data_dir = os.path.join(t.path, "data")
+    assert not os.path.exists(data_dir) or not os.listdir(data_dir)
