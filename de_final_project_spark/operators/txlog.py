@@ -71,6 +71,34 @@ from pyspark.sql import functions as F
 
 _UNPARTITIONED = "__all__"
 
+# Live-map pointer values are a single pointer dict in the common case,
+# or a LIST of pointer dicts after merge-on-read appends (update_where
+# mode="mor", append()) — every reader goes through _ptrs.
+def _ptrs(e) -> list[dict]:
+    return list(e) if isinstance(e, list) else [e]
+
+
+# Stable file identity for positional deletion vectors: the path suffix
+# from the table's data root down. Both the DV writer and every reader
+# compute it with the SAME extraction over _metadata.file_path, so the
+# match is consistent regardless of where the table root lives (clone,
+# relocation); commit dirs are uuid4-hex, so suffixes never collide
+# across tables.
+_FILE_ID_RE = r"(data/[0-9a-f]{12}/.*)$"
+
+
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Attach (__file, __pos): the scan's file identity and the row's
+    index within that file (parquet _metadata.row_index — stable,
+    reader-independent). Must be applied per-scan, before any union."""
+    return df.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _FILE_ID_RE, 1
+        ).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
 # Refresh the _last_checkpoint pointer every Nth commit. Head discovery
 # costs O(1) reads + at most ~N existence probes past the pointer.
 CHECKPOINT_INTERVAL = 10
@@ -1087,7 +1115,8 @@ class VersionedTable:
                     # partitions they KEPT, so it proves nothing and we
                     # must conflict.
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts"
+                        "merge", "delete", "update", "compact_parts",
+                        "append", "delete_rows", "update_rows"
                     ):
                         raise ConcurrentWriteError(
                             f"snapshot replaced by a concurrent "
@@ -1130,6 +1159,101 @@ class VersionedTable:
                 # carry v = head+1 > every tombstone's v, and their
                 # rows were read THROUGH the tombstones, so nothing
                 # deleted can resurface
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        """INSERT INTO: stage the new rows and ADD their files to the
+        touched partitions' pointer lists — O(new data) write, zero
+        rewrite of existing files. This is the blind-insert fast path
+        COW merge cannot offer (merge rewrites every touched
+        partition); at 100 TB a trickle of inserts must not rewrite
+        terabytes. Readers union each partition's pointer list;
+        compact/compact_partitions folds lists back to one pointer.
+        Schema must match the table exactly (additive widening stays
+        merge's job, with merge_schema=True). Concurrency: an append
+        never reads existing rows, so it rebases over ANY commit that
+        enumerates its touched partitions — including same-partition
+        ones (serializable as insert-after); snapshot-replacing commits
+        (overwrite/compact/restore) conflict. Existing key tombstones
+        do not apply to the new pointers (v = head+1 exceeds every
+        tombstone's stamp): inserting a previously deleted key is an
+        insert, not a resurrection. ``txn`` is the merge idempotence
+        contract unchanged."""
+        df = self._materialize_generated(df)
+        if txn is not None:
+            head0 = self.latest_version()
+            if head0 is not None:
+                applied = self._read_entry(head0).get("txn", {})
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head0
+        base = self.latest_version()
+        if base is None:
+            return self.overwrite(df, txn=txn, op="append")
+        full = self._read_live(
+            df.sparkSession, self._read_entry(base)["live"]
+        )
+        if full is not None and set(full.columns) != set(df.columns):
+            raise ValueError(
+                "append requires the exact table schema; table "
+                f"{sorted(full.columns)} vs append {sorted(df.columns)}"
+            )
+        rel, parts, files = self._stage(df)
+        if not self.partition_col:
+            parts = {_UNPARTITIONED: ""}
+        touched = sorted(parts)
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            if head != base:
+                for v in range(base + 1, head + 1):
+                    try:
+                        e = self._read_entry(v)
+                    except FileNotFoundError:
+                        raise ConcurrentWriteError(
+                            f"log entry v{v} vacuumed during rebase "
+                            f"(base v{base}); re-read and retry"
+                        ) from None
+                    if e.get("op") not in (
+                        "merge", "delete", "update", "compact_parts",
+                        "append", "delete_rows", "update_rows",
+                        "delete_keys",
+                    ):
+                        raise ConcurrentWriteError(
+                            f"snapshot replaced by a concurrent "
+                            f"'{e.get('op')}' at v{v}"
+                        )
+                base = head
+            live = dict(head_entry["live"])
+            for p in touched:
+                ptr = {
+                    "commit_dir": rel,
+                    "part_dir": parts[p],
+                    "v": head + 1,
+                    **({"files": files[p]} if files else {}),
+                }
+                live[p] = _ptrs(live[p]) + [ptr] if p in live else ptr
+            applied = dict(head_entry.get("txn", {}))
+            if txn is not None:
+                if applied.get(txn[0], -1) >= txn[1]:
+                    return head
+                applied[txn[0]] = txn[1]
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "append",
+                "live": live,
+                "touched": touched,
+                "txn": applied,
                 **(
                     {"dv": head_entry["dv"]}
                     if head_entry.get("dv")
@@ -1326,7 +1450,8 @@ class VersionedTable:
                             f"(base v{base_version}); re-read and retry"
                         ) from None
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts"
+                        "merge", "delete", "update", "compact_parts",
+                        "append", "delete_rows", "update_rows"
                     ):
                         raise ConcurrentWriteError(
                             f"snapshot replaced by a concurrent "
@@ -1373,6 +1498,98 @@ class VersionedTable:
             if self._try_commit(new_entry):
                 return new_entry["version"]
 
+    def _commit_rdv(
+        self,
+        base_version: int,
+        touched: list[str],
+        dv_rel: str,
+        op: str,
+        add_rel: str | None = None,
+        add_parts: dict[str, str] | None = None,
+        add_files: dict[str, list[dict]] | None = None,
+    ) -> int:
+        """Commit loop for the merge-on-read DML forms: live pointers
+        are NEVER rewritten — the entry gains a positional DV sidecar
+        ref (and, for update_rows, appended pointers carrying the
+        updated row images). Rebase rules follow from DELETE/UPDATE
+        being pure per-row predicates over immutable files:
+
+        - delete_rows over append/delete_rows on the SAME partitions is
+          fine — deleting set A and set B concurrently equals either
+          serial order (a row's match never depends on other rows), and
+          appended rows simply serialize after the delete.
+        - update_rows over append is fine (insert-after serialization).
+        - update_rows vs update_rows, and update_rows vs delete_rows in
+          EITHER direction, conflict on overlap: an update changes rows
+          the other predicate evaluated (or evaluates rows the other
+          changed), so the concurrent outcome matches no serial order.
+        - any COW rewrite (merge/delete/update/compact_parts) of an
+          overlapping partition conflicts — its rewrite was computed
+          blind to this DV and would resurrect the deleted rows.
+        - snapshot-replacing ops (overwrite/compact/restore) conflict."""
+        compatible = (
+            {"append", "delete_rows"}
+            if op == "delete_rows"
+            else {"append"}
+        )
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            if head != base_version:
+                conflicting = set()
+                for v in range(base_version + 1, head + 1):
+                    try:
+                        e = self._read_entry(v)
+                    except FileNotFoundError:
+                        raise ConcurrentWriteError(
+                            f"log entry v{v} vacuumed during rebase "
+                            f"(base v{base_version}); re-read and retry"
+                        ) from None
+                    if e.get("op") not in (
+                        "merge", "delete", "update", "compact_parts",
+                        "append", "delete_rows", "update_rows",
+                    ):
+                        raise ConcurrentWriteError(
+                            f"snapshot replaced by a concurrent "
+                            f"'{e.get('op')}' at v{v}"
+                        )
+                    if e.get("op") not in compatible:
+                        conflicting |= set(e.get("touched", []))
+                if conflicting & set(touched) or _UNPARTITIONED in conflicting:
+                    raise ConcurrentWriteError(
+                        f"partitions {sorted(conflicting & set(touched))} "
+                        f"changed by a concurrent commit"
+                    )
+                base_version = head
+                head_entry = self._read_entry(head)
+            live = dict(head_entry["live"])
+            if add_rel is not None:
+                for p, sub in (add_parts or {}).items():
+                    ptr = {
+                        "commit_dir": add_rel,
+                        "part_dir": sub,
+                        "v": head + 1,
+                        **({"files": add_files[p]} if add_files else {}),
+                    }
+                    live[p] = (
+                        _ptrs(live[p]) + [ptr] if p in live else ptr
+                    )
+            dvs = list(head_entry.get("dv", [])) + [
+                {"commit_dir": dv_rel, "pos": True, "v": head + 1}
+            ]
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": op,
+                "live": live,
+                "touched": touched,
+                "txn": dict(head_entry.get("txn", {})),
+                "dv": dvs,
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
     def drop_partitions(self, values: Sequence[str]) -> int:
         """METADATA-ONLY delete of whole partitions: the new log entry
         simply omits their live pointers — zero data IO, zero scans,
@@ -1392,6 +1609,7 @@ class VersionedTable:
         spark: SparkSession,
         predicate,
         candidate_partitions: Sequence[str] | None = None,
+        mode: str = "cow",
     ) -> int:
         """Row-level DELETE: rewrite only the partitions that contain
         matching rows, keeping the non-matching rows; a partition whose
@@ -1407,7 +1625,20 @@ class VersionedTable:
         or SQL string; SQL DELETE semantics — only rows where it
         evaluates TRUE are deleted, NULL (unknown) keeps the row.
         Returns the new version (or the current one when nothing
-        matches)."""
+        matches).
+
+        ``mode="mor"`` is the deletion-vector path (Delta DVs / Iceberg
+        positional deletes): instead of rewriting touched partitions it
+        commits a POSITIONAL sidecar of (file, row_index) pairs for the
+        matched rows — write cost O(deleted rows), zero data rewrite,
+        so a GDPR-erasure trickle against 100 TB stops rewriting
+        terabytes. Readers anti-join the sidecar on exact file identity
+        (no version gating needed — rewritten files have new names);
+        compact/compact_partitions folds DVs into real file rewrites;
+        time travel, CDF and vacuum stay exact because the sidecar is a
+        normal dv log entry. The trade vs COW is the standard one:
+        write-optimal now, a small per-read anti-join tax until the
+        next OPTIMIZE."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no commits at {self.path}")
@@ -1424,6 +1655,30 @@ class VersionedTable:
             live = {p: e for p, e in live.items() if p in cand}
             if not live:
                 return base
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode '{mode}'")
+        if mode == "mor":
+            snap = self._read_snapshot(spark, live, entry, with_pos=True)
+            assert snap is not None
+            matches = snap.where(cond)
+            if self.partition_col:
+                touched = sorted(
+                    str(r[0])
+                    for r in matches.select(self.partition_col)
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = (
+                    [_UNPARTITIONED] if matches.limit(1).count() else []
+                )
+            if not touched:
+                return base
+            dv_rel = os.path.join("data", uuid.uuid4().hex[:12])
+            matches.select("__file", "__pos").write.parquet(
+                os.path.join(self.path, dv_rel)
+            )
+            return self._commit_rdv(base, touched, dv_rel, "delete_rows")
         snapshot = self._read_snapshot(spark, live, entry)
         assert snapshot is not None
         if self.partition_col:
@@ -1461,6 +1716,7 @@ class VersionedTable:
         predicate,
         assignments: dict,
         candidate_partitions: Sequence[str] | None = None,
+        mode: str = "cow",
     ) -> int:
         """Row-level UPDATE (the DML twin of :meth:`delete_where`):
         rewrite only the partitions that contain matched rows, applying
@@ -1478,6 +1734,17 @@ class VersionedTable:
         updates rebase over it and snapshot-replacing commits conflict.
         Returns the new version (or the current one when nothing
         matches).
+
+        ``mode="mor"`` is the deletion-vector UPDATE (Delta DV update /
+        Iceberg positional delete + data file): the OLD images of
+        matched rows are suppressed by a positional (file, row_index)
+        sidecar and the UPDATED images are staged as an appended
+        pointer — write cost O(updated rows), zero rewrite of the
+        unmatched rows sharing their partitions. Constraints, generated
+        columns and file stats apply to the appended images exactly as
+        to any staged write; OPTIMIZE folds both halves back into plain
+        files. Read/conflict model: see delete_where(mode="mor") and
+        _commit_rdv.
 
         Reference analog: none — the reference rebuilds whole tables
         (src/warehousing_lambda.py:64-71); this is the in-place DML a
@@ -1499,6 +1766,65 @@ class VersionedTable:
             live = {p: e for p, e in live.items() if p in cand}
             if not live:
                 return base
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown update mode '{mode}'")
+        if mode == "mor":
+            snap = self._read_snapshot(spark, live, entry, with_pos=True)
+            assert snap is not None
+            matched = snap.where(cond)
+            if self.partition_col:
+                touched = sorted(
+                    str(r[0])
+                    for r in matched.select(self.partition_col)
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = (
+                    [_UNPARTITIONED] if matched.limit(1).count() else []
+                )
+            if not touched:
+                return base
+            data_cols = [
+                c for c in snap.columns if c not in ("__file", "__pos")
+            ]
+            types = dict(
+                (c, t) for c, t in snap.dtypes if c in set(data_cols)
+            )
+            unknown = set(assignments) - set(types)
+            if unknown:
+                raise ValueError(
+                    "assignments reference unknown columns: "
+                    f"{sorted(unknown)}"
+                )
+            updated = matched.select(
+                *[
+                    (F.expr(v) if isinstance(v, str) else v)
+                    .cast(types[c])
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c, v in (
+                        (c, assignments.get(c)) for c in data_cols
+                    )
+                ]
+            )
+            dv_rel = os.path.join("data", uuid.uuid4().hex[:12])
+            matched.select("__file", "__pos").write.parquet(
+                os.path.join(self.path, dv_rel)
+            )
+            add_rel, parts, files = self._stage(updated)
+            if not self.partition_col:
+                parts = {_UNPARTITIONED: ""}
+            return self._commit_rdv(
+                base,
+                touched,
+                dv_rel,
+                "update_rows",
+                add_rel=add_rel,
+                add_parts=parts,
+                add_files=files,
+            )
         snapshot = self._read_snapshot(spark, live, entry)
         assert snapshot is not None
         if self.partition_col:
@@ -1598,72 +1924,113 @@ class VersionedTable:
                 return new_entry["version"]
 
     # ---------------------------------------------------------- reads
+    def _read_dv_files(
+        self, spark: SparkSession, dvs: list[dict]
+    ) -> DataFrame:
+        """Union of the named DV sidecar parquets (distinct rows)."""
+        out = None
+        for t in dvs:
+            k = spark.read.parquet(
+                os.path.join(self.path, t["commit_dir"])
+            )
+            out = k if out is None else out.unionByName(k)
+        return out.distinct()
+
     def _read_snapshot(
-        self, spark: SparkSession, live: dict, entry: dict
+        self,
+        spark: SparkSession,
+        live: dict,
+        entry: dict,
+        with_pos: bool = False,
     ) -> DataFrame | None:
         """A live-map subset read with the entry's merge-on-read
-        tombstones applied: pointers are grouped by WHICH tombstones
-        apply (tombstone.v >= pointer.v — a rewritten pointer is exempt
-        from older tombstones because its rows were read through them),
-        each group anti-joins the union of its applicable key sets, and
-        the groups re-union. No tombstones = exactly :meth:`_read_live`."""
+        deletes applied. Key tombstones (entries with "cols"): pointers
+        are grouped by WHICH tombstones apply (tombstone.v >= pointer.v
+        — a rewritten pointer is exempt from older tombstones because
+        its rows were read through them), each group anti-joins the
+        union of its applicable key sets, and the groups re-union.
+        Positional deletion vectors (entries without "cols"): one
+        anti-join on (__file, __pos) over the union of DV sidecars —
+        file-addressed, so no version gating is needed (a rewritten
+        pointer's files are new names an old DV cannot match).
+        ``with_pos=True`` keeps the (__file, __pos) identity columns in
+        the output (the DV writers' probe read). No deletes = exactly
+        :meth:`_read_live`."""
         dvs = entry.get("dv", [])
-        if not dvs:
+        key_dvs = [t for t in dvs if "cols" in t]
+        pos_dvs = [t for t in dvs if "cols" not in t]
+        need_pos = with_pos or bool(pos_dvs)
+        if not dvs and not with_pos:
             return self._read_live(spark, live)
         groups: dict[tuple, dict] = {}
         for p, e in live.items():
-            applicable = tuple(
-                i for i, t in enumerate(dvs) if t["v"] >= e.get("v", 0)
-            )
-            groups.setdefault(applicable, {})[p] = e
+            for ptr in _ptrs(e):
+                applicable = tuple(
+                    i
+                    for i, t in enumerate(key_dvs)
+                    if t["v"] >= ptr.get("v", 0)
+                )
+                grp = groups.setdefault(applicable, {})
+                grp.setdefault(p, []).append(ptr)
         out = None
         for applicable, sub in groups.items():
-            df = self._read_live(spark, sub)
+            df = self._read_live(spark, sub, with_pos=need_pos)
             if df is None:
                 continue
             by_cols: dict[tuple, list[dict]] = {}
             for i in applicable:
-                by_cols.setdefault(tuple(dvs[i]["cols"]), []).append(
-                    dvs[i]
-                )
+                by_cols.setdefault(
+                    tuple(key_dvs[i]["cols"]), []
+                ).append(key_dvs[i])
             for cset, ts in by_cols.items():
-                keys = None
-                for t in ts:
-                    k = spark.read.parquet(
-                        os.path.join(self.path, t["commit_dir"])
-                    )
-                    keys = k if keys is None else keys.unionByName(k)
-                df = df.join(keys.distinct(), list(cset), "left_anti")
+                df = df.join(
+                    self._read_dv_files(spark, ts), list(cset), "left_anti"
+                )
             out = (
                 df
                 if out is None
                 else out.unionByName(df, allowMissingColumns=True)
             )
+        if out is not None and pos_dvs:
+            out = out.join(
+                self._read_dv_files(spark, pos_dvs),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        if out is not None and need_pos and not with_pos:
+            out = out.drop("__file", "__pos")
         return out
 
-    def _read_live(self, spark: SparkSession, live: dict) -> DataFrame | None:
+    def _read_live(
+        self, spark: SparkSession, live: dict, with_pos: bool = False
+    ) -> DataFrame | None:
         """One scan per distinct commit dir (basePath restores the
         partition column), unioned — O(live commits) scans. A pointer
         restricted to an explicit file subset (the output of stats
-        pruning) scans exactly those files instead of its directory."""
+        pruning) scans exactly those files instead of its directory.
+        ``with_pos`` attaches per-file row identity (see _with_pos) to
+        every scan before the union."""
         if not live:
             return None
         by_commit: dict[str, list[str]] = {}
         by_commit_files: dict[str, list[str]] = {}
         for e in live.values():
-            if "only_files" in e:
-                by_commit_files.setdefault(e["commit_dir"], []).extend(
-                    e["only_files"]
-                )
-            else:
-                by_commit.setdefault(e["commit_dir"], []).append(e["part_dir"])
+            for ptr in _ptrs(e):
+                if "only_files" in ptr:
+                    by_commit_files.setdefault(
+                        ptr["commit_dir"], []
+                    ).extend(ptr["only_files"])
+                else:
+                    by_commit.setdefault(ptr["commit_dir"], []).append(
+                        ptr["part_dir"]
+                    )
         scans = []
         for rel, subs in by_commit.items():
             base = os.path.join(self.path, rel)
             if subs == [""]:
                 scans.append(spark.read.parquet(base))
             else:
-                paths = [os.path.join(base, s) for s in sorted(subs)]
+                paths = [os.path.join(base, s) for s in sorted(set(subs))]
                 scans.append(
                     spark.read.option("basePath", base).parquet(*paths)
                 )
@@ -1676,6 +2043,8 @@ class VersionedTable:
                 )
             else:
                 scans.append(spark.read.parquet(*paths))
+        if with_pos:
+            scans = [_with_pos(s) for s in scans]
         out = scans[0]
         for s in scans[1:]:
             # allowMissingColumns: after additive schema evolution
@@ -1765,48 +2134,69 @@ class VersionedTable:
         }
         pruned: dict = {}
         for p, e in live.items():
-            files = e.get("files")
-            report["files_total"] += len(files) if files is not None else 0
-            report["bytes_total"] += sum(
-                fe.get("sz", 0) for fe in files or ()
-            )
-            if self.partition_col and p != _UNPARTITIONED and any(
-                col == self.partition_col and _partition_excludes(p, op, lit)
-                for col, op, lit in conj
-            ):
-                continue
-            if files is None:
-                # pre-stats commit: no evidence, scan the whole pointer
-                report["dirs_without_stats"] += 1
-                report["partitions_scanned"] += 1
-                pruned[p] = e
-                continue
-            keep = [
-                fe
-                for fe in files
-                if not any(
-                    (
-                        fe.get("s", {}).get(col) is not None
-                        and _range_excludes(
-                            fe["s"][col][0], fe["s"][col][1], op, lit
-                        )
-                    )
-                    or (op == "=" and bloom_excludes(fe, col, lit))
-                    or (
-                        op == "in"
-                        and all(
-                            bloom_excludes(fe, col, v) for v in lit
-                        )
-                    )
+            part_excluded = (
+                self.partition_col
+                and p != _UNPARTITIONED
+                and any(
+                    col == self.partition_col
+                    and _partition_excludes(p, op, lit)
                     for col, op, lit in conj
                 )
-            ]
-            if keep:
-                pruned[p] = {**e, "only_files": [fe["f"] for fe in keep]}
+            )
+            kept_ptrs: list[dict] = []
+            scanned_any = False
+            for ptr in _ptrs(e):
+                files = ptr.get("files")
+                report["files_total"] += (
+                    len(files) if files is not None else 0
+                )
+                report["bytes_total"] += sum(
+                    fe.get("sz", 0) for fe in files or ()
+                )
+                if part_excluded:
+                    continue
+                if files is None:
+                    # pre-stats commit: no evidence, scan the pointer
+                    report["dirs_without_stats"] += 1
+                    scanned_any = True
+                    kept_ptrs.append(ptr)
+                    continue
+                keep = [
+                    fe
+                    for fe in files
+                    if not any(
+                        (
+                            fe.get("s", {}).get(col) is not None
+                            and _range_excludes(
+                                fe["s"][col][0], fe["s"][col][1], op, lit
+                            )
+                        )
+                        or (op == "=" and bloom_excludes(fe, col, lit))
+                        or (
+                            op == "in"
+                            and all(
+                                bloom_excludes(fe, col, v) for v in lit
+                            )
+                        )
+                        for col, op, lit in conj
+                    )
+                ]
+                if keep:
+                    scanned_any = True
+                    kept_ptrs.append(
+                        {**ptr, "only_files": [fe["f"] for fe in keep]}
+                    )
+                    report["files_scanned"] += len(keep)
+                    report["bytes_scanned"] += sum(
+                        fe.get("sz", 0) for fe in keep
+                    )
+            if scanned_any:
                 report["partitions_scanned"] += 1
-                report["files_scanned"] += len(keep)
-                report["bytes_scanned"] += sum(
-                    fe.get("sz", 0) for fe in keep
+            if kept_ptrs:
+                pruned[p] = (
+                    kept_ptrs
+                    if isinstance(e, list)
+                    else kept_ptrs[0]
                 )
         return pruned, report
 
@@ -1926,25 +2316,21 @@ class VersionedTable:
             for t in to_entry.get("dv", [])
             if t not in from_entry.get("dv", [])
         ]
+        new_key_dv = [t for t in new_dv if "cols" in t]
+        new_pos_dv = [t for t in new_dv if "cols" not in t]
         dv_gone = None
-        if include_deletes and new_dv:
+        if include_deletes and new_key_dv:
             unchanged = {
                 p: e for p, e in e_from.items() if e_to.get(p) == e
             }
             remaining = self._read_snapshot(spark, unchanged, from_entry)
             if remaining is not None:
                 by_cols: dict[tuple, list[dict]] = {}
-                for t in new_dv:
+                for t in new_key_dv:
                     by_cols.setdefault(tuple(t["cols"]), []).append(t)
                 hits = []
                 for cset, ts in by_cols.items():
-                    kdf = None
-                    for t in ts:
-                        k = spark.read.parquet(
-                            os.path.join(self.path, t["commit_dir"])
-                        )
-                        kdf = k if kdf is None else kdf.unionByName(k)
-                    kdf = kdf.distinct()
+                    kdf = self._read_dv_files(spark, ts)
                     hits.append(
                         remaining.join(kdf, list(cset), "left_semi")
                     )
@@ -1954,6 +2340,27 @@ class VersionedTable:
                 dv_gone = hits[0]
                 for h in hits[1:]:
                     dv_gone = dv_gone.unionByName(h)
+        if include_deletes and new_pos_dv:
+            # Positional DVs delete rows out of partitions whose
+            # pointers never moved (delete_rows) — semi-join the
+            # from-side snapshot of UNCHANGED partitions on exact file
+            # identity. Partitions whose pointers DID change (e.g. an
+            # update_rows append) are covered by the struct diff below.
+            unchanged = {
+                p: e for p, e in e_from.items() if e_to.get(p) == e
+            }
+            rem = self._read_snapshot(
+                spark, unchanged, from_entry, with_pos=True
+            )
+            if rem is not None:
+                hit = rem.join(
+                    self._read_dv_files(spark, new_pos_dv),
+                    ["__file", "__pos"],
+                    "left_semi",
+                ).drop("__file", "__pos")
+                dv_gone = (
+                    hit if dv_gone is None else dv_gone.unionByName(hit)
+                )
         if new is None and old is None and dv_gone is None:
             raise ValueError(
                 f"versions {from_version} and {to_version} share every "
@@ -2164,8 +2571,14 @@ class VersionedTable:
                 "source has live merge-on-read tombstones; compact it "
                 "first (materializes deletes), then clone"
             )
+        def _abs(ptr: dict) -> dict:
+            return {
+                **ptr,
+                "commit_dir": os.path.join(src_root, ptr["commit_dir"]),
+            }
+
         live = {
-            p: {**e, "commit_dir": os.path.join(src_root, e["commit_dir"])}
+            p: [_abs(x) for x in e] if isinstance(e, list) else _abs(e)
             for p, e in entry["live"].items()
         }
         os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
@@ -2220,16 +2633,24 @@ class VersionedTable:
             raise FileNotFoundError(f"no commits at {self.path}")
         live = self._read_entry(base)["live"]
 
-        def file_count(e: dict) -> int:
-            if e.get("files") is not None:
-                return len(e["files"])
-            d = os.path.join(self.path, e["commit_dir"], e["part_dir"])
-            try:
-                return sum(
-                    1 for n in os.listdir(d) if n.endswith(".parquet")
+        def file_count(e) -> int:
+            total = 0
+            for ptr in _ptrs(e):
+                if ptr.get("files") is not None:
+                    total += len(ptr["files"])
+                    continue
+                d = os.path.join(
+                    self.path, ptr["commit_dir"], ptr["part_dir"]
                 )
-            except FileNotFoundError:
-                return 0
+                try:
+                    total += sum(
+                        1
+                        for n in os.listdir(d)
+                        if n.endswith(".parquet")
+                    )
+                except FileNotFoundError:
+                    pass
+            return total
 
         if partitions is not None:
             touched = sorted(str(p) for p in partitions if str(p) in live)
@@ -2263,11 +2684,15 @@ class VersionedTable:
         of its data dirs has been vacuumed away."""
         entry = self._read_entry(version)  # raises if vacuumed
         for e in entry["live"].values():
-            if not os.path.isdir(os.path.join(self.path, e["commit_dir"])):
-                raise FileNotFoundError(
-                    f"data dir {e['commit_dir']} of v{version} was "
-                    "vacuumed; restore target must be within retention"
-                )
+            for ptr in _ptrs(e):
+                if not os.path.isdir(
+                    os.path.join(self.path, ptr["commit_dir"])
+                ):
+                    raise FileNotFoundError(
+                        f"data dir {ptr['commit_dir']} of v{version} was"
+                        " vacuumed; restore target must be within "
+                        "retention"
+                    )
         while True:
             head = self.latest_version()
             applied = dict(self._read_entry(head).get("txn", {}))
@@ -2342,7 +2767,8 @@ class VersionedTable:
         for v in keep:
             ent = self._read_entry(v)
             for e in ent["live"].values():
-                referenced.add(e["commit_dir"])
+                for ptr in _ptrs(e):
+                    referenced.add(ptr["commit_dir"])
             for t in ent.get("dv", []):
                 referenced.add(t["commit_dir"])
         removed = []
@@ -2976,3 +3402,149 @@ VERSIONED_SNAPSHOT_ROW_UPDATE_SQL = (
     + VERSIONED_USER_SNAPSHOT_SQL
     + ")"
 )
+
+
+def versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable DELETION-VECTOR delete (merge-on-read): rebuild
+    the two-commit versioned user snapshot (v1 overwrite + v2 merge),
+    then ``delete_where(event_id % 5 = 0, mode="mor")`` — NO data
+    partition is rewritten; the commit is a positional (file,
+    row_index) sidecar the read anti-applies. The returned read must
+    equal full-rebuild semantics (the oracle filters the snapshot with
+    the same integer-modulus predicate), proving the DV path is
+    read-equivalent to copy-on-write. Reference analog: none — this is
+    the Delta-DV / Iceberg-positional-delete surface a 100 TB
+    deployment needs so erasure trickles stop rewriting terabytes."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    snap = lambda df, flag: (  # noqa: E731
+        keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.lit(flag).alias("from_delta"),
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_dv_delete"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut), False))
+    table.merge(
+        spark, snap(ev.where(F.col("event_id") > cut), True), ["user_id"]
+    )
+    v = table.delete_where(spark, "event_id % 5 = 0", mode="mor")
+    entry = table._read_entry(v)
+    # the MOR contract, asserted in-line: zero pointers rewritten
+    assert entry["live"] == table._read_entry(v - 1)["live"]
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_DV_DELETE_SQL = (
+    "SELECT * FROM ("
+    + VERSIONED_USER_SNAPSHOT_SQL
+    + ") WHERE event_id % 5 <> 0"
+)
+
+
+def versioned_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable DELETION-VECTOR update (merge-on-read): the
+    same snapshot and assignments as versioned_snapshot_row_update, but
+    through ``mode="mor"`` — old images suppressed by a positional
+    sidecar, updated images landed as an appended pointer, no partition
+    rewritten. Shares the COW update's oracle verbatim: the two modes
+    are defined to be read-equivalent, and the driver hash proves it."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    snap = lambda df, flag: (  # noqa: E731
+        keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.lit(flag).alias("from_delta"),
+            (F.col("user_id") % 4).alias("pbucket"),
+        )
+    )
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_dv_update"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    table.overwrite(snap(ev.where(F.col("event_id") <= cut), False))
+    table.merge(
+        spark, snap(ev.where(F.col("event_id") > cut), True), ["user_id"]
+    )
+    table.update_where(
+        spark,
+        "event_id % 3 = 0",
+        {"event_type": "'redacted'", "value": F.col("value") * 2},
+        mode="mor",
+    )
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_DV_UPDATE_SQL = VERSIONED_SNAPSHOT_ROW_UPDATE_SQL
+
+
+def versioned_append_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable O(new-data) APPEND: load the first half of
+    events as the initial commit, then ``append()`` the second half —
+    the touched partitions' pointer LISTS grow, the original files are
+    never rewritten (asserted in-line), and the read unions both. The
+    oracle is simply the full events projection: if the append dropped,
+    duplicated, or mis-partitioned a row, the hash flips."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+    ).withColumn("pbucket", F.col("user_id") % 4)
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_append"), "events"),
+        partition_col="pbucket",
+    )
+    v1 = table.overwrite(ev.where(F.col("event_id") <= cut))
+    v2 = table.append(ev.where(F.col("event_id") > cut))
+    before = table._read_entry(v1)["live"]
+    after = table._read_entry(v2)["live"]
+    assert all(
+        _ptrs(after[p])[0] == _ptrs(before[p])[0] for p in before
+    )  # original pointers untouched — append added, never rewrote
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_APPEND_LOAD_SQL = """
+SELECT event_id, user_id, event_type, ts, value,
+       user_id % 4 AS pbucket
+FROM events
+"""
