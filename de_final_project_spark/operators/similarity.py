@@ -1500,6 +1500,7 @@ def _ivfpq_candidates(
     centroids: list[list[int]],
     cb: list[list[list[int]]],
     nprobe: int = N_PROBE,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, approx_dist): every corpus vector in a
     probed trained cell, scored by the asymmetric PQ distance — the
@@ -1508,10 +1509,16 @@ def _ivfpq_candidates(
     the same exact integer grid distance the trainer used; the
     candidate join is the cell equi-join (inverted lists ARE the
     partitioning); codeword lookup is element_at into the broadcast
-    codebook literal — no float until the rerank."""
+    codebook literal — no float until the rerank.
+
+    ``codes`` (optional) supplies a pre-built (vec_id, cell, codes)
+    index frame — e.g. the streamed_ivfpq_index table read back — so a
+    MATERIALIZED index serves the identical query path without
+    re-encoding the corpus. Default: encode from ``qdf`` on the fly."""
     from de_final_project_spark.operators import kmeans as km
 
-    codes = _pq_encode_residuals(_residual_frame(qdf, centroids), cb)
+    if codes is None:
+        codes = _pq_encode_residuals(_residual_frame(qdf, centroids), cb)
     pairs = F.array_sort(
         F.array(
             *[
@@ -1587,18 +1594,20 @@ def _ivfpq_rerank_topk(
     cb: list[list[list[int]]],
     nprobe: int = N_PROBE,
     pool: int = RERANK_TOP,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVFADC query path: PQ-rank the probed candidates, keep
     the top ``pool`` per query, exactly re-rank ONLY those by float
     cosine. Exact-distance evaluations per query drop from
-    O(candidates) to O(pool)."""
+    O(candidates) to O(pool). ``codes`` optionally serves the scan
+    from a stored (vec_id, cell, codes) index instead of re-encoding."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     pooled = (
-        _ivfpq_candidates(qdf, centroids, cb, nprobe)
+        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes)
         .withColumn("_prk", F.row_number().over(w))
         .where(F.col("_prk") <= pool)
         .select("query_id", "neighbor_id")
@@ -1717,15 +1726,13 @@ def ivfpq_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_cte(
-    emb_rel: str = "embeddings",
-    qv_body: str | None = None,
-    nprobe: int = N_PROBE,
-) -> str:
-    """CTE chain for the composed index: the trained-IVF prefix (qv,
-    centroid iterations, final_assign, corpus, probes, qe) plus
-    residuals, the residual codebook, per-vector codes, per-(query,
-    probed-cell) query residuals, and the integer ADC scores."""
+def _pq_res_codes_cte() -> str:
+    """CTE fragment (res, cbk, pqcodes) over an in-scope k-means chain
+    (qv, final_assign, c{KMEANS_ITERS}): per-vector integer residuals
+    against the trained cell, the seed residual codebook, and each
+    vector's argmin PQ codes — shared by the batch IVF-PQ oracles and
+    the streamed-index oracle (which swaps in a train_where-restricted
+    k-means prefix, the frozen-quantizer contract)."""
     from de_final_project_spark.operators.kmeans import (
         DIM,
         KMEANS_ITERS,
@@ -1733,8 +1740,7 @@ def _ivfpq_cte(
     )
 
     cN = f"c{KMEANS_ITERS}"
-    return f"""{_ivf_trained_cte(emb_rel, qv_body, nprobe)},
-res AS MATERIALIZED (
+    return f"""res AS MATERIALIZED (
   SELECT v.vec_id, f.cluster AS cell,
          list_transform(generate_series(1, {DIM}),
                         i -> v.q[i] * {SCALE} - c.c[i]) AS r
@@ -1761,7 +1767,27 @@ pqcodes AS MATERIALIZED (
                       b.code ASC) AS rk
     FROM res r, cbk b
   ) WHERE rk = 1
-),
+)"""
+
+
+def _ivfpq_cte(
+    emb_rel: str = "embeddings",
+    qv_body: str | None = None,
+    nprobe: int = N_PROBE,
+) -> str:
+    """CTE chain for the composed index: the trained-IVF prefix (qv,
+    centroid iterations, final_assign, corpus, probes, qe) plus
+    residuals, the residual codebook, per-vector codes, per-(query,
+    probed-cell) query residuals, and the integer ADC scores."""
+    from de_final_project_spark.operators.kmeans import (
+        DIM,
+        KMEANS_ITERS,
+        SCALE,
+    )
+
+    cN = f"c{KMEANS_ITERS}"
+    return f"""{_ivf_trained_cte(emb_rel, qv_body, nprobe)},
+{_pq_res_codes_cte()},
 qres AS (
   SELECT p.query_id, p.cell,
          list_transform(generate_series(1, {DIM}),

