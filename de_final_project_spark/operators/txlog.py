@@ -604,6 +604,16 @@ class VersionedTable:
             out["not_null"] = nn
         if gen:
             out["generated"] = gen
+        # column mapping carries forward from the head verbatim (write
+        # paths that EXTEND it — new columns — spread their fields
+        # after this dict and override)
+        st = self._head_colmap()
+        if st is not None:
+            cmap, dropped, used = st
+            out["colmap"] = cmap
+            out["colmap_used"] = used
+            if dropped:
+                out["dropped_cols"] = dropped
         return out
 
     def _materialize_generated(self, df: DataFrame) -> DataFrame:
@@ -616,6 +626,253 @@ class VersionedTable:
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(expr))
         return df
+
+    # ------------------------------------------------- column mapping
+    # Delta/Iceberg-style name indirection: log entries carry
+    # ``colmap`` ({logical name -> physical name in the data files}),
+    # ``dropped_cols`` (logical names DROPPED — writes naming them are
+    # rejected so a stale producer fails loudly instead of silently
+    # re-creating the column), and ``colmap_used`` (every physical name
+    # ever bound, so a re-added column can never collide with a dropped
+    # column's bytes still sitting in old files). RENAME and DROP are
+    # then METADATA-ONLY commits — zero data IO at any size — and time
+    # travel resolves each version under ITS OWN mapping (the entry the
+    # read targets supplies the names), so history stays readable
+    # across renames. Mapping is enabled lazily by the first rename/
+    # drop (identity bootstrap from the current schema); tables that
+    # never rename pay nothing. Reference analog: none — the reference
+    # rebuilds tables wholesale; this is Delta's columnMapping.mode=
+    # 'name' re-expressed on this log (VERDICT r8 item 5).
+
+    def _colmap_state(
+        self, entry: dict | None
+    ) -> tuple[dict[str, str], list[str], list[str]] | None:
+        """(logical->physical, dropped logical names, used physical
+        names) recorded by ``entry``, or None when mapping was never
+        enabled as of that entry."""
+        if not entry or "colmap" not in entry:
+            return None
+        cm = dict(entry["colmap"])
+        return (
+            cm,
+            list(entry.get("dropped_cols", [])),
+            list(entry.get("colmap_used", sorted(set(cm.values())))),
+        )
+
+    def _head_colmap(self):
+        head = self.latest_version()
+        if head is None:
+            return None
+        return self._colmap_state(self._read_entry(head))
+
+    def _prep_write(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """Translate a LOGICAL frame to physical file names and return
+        (physical frame, commit-entry mapping fields). New logical
+        columns (additive evolution under mapping) are bound to fresh
+        physical names collision-checked against every name ever used;
+        writes naming a dropped column are rejected. No-op ({} fields)
+        when mapping is disabled — the zero-cost default path."""
+        st = self._head_colmap()
+        if st is None:
+            return df, {}
+        cmap, dropped, used = st
+        bad = sorted(set(df.columns) & set(dropped))
+        if bad:
+            raise ValueError(
+                f"write names dropped column(s) {bad}; dropped columns "
+                "cannot be written (re-add under a different name)"
+            )
+        for c in df.columns:
+            if c not in cmap:
+                ph, k = c, 0
+                while ph in used:
+                    k += 1
+                    ph = f"{c}__p{k}"
+                cmap[c] = ph
+                used.append(ph)
+        # one-shot simultaneous rename (a sequential withColumnRenamed
+        # loop can transiently collide when a rename freed a name that
+        # a later column re-bound)
+        if any(cmap[c] != c for c in df.columns):
+            df = df.select(
+                *[F.col(f"`{c}`").alias(cmap[c]) for c in df.columns]
+            )
+        fields: dict = {"colmap": cmap, "colmap_used": used}
+        if dropped:
+            fields["dropped_cols"] = dropped
+        return df, fields
+
+    def _cols_to_physical(self, cols: Sequence[str]) -> list[str]:
+        """Map logical column names (keys, zorder dims) to physical."""
+        st = self._head_colmap()
+        if st is None:
+            return list(cols)
+        cmap, dropped, _ = st
+        bad = sorted(set(cols) & set(dropped))
+        if bad:
+            raise ValueError(f"dropped column(s) {bad} referenced")
+        return [cmap.get(c, c) for c in cols]
+
+    @staticmethod
+    def _predicate_to_physical(s: str | None, st) -> str | None:
+        """Rewrite the logical column identifiers of a SQL predicate /
+        expression string to physical names — single-pass simultaneous
+        substitution (sequential replacement corrupts chains where one
+        rename freed a name another column took), with string literals
+        masked first so quoted text can never be rewritten."""
+        if s is None or st is None:
+            return s
+        cmap = st[0]
+        ren = {lg: ph for lg, ph in cmap.items() if lg != ph}
+        if not ren:
+            return s
+        lits: list[str] = []
+
+        def _stash(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x00L{len(lits) - 1}\x00"
+
+        masked = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", _stash, s)
+        alt = "|".join(
+            re.escape(n) for n in sorted(ren, key=len, reverse=True)
+        )
+        masked = re.sub(
+            rf"`({alt})`|\b({alt})\b",
+            lambda m: ren[m.group(1) or m.group(2)],
+            masked,
+        )
+        for i, lit in enumerate(lits):
+            masked = masked.replace(f"\x00L{i}\x00", lit)
+        return masked
+
+    def _from_physical(
+        self, df: DataFrame, entry: dict, keep: Sequence[str] = ()
+    ) -> DataFrame:
+        """Rename a physical frame to the LOGICAL names recorded by
+        ``entry`` (the version being read — time travel resolves old
+        snapshots under old names). Physical columns without a mapping
+        are DROPPED columns' bytes — omitted. ``keep`` passes internal
+        columns (``_change_type``) through unrenamed."""
+        st = self._colmap_state(entry)
+        if st is None:
+            return df
+        inv = {ph: lg for lg, ph in st[0].items()}
+        cols = [
+            F.col(f"`{c}`").alias(inv[c])
+            for c in df.columns
+            if c in inv
+        ] + [F.col(c) for c in df.columns if c in keep]
+        return df.select(*cols)
+
+    def _assert_unreferenced(self, logical: str, physical: str, op: str):
+        """RENAME/DROP of a column referenced by a CHECK constraint,
+        generated-column expression, or NOT NULL declaration is
+        rejected (Delta blocks the same): those expressions are stored
+        as SQL text over physical names and would silently break."""
+        chk, nn, gen = self._effective_constraints()
+        pat = re.compile(rf"\b{re.escape(physical)}\b")
+        for name, expr in {**chk, **gen}.items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"cannot {op} column '{logical}': referenced by "
+                    f"expression '{name}' ({expr!r})"
+                )
+        if physical in nn:
+            raise ValueError(
+                f"cannot {op} column '{logical}': declared NOT NULL "
+                "(drop the declaration first)"
+            )
+
+    def _bootstrap_colmap(self, spark: SparkSession):
+        """Current mapping state, creating the identity bootstrap from
+        the live schema on first use."""
+        st = self._head_colmap()
+        if st is not None:
+            return st
+        cols = self.read(spark).columns
+        return {c: c for c in cols}, [], list(cols)
+
+    def _commit_metadata(self, op: str, fields: dict) -> int:
+        """Commit a METADATA-ONLY entry: the head's live map, dv list
+        and txn watermarks carried unchanged, plus ``fields``. Zero
+        data IO — rename/drop cost the same at 100 TB as at 100 rows."""
+        while True:
+            head = self.latest_version()
+            e = self._read_entry(head)
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": op,
+                "live": e["live"],
+                "touched": [],
+                "txn": dict(e.get("txn", {})),
+                **({"dv": e["dv"]} if e.get("dv") else {}),
+                **self._meta_fields(),
+                **fields,
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        """RENAME COLUMN as a metadata-only commit: the logical name
+        rebinds to the same physical name, no file is touched, and
+        every earlier version still reads under its own names. MERGE,
+        DML, CDF and data skipping keep working across the rename
+        because they all operate in physical name space internally.
+        Rejected when ``old`` is referenced by a CHECK / generated /
+        NOT NULL expression (the stored SQL text would break), when
+        ``new`` already exists, or when ``new`` re-uses a dropped
+        column's name (writes to dropped names must keep failing
+        unambiguously)."""
+        if self.latest_version() is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cmap, dropped, used = self._bootstrap_colmap(spark)
+        if old not in cmap:
+            raise ValueError(f"no such column '{old}'")
+        if new in cmap:
+            raise ValueError(f"column '{new}' already exists")
+        if new in dropped:
+            raise ValueError(
+                f"column name '{new}' was dropped; re-using it would "
+                "make rejected writes ambiguous — pick another name"
+            )
+        self._assert_unreferenced(old, cmap[old], "rename")
+        cmap2 = {(new if lg == old else lg): ph for lg, ph in cmap.items()}
+        fields: dict = {
+            "colmap": cmap2,
+            "colmap_used": used,
+            "renamed": {"from": old, "to": new},
+        }
+        if dropped:
+            fields["dropped_cols"] = dropped
+        return self._commit_metadata("rename_column", fields)
+
+    def drop_column(self, spark: SparkSession, col: str) -> int:
+        """DROP COLUMN as a metadata-only commit: the mapping entry is
+        removed (readers stop projecting the physical bytes — old files
+        are never rewritten), the logical name joins ``dropped_cols``
+        so later writes naming it fail loudly, and the physical name
+        stays reserved so a future column can never alias the dead
+        bytes. Time travel before the drop still shows the column.
+        Rejected for the partition column and for constraint-referenced
+        columns."""
+        if self.latest_version() is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cmap, dropped, used = self._bootstrap_colmap(spark)
+        if col not in cmap:
+            raise ValueError(f"no such column '{col}'")
+        if self.partition_col and cmap[col] == self.partition_col:
+            raise ValueError(
+                f"cannot drop partition column '{col}'"
+            )
+        self._assert_unreferenced(col, cmap[col], "drop")
+        cmap2 = {lg: ph for lg, ph in cmap.items() if lg != col}
+        fields = {
+            "colmap": cmap2,
+            "colmap_used": used,
+            "dropped_cols": dropped + [col],
+        }
+        return self._commit_metadata("drop_column", fields)
 
     def _enforce(self, df: DataFrame) -> DataFrame:
         """Weave the constraint checks into the staging write itself: a
@@ -932,6 +1189,7 @@ class VersionedTable:
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         op: str = "overwrite",
+        _cm: dict | None = None,
     ) -> int:
         """Full-snapshot commit: every live partition now points at the
         new commit dir. Old versions stay readable until vacuum.
@@ -940,7 +1198,14 @@ class VersionedTable:
         contract as merge) — never stamped onto an already-visible
         entry after the fact, because a concurrent writer could read
         the unstamped entry and propagate a txn map without our
-        watermark, losing the idempotence guarantee (ADVICE r6)."""
+        watermark, losing the idempotence guarantee (ADVICE r6).
+
+        ``_cm`` (internal): the frame is already in physical column
+        names and these are the commit's mapping fields — set by
+        callers (merge/append/merge_into) that translated upstream;
+        public calls translate here."""
+        if _cm is None:
+            df, _cm = self._prep_write(df)
         df = self._materialize_generated(df)
         rel, parts, files = self._stage(df)
         while True:
@@ -972,6 +1237,7 @@ class VersionedTable:
                 # (read() applies them), so the new files are
                 # materialized and the dv list resets
                 **self._meta_fields(),
+                **_cm,
             }
             if self._try_commit(entry):
                 return entry["version"]
@@ -985,6 +1251,7 @@ class VersionedTable:
         keys: Sequence[str],
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        _cm: dict | None = None,
     ) -> int:
         """Keyed upsert with touched-partition granularity. The
         partition column must be a pure function of the key (same
@@ -1010,6 +1277,9 @@ class VersionedTable:
         drift fails loudly, because silent widening is how a typo'd
         producer forks a table."""
         keys = list(keys)
+        if _cm is None:
+            delta, _cm = self._prep_write(delta)
+            keys = self._cols_to_physical(keys)
         delta = self._materialize_generated(delta)
         if txn is not None:
             head0 = self.latest_version()
@@ -1022,7 +1292,7 @@ class VersionedTable:
             # entry itself (post-hoc stamping of a visible entry is a
             # race — a concurrent writer could propagate the unstamped
             # txn map first).
-            return self.overwrite(delta, txn=txn)
+            return self.overwrite(delta, txn=txn, _cm=_cm)
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
         if self.partition_col:
@@ -1041,6 +1311,13 @@ class VersionedTable:
         # reads footers, runs no job.
         full = self._read_live(spark, entry["live"])
         table_cols = set(full.columns) if full is not None else set(delta.columns)
+        st = self._colmap_state(entry)
+        if st is not None:
+            # Under column mapping the table schema is the MAPPED
+            # physical columns; a dropped column's bytes still sit in
+            # old files but are not part of the schema — a delta must
+            # not be forced to carry (or allowed to name) them.
+            table_cols &= set(st[0].values())
         new_cols = set(delta.columns) - table_cols
         if new_cols and not merge_schema:
             raise ValueError(
@@ -1165,6 +1442,7 @@ class VersionedTable:
                     else {}
                 ),
                 **self._meta_fields(),
+                **_cm,
             }
             if self._try_commit(new_entry):
                 return new_entry["version"]
@@ -1189,6 +1467,7 @@ class VersionedTable:
         tombstone's stamp): inserting a previously deleted key is an
         insert, not a resurrection. ``txn`` is the merge idempotence
         contract unchanged."""
+        df, _cm = self._prep_write(df)
         df = self._materialize_generated(df)
         if txn is not None:
             head0 = self.latest_version()
@@ -1198,7 +1477,7 @@ class VersionedTable:
                     return head0
         base = self.latest_version()
         if base is None:
-            return self.overwrite(df, txn=txn, op="append")
+            return self.overwrite(df, txn=txn, op="append", _cm=_cm)
         full = self._read_live(
             df.sparkSession, self._read_entry(base)["live"]
         )
@@ -1260,6 +1539,7 @@ class VersionedTable:
                     else {}
                 ),
                 **self._meta_fields(),
+                **_cm,
             }
             if self._try_commit(new_entry):
                 return new_entry["version"]
@@ -1303,8 +1583,27 @@ class VersionedTable:
         merge rules unchanged. The plain :meth:`merge` stays the fast
         path for unconditional upserts (left-anti survivors, no outer
         join). Reference analog: none — this is the lakehouse DML
-        surface (VERDICT r7 item 2 family)."""
+        surface (VERDICT r7 item 2 family).
+
+        Under column mapping the source frame, the key list, the
+        assignment dict and every condition string arrive in LOGICAL
+        names and are translated here once; the join/commit machinery
+        below runs entirely in physical name space."""
         keys = list(on)
+        source, _cm = self._prep_write(source)
+        cmst = self._head_colmap()
+        if cmst is not None:
+            keys = self._cols_to_physical(keys)
+            _p = lambda s: self._predicate_to_physical(s, cmst)  # noqa: E731
+            matched_update_condition = _p(matched_update_condition)
+            insert_condition = _p(insert_condition)
+            if isinstance(matched_delete_condition, str):
+                matched_delete_condition = _p(matched_delete_condition)
+            if matched_update:
+                matched_update = {
+                    self._cols_to_physical([c])[0]: _p(expr)
+                    for c, expr in matched_update.items()
+                }
         source = self._materialize_generated(source)
         if txn is not None:
             head0 = self.latest_version()
@@ -1333,7 +1632,9 @@ class VersionedTable:
                     f"no commits at {self.path} and insert_unmatched=False"
                 )
             return self.overwrite(
-                src.where(ins_cond).select(*source.columns), txn=txn
+                src.where(ins_cond).select(*source.columns),
+                txn=txn,
+                _cm=_cm,
             )
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
@@ -1642,6 +1943,10 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no commits at {self.path}")
+        if isinstance(predicate, str):
+            predicate = self._predicate_to_physical(
+                predicate, self._head_colmap()
+            )
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         # Null-safe once: without this, `where(~cond)` silently drops
         # NULL-evaluating rows from rewritten partitions while identical
@@ -1752,6 +2057,18 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no commits at {self.path}")
+        cmst = self._head_colmap()
+        if cmst is not None:
+            if isinstance(predicate, str):
+                predicate = self._predicate_to_physical(predicate, cmst)
+            assignments = {
+                self._cols_to_physical([c])[0]: (
+                    self._predicate_to_physical(v, cmst)
+                    if isinstance(v, str)
+                    else v
+                )
+                for c, v in assignments.items()
+            }
         if self.partition_col and self.partition_col in assignments:
             raise ValueError(
                 f"cannot assign partition column '{self.partition_col}' "
@@ -1899,6 +2216,15 @@ class VersionedTable:
             # the write leaves orphan files under data/ that no log
             # entry references (dead weight until vacuum).
             raise FileNotFoundError(f"no commits at {self.path}")
+        cmst = self._head_colmap()
+        if cmst is not None:
+            phys = self._cols_to_physical(keys_df.columns)
+            keys_df = keys_df.select(
+                *[
+                    F.col(f"`{c}`").alias(p)
+                    for c, p in zip(keys_df.columns, phys)
+                ]
+            )
         keys_df = keys_df.distinct()
         cols = list(keys_df.columns)
         commit_id = uuid.uuid4().hex[:12]
@@ -2213,9 +2539,9 @@ class VersionedTable:
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no commits at {self.path}")
-        _, report = self._prune_live(
-            self._read_entry(v)["live"], where, spark=spark
-        )
+        e = self._read_entry(v)
+        where = self._predicate_to_physical(where, self._colmap_state(e))
+        _, report = self._prune_live(e["live"], where, spark=spark)
         return report
 
     def read(
@@ -2241,6 +2567,9 @@ class VersionedTable:
             )
         entry = self._read_entry(v)
         live = entry["live"]
+        # the predicate arrives in the TARGET VERSION's logical names
+        # (time travel uses that era's names); stats/files are physical
+        where = self._predicate_to_physical(where, self._colmap_state(entry))
         if where is not None:
             kept, _ = self._prune_live(live, where, spark=spark)
             if not kept and live:
@@ -2248,7 +2577,9 @@ class VersionedTable:
                 # (limit(0) short-circuits before any file is read)
                 full = self._read_live(spark, live)
                 assert full is not None
-                return full.limit(0).where(F.expr(where))
+                return self._from_physical(
+                    full.limit(0).where(F.expr(where)), entry
+                )
             live = kept
         df = self._read_snapshot(spark, live, entry)
         if df is None:
@@ -2256,9 +2587,44 @@ class VersionedTable:
                 f"version {v} has no live data (every partition deleted); "
                 "time-travel to an earlier version to read prior rows"
             )
-        return df.where(F.expr(where)) if where is not None else df
+        if where is not None:
+            df = df.where(F.expr(where))
+        return self._from_physical(df, entry)
 
     def read_changes(
+        self,
+        spark: SparkSession,
+        keys: Sequence[str],
+        from_version: int,
+        to_version: int | None = None,
+        include_deletes: bool = False,
+        include_update_preimages: bool = False,
+    ) -> DataFrame:
+        """Column-mapping boundary for :meth:`_read_changes_physical`:
+        keys arrive in the feed window's END-version logical names; the
+        diff itself runs in physical name space (which is what makes a
+        feed ACROSS a rename well-defined — physical identity never
+        moves), and the output renames to the end version's logical
+        schema with ``_change_type`` passed through."""
+        to_v = (
+            to_version if to_version is not None else self.latest_version()
+        )
+        to_entry = self._read_entry(to_v)
+        st = self._colmap_state(to_entry)
+        if st is not None:
+            cmap = st[0]
+            keys = [cmap.get(k, k) for k in keys]
+        out = self._read_changes_physical(
+            spark,
+            keys,
+            from_version,
+            to_v,
+            include_deletes,
+            include_update_preimages,
+        )
+        return self._from_physical(out, to_entry, keep=("_change_type",))
+
+    def _read_changes_physical(
         self,
         spark: SparkSession,
         keys: Sequence[str],
@@ -2592,7 +2958,14 @@ class VersionedTable:
             "txn": {},
             **{
                 k: entry[k]
-                for k in ("constraints", "not_null", "generated")
+                for k in (
+                    "constraints",
+                    "not_null",
+                    "generated",
+                    "colmap",
+                    "colmap_used",
+                    "dropped_cols",
+                )
                 if k in entry
             },
         }
@@ -2707,6 +3080,13 @@ class VersionedTable:
                 **({"dv": entry["dv"]} if entry.get("dv") else {}),
                 **self._meta_fields(),
             }
+            # schema travels with the restore: the RESTORED version's
+            # column mapping replaces the head's (including restoring
+            # to a pre-mapping state, where the keys must disappear)
+            for k in ("colmap", "colmap_used", "dropped_cols", "renamed"):
+                new_entry.pop(k, None)
+                if k in entry:
+                    new_entry[k] = entry[k]
             if self._try_commit(new_entry):
                 return new_entry["version"]
 
@@ -2915,6 +3295,90 @@ def versioned_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).withColumn(
         "pbucket", F.col("pbucket").cast("long")
     )
+
+
+def versioned_renamed_column_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable column-mapping exercise (VERDICT r8 item 5):
+    v1 commits the base-half snapshot, v2/v3 RENAME ``value`` ->
+    ``lifetime_value`` and ``event_type`` -> ``last_event_type`` as
+    METADATA-ONLY commits (same live map, zero data IO — the rename
+    cost at 100 TB equals the cost here), then v4 MERGEs the delta half
+    addressed entirely in the NEW logical names — the merge translates
+    through the mapping and joins physical names, so pre-rename files
+    and post-rename files diff and union transparently. The read back
+    at the head resolves the head's mapping; the oracle restates the
+    same relational post-state with the renamed output columns. Time
+    travel across the rename (v1 still reads as ``value``) and
+    rejected writes to dropped columns are pinned in
+    tests/test_txlog.py."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("renamed_read"), "user_snapshot"),
+        partition_col="pbucket",
+    )
+    base = keep_latest(
+        ev.where(F.col("event_id") <= cut), "user_id", ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lit(False).alias("from_delta"),
+        (F.col("user_id") % 4).alias("pbucket"),
+    )
+    table.overwrite(base)
+    table.rename_column(spark, "value", "lifetime_value")
+    table.rename_column(spark, "event_type", "last_event_type")
+    delta = keep_latest(
+        ev.where(F.col("event_id") > cut), "user_id", ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("last_event_type"),
+        "ts",
+        F.col("value").alias("lifetime_value"),
+        F.lit(True).alias("from_delta"),
+        (F.col("user_id") % 4).alias("pbucket"),
+    )
+    table.merge(spark, delta, ["user_id"])
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_RENAMED_COLUMN_READ_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+), halves AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+         (e.event_id > c.cut) AS from_delta
+  FROM events e, c
+), latest AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, from_delta
+           ORDER BY ts DESC, event_id DESC) AS rk
+  FROM halves
+), pick AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY from_delta DESC) AS mrk
+  FROM latest WHERE rk = 1
+)
+SELECT user_id, event_id, event_type AS last_event_type, ts,
+       value AS lifetime_value, from_delta,
+       (user_id % 4)::BIGINT AS pbucket
+FROM pick WHERE mrk = 1
+"""
 
 
 def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1846,3 +1846,190 @@ def test_delete_keys_empty_table_stages_nothing(spark, table_factory):
         t.delete_keys(spark, spark.createDataFrame([(1,)], "id long"))
     data_dir = os.path.join(t.path, "data")
     assert not os.path.exists(data_dir) or not os.listdir(data_dir)
+
+
+# ------------------------------------------------------ column mapping
+class TestColumnMapping:
+    def test_rename_is_metadata_only_and_read_resolves(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+        data_dirs_before = sorted(os.listdir(os.path.join(t.path, "data")))
+        v = t.rename_column(spark, "s", "label")
+        assert v == 2
+        # zero data IO: no new commit dir staged
+        assert sorted(os.listdir(os.path.join(t.path, "data"))) == (
+            data_dirs_before
+        )
+        got = t.read(spark)
+        assert set(got.columns) == {"id", "label", "pb"}
+        assert {r["id"]: r["label"] for r in got.collect()} == {
+            1: "a",
+            2: "b",
+        }
+
+    def test_time_travel_across_rename_uses_old_names(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm_travel", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        t.rename_column(spark, "s", "label")
+        t.merge(
+            spark,
+            spark.createDataFrame([(2, "b", 1)], "id long, label string, pb int"),
+            ["id"],
+        )
+        # v1 still reads under its own (pre-rename) schema
+        v1 = t.read(spark, version=1)
+        assert set(v1.columns) == {"id", "s", "pb"}
+        assert _rows(v1) == {1: "a"}
+        # head reads under the new name, merged row included
+        head = t.read(spark)
+        assert {r["id"]: r["label"] for r in head.collect()} == {
+            1: "a",
+            2: "b",
+        }
+
+    def test_merge_and_cdf_across_rename(self, spark, table_factory):
+        t = table_factory("cm_cdf", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))  # v1
+        t.rename_column(spark, "s", "label")  # v2
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1), (3, "c", 0)], "id long, label string, pb int"
+            ),
+            ["id"],
+        )  # v3
+        feed = t.read_changes(spark, ["id"], 1, 3)
+        assert set(feed.columns) == {"id", "label", "pb", "_change_type"}
+        changes = {
+            r["id"]: (r["label"], r["_change_type"]) for r in feed.collect()
+        }
+        assert changes == {2: ("B", "update"), 3: ("c", "insert")}
+
+    def test_predicate_pruning_translates_renamed_column(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm_prune", partition_col=None, stats_cols=["id"])
+        t.overwrite(_mk(spark, [(1, "a", 0), (100, "b", 1)]))
+        t.append(_mk(spark, [(200, "c", 2)]))
+        t.rename_column(spark, "id", "ident")
+        rep = t.prune_report("ident >= 150")
+        assert rep["files_scanned"] < rep["files_total"]
+        got = t.read(spark, where="ident >= 150")
+        assert [r["ident"] for r in got.collect()] == [200]
+
+    def test_dml_predicates_translate(self, spark, table_factory):
+        t = table_factory("cm_dml", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 1)]))
+        t.rename_column(spark, "s", "label")
+        t.update_where(
+            spark, "label = 'b'", {"label": "upper(label)"}
+        )
+        t.delete_where(spark, "label = 'c'")
+        got = {r["id"]: r["label"] for r in t.read(spark).collect()}
+        assert got == {1: "a", 2: "B"}
+
+    def test_drop_column_hides_data_and_rejects_writes(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm_drop", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))  # v1
+        t.drop_column(spark, "s")  # v2
+        head = t.read(spark)
+        assert set(head.columns) == {"id", "pb"}
+        # time travel BEFORE the drop still shows the column
+        assert set(t.read(spark, version=1).columns) == {"id", "s", "pb"}
+        # a write naming the dropped column fails loudly
+        with pytest.raises(ValueError, match="dropped"):
+            t.merge(spark, _mk(spark, [(2, "x", 0)]), ["id"])
+        # a conforming write (without the dropped column) still works
+        t.merge(
+            spark,
+            spark.createDataFrame([(2, 0)], "id long, pb int"),
+            ["id"],
+        )
+        assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+    def test_readd_after_drop_gets_fresh_physical_name(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm_readd", partition_col=None)
+        t.overwrite(_mk(spark, [(1, "old", 0)]))
+        t.drop_column(spark, "s")
+        with pytest.raises(ValueError):
+            t.rename_column(spark, "id", "s")  # dropped name stays dead
+        # re-adding a column of a NEW name via merge_schema works and
+        # never aliases the dropped bytes
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, "new")], "id long, pb int, s2 string"
+            ),
+            ["id"],
+            merge_schema=True,
+        )
+        got = t.read(spark).collect()
+        assert {r["id"]: r["s2"] for r in got} == {1: "new"}
+        assert "s" not in t.read(spark).columns
+
+    def test_restore_across_rename_restores_old_schema(
+        self, spark, table_factory
+    ):
+        t = table_factory("cm_restore", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))  # v1 (pre-mapping)
+        t.rename_column(spark, "s", "label")  # v2
+        v = t.restore(1)  # v3: pre-mapping schema travels with it
+        assert set(t.read(spark, version=v).columns) == {"id", "s", "pb"}
+        # and a rename AFTER the restore starts from the restored names
+        t.rename_column(spark, "s", "tag")
+        assert set(t.read(spark).columns) == {"id", "tag", "pb"}
+
+    def test_rename_rejections(self, spark, table_factory):
+        t = table_factory(
+            "cm_reject",
+            partition_col="pb",
+            constraints={"s_nonempty": "length(s) > 0"},
+        )
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        with pytest.raises(ValueError, match="referenced"):
+            t.rename_column(spark, "s", "label")  # constraint references s
+        with pytest.raises(ValueError, match="exists"):
+            t.rename_column(spark, "id", "pb")
+        with pytest.raises(ValueError, match="no such column"):
+            t.rename_column(spark, "nope", "x")
+        with pytest.raises(ValueError, match="partition"):
+            t.drop_column(spark, "pb")
+
+    def test_clone_carries_mapping(self, spark, table_factory, tmp_path):
+        t = table_factory("cm_clone", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        t.rename_column(spark, "s", "label")
+        dest = t.clone_to(str(tmp_path / "cm_clone_dest"))
+        got = dest.read(spark)
+        assert set(got.columns) == {"id", "label", "pb"}
+        assert {r["id"]: r["label"] for r in got.collect()} == {1: "a"}
+
+    def test_rename_chain_and_swap_translation(self, spark, table_factory):
+        """a->b then NEW column a: predicates over both must hit the
+        right physical names (single-pass simultaneous substitution —
+        sequential replacement corrupts exactly this chain)."""
+        t = table_factory("cm_chain", partition_col=None)
+        t.overwrite(_mk(spark, [(1, "x", 0)]))
+        t.rename_column(spark, "s", "s_old")  # logical s_old -> phys s
+        # new logical 's' arrives via merge_schema: fresh physical name
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(1, "y", 0, "fresh")], "id long, s_old string, pb int, s string"
+            ),
+            ["id"],
+            merge_schema=True,
+        )
+        got = t.read(spark, where="s = 'fresh' AND s_old = 'y'")
+        assert got.count() == 1
+        head = t._read_entry(t.latest_version())
+        cmap = head["colmap"]
+        assert cmap["s_old"] == "s" and cmap["s"] != "s"
