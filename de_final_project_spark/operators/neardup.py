@@ -119,27 +119,76 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("b.band_hash").alias("band_hash"))
 
 
+# Skew guard on the LSH candidate self-join (VERDICT r8 item 9): the
+# band equi-join assumes roughly uniform bucket keys, but a hot shingle
+# set (boilerplate headers, templated docs) concentrates one
+# (band_idx, band_hash) bucket — and a self-join bucket of m rows emits
+# m² pairs in ONE reducer task, the classic straggler. Above the
+# threshold the join is salted with the operators/skew.py helpers:
+# the left side hashes into BAND_N_SALTS sub-buckets and the right side
+# replicates across the salt domain, so the hot bucket's pair
+# generation spreads over BAND_N_SALTS tasks with identical output.
+# Measured bucket histograms (max rows in any band bucket / docs):
+# sf0.001 → 4/500, sf0.01 → 3/500, sf0.1 → 4/5000 (sf1 in SCALE.md) —
+# organic buckets stay tiny (the threshold is straggler insurance, not
+# a steady-state path), and pair output with/without salt is asserted
+# identical by test_band_join_skew_guard_salted_output_identical.
+BAND_SALT_THRESHOLD = 2048
+BAND_N_SALTS = 8
+
+
+def _band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) from the band relation.
+    ``max_bucket`` (the largest same-bucket row count) picks the plan:
+    callers may pass a known value; None measures it with one hash
+    aggregate over the (persisted) band relation — O(buckets) rows,
+    trivially parallel, and worth one extra job to avoid an m² task."""
+    from de_final_project_spark.operators.skew import (
+        SALT_COL,
+        replicate_small_for_salted_join,
+        with_salt,
+    )
+
+    if max_bucket is None:
+        max_bucket = (
+            bands.groupBy("band_idx", "band_hash")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 0
+        )
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band_idx", "band_hash")
+    if max_bucket > BAND_SALT_THRESHOLD:
+        a = with_salt(a, ["a_id"], BAND_N_SALTS)
+        b = replicate_small_for_salted_join(b, BAND_N_SALTS)
+        keys = ["band_idx", "band_hash", SALT_COL]
+    else:
+        keys = ["band_idx", "band_hash"]
+    return (
+        a.join(b, keys)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
 def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: candidates sharing any band bucket,
     verified with exact shingle Jaccard >= threshold.
 
     Plan: bands self-join on (band_idx, band_hash) -> distinct candidate
     pairs -> broadcast-free jaccard scoring via a join back to shingle
-    sets. At 100 TB only same-bucket pairs are ever scored."""
+    sets. At 100 TB only same-bucket pairs are ever scored; a hot
+    bucket past BAND_SALT_THRESHOLD flips the self-join to the salted
+    form (see _band_candidates)."""
     # Both persists bound recomputation: shingle sets feed the signature
     # AND both sides of the jaccard verification; bands feed both sides
     # of the candidate self-join. Without them each branch replays the
     # full tokenize/shingle/hash pipeline.
     sh = _docs_with_shingles(spark, sf_dir).persist()
     bands = minhash_bands(spark, sf_dir).persist()
-    a = bands.select(F.col("doc_id").alias("a_id"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band_idx", "band_hash")
-    cands = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    cands = _band_candidates(bands)
     sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -170,3 +170,38 @@ def test_incremental_neardup_is_cross_batch_slice_of_full_pairs(spark):
         if (r.a_id % 10 == 0) != (r.b_id % 10 == 0)
     }
     assert inc == full_cross
+
+
+def test_band_join_skew_guard_salted_output_identical(spark):
+    """VERDICT r8 item 9: the LSH candidate self-join salts above the
+    bucket bound with IDENTICAL pair output. Forces both plans on the
+    same band relation: max_bucket=0 keeps the plain equi-join,
+    max_bucket=BAND_SALT_THRESHOLD+1 forces the salted form (left side
+    salted, right side replicated across the salt domain)."""
+    from de_final_project_spark.operators.neardup import (
+        BAND_SALT_THRESHOLD,
+        _band_candidates,
+        minhash_bands,
+    )
+
+    bands = minhash_bands(spark, "/root/testdata/sf0.001").persist()
+    # organic buckets stay far below the straggler bound at test scale
+    measured = (
+        bands.groupBy("band_idx", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert measured <= BAND_SALT_THRESHOLD
+    plain = {
+        (r["a_id"], r["b_id"])
+        for r in _band_candidates(bands, max_bucket=0).collect()
+    }
+    salted = {
+        (r["a_id"], r["b_id"])
+        for r in _band_candidates(
+            bands, max_bucket=BAND_SALT_THRESHOLD + 1
+        ).collect()
+    }
+    assert salted == plain and plain  # non-empty and identical
+    bands.unpersist()
