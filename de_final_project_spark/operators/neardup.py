@@ -129,10 +129,12 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replicates across the salt domain, so the hot bucket's pair
 # generation spreads over BAND_N_SALTS tasks with identical output.
 # Measured bucket histograms (max rows in any band bucket / docs):
-# sf0.001 → 4/500, sf0.01 → 3/500, sf0.1 → 4/5000 (sf1 in SCALE.md) —
+# sf0.001 → 4/500, sf0.01 → 3/500, sf0.1 → 4/5000, sf1 → 40/50000 —
 # organic buckets stay tiny (the threshold is straggler insurance, not
 # a steady-state path), and pair output with/without salt is asserted
-# identical by test_band_join_skew_guard_salted_output_identical.
+# identical by test_band_join_skew_guard_salted_output_identical. The
+# measurement aggregate rides the caller's persisted band relation:
+# A/B at sf1 read 33.1/40.7 s (agg off) vs 39.3/33.3 s (on) — free.
 BAND_SALT_THRESHOLD = 2048
 BAND_N_SALTS = 8
 
