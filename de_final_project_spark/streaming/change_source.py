@@ -124,6 +124,19 @@ def _table_arrow_fields(table) -> list[tuple[str, pa.DataType]]:
     raise FileNotFoundError(f"no live data files at {table.path}")
 
 
+def _head_colmap(table) -> dict | None:
+    """The head entry's column mapping ({logical -> physical}) or None
+    when the table never enabled mapping. The stream resolves names
+    under the mapping FROZEN at reader start (files keep physical
+    names, so older versions read correctly through the current map);
+    a rename/drop committed mid-stream raises in partitions() — the
+    Delta rule: restart the stream to adopt a new schema."""
+    head = table.latest_version()
+    if head is None:
+        return None
+    return table._read_entry(head).get("colmap")
+
+
 def _discover_partition_col(table) -> str | None:
     """The table handle here is reconstructed from just a path (the
     readStream option), so the partition column is discovered
@@ -172,6 +185,11 @@ def version_tasks(table, entry: dict) -> list[dict]:
 
     if op in ("compact", "compact_parts"):
         return []  # content-preserving rewrite: no change rows
+    if op in ("rename_column", "drop_column"):
+        # metadata-only schema evolution: zero row-level changes (the
+        # mid-stream schema-change guard lives in partitions(), which
+        # sees the version BEFORE tasks are requested)
+        return []
     if v == 1 and op in ("overwrite", "append"):
         tasks = []
         for p, e in entry["live"].items():
@@ -235,36 +253,40 @@ def version_tasks(table, entry: dict) -> list[dict]:
 
 
 class _VersionPartition(InputPartition):
-    def __init__(self, version, tasks, fields, part_col):
+    def __init__(self, version, tasks, fields, part_col, part_col_out=None):
         self.version = version
         self.tasks = tasks
-        self.fields = fields  # [(name, arrow type)] data columns
-        self.part_col = part_col
+        # [(physical file name, logical output name, arrow type)]
+        self.fields = fields
+        self.part_col = part_col  # physical (parses col=value dirs)
+        self.part_col_out = part_col_out or part_col  # logical name
 
 
 def _conform(
     tbl: pa.Table,
-    fields: list[tuple[str, pa.DataType]],
-    part_col: str | None,
+    fields: list[tuple[str, str, pa.DataType]],
+    part_col_out: str | None,
     pval: str | None,
     tag: str,
     version: int,
 ) -> pa.Table:
     """Project an arrow table onto the declared stream schema: data
-    columns in order (null-filled if an old file lacks one, cast to the
-    normalized type), the partition value as a string column, then the
-    CDC metadata columns."""
+    columns selected by their PHYSICAL file name and emitted under
+    their LOGICAL name (identical unless column mapping renamed them),
+    null-filled if an old file lacks one, cast to the normalized type;
+    then the partition value as a string column and the CDC metadata
+    columns."""
     n = tbl.num_rows
     cols, names = [], []
-    for name, typ in fields:
-        if name in tbl.column_names:
-            cols.append(tbl.column(name).cast(typ))
+    for phys, logical, typ in fields:
+        if phys in tbl.column_names:
+            cols.append(tbl.column(phys).cast(typ))
         else:
             cols.append(pa.nulls(n, type=typ))
-        names.append(name)
-    if part_col is not None:
+        names.append(logical)
+    if part_col_out is not None:
         cols.append(pa.array([pval] * n, type=pa.string()))
-        names.append(part_col)
+        names.append(part_col_out)
     cols.append(pa.array([tag] * n, type=pa.string()))
     names.append(_CHANGE_TYPE)
     cols.append(pa.array([version] * n, type=pa.int64()))
@@ -286,8 +308,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         from de_final_project_spark.operators.txlog import VersionedTable
 
         self._table = VersionedTable(self.path)
-        self._fields = _table_arrow_fields(self._table)
+        # name resolution frozen at stream start (see _head_colmap)
+        self._init_head = self._table.latest_version() or 0
+        self._colmap = _head_colmap(self._table)
+        inv = (
+            {p: l for l, p in self._colmap.items()}
+            if self._colmap
+            else None
+        )
+        raw = _table_arrow_fields(self._table)
+        self._fields = (
+            [(n, inv[n], t) for n, t in raw if n in inv]
+            if inv is not None
+            else [(n, n, t) for n, t in raw]
+        )
         self._part_col = _discover_partition_col(self._table)
+        self._part_col_out = (
+            inv.get(self._part_col, self._part_col)
+            if inv is not None and self._part_col
+            else self._part_col
+        )
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -318,24 +358,37 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._last_end = max(self._last_end or 0, hi)
         out = []
         for v in range(lo + 1, hi + 1):
-            tasks = version_tasks(self._table, self._table._read_entry(v))
+            entry = self._table._read_entry(v)
+            if v > self._init_head and entry.get("colmap") != self._colmap:
+                raise ValueError(
+                    f"column mapping changed at v{v} mid-stream "
+                    "(RENAME/DROP COLUMN); the stream's output schema "
+                    "was resolved at start — restart the stream to "
+                    "adopt the new column names"
+                )
+            tasks = version_tasks(self._table, entry)
             if tasks:
                 out.append(
                     _VersionPartition(
-                        v, tasks, self._fields, self._part_col
+                        v, tasks, self._fields, self._part_col,
+                        self._part_col_out,
                     )
                 )
         if not out:
             # Structured Streaming requires >= 1 partition per batch;
             # an empty-change window yields an empty reader
             out.append(
-                _VersionPartition(hi, [], self._fields, self._part_col)
+                _VersionPartition(
+                    hi, [], self._fields, self._part_col,
+                    self._part_col_out,
+                )
             )
         return out
 
     def read(self, partition):
         fields = partition.fields
-        part_col = partition.part_col
+        part_col = partition.part_col  # physical: parses col=value dirs
+        part_out = partition.part_col_out  # logical output name
         v = partition.version
         for task in partition.tasks:
             if task["kind"] in ("insert", "update_postimage"):
@@ -343,7 +396,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     tbl = pq.read_table(f)
                     if tbl.num_rows:
                         yield from _conform(
-                            tbl, fields, part_col, task["pval"],
+                            tbl, fields, part_out, task["pval"],
                             task["kind"], v,
                         ).to_batches()
             else:  # delete / update_preimage: positions out of files
@@ -364,7 +417,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     )
                     if rows.num_rows:
                         yield from _conform(
-                            rows, fields, part_col, pval,
+                            rows, fields, part_out, pval,
                             task["kind"], v,
                         ).to_batches()
 
@@ -381,11 +434,17 @@ class ChangeFeedDataSource(DataSource):
         from de_final_project_spark.operators.txlog import VersionedTable
 
         table = VersionedTable(self.options["path"])
-        parts = [
-            f"`{n}` {_arrow_to_ddl(t)}"
-            for n, t in _table_arrow_fields(table)
-        ]
+        cmap = _head_colmap(table)
+        inv = {p: l for l, p in cmap.items()} if cmap else None
+        fields = _table_arrow_fields(table)
+        if inv is not None:
+            # logical names under the head's column mapping; unmapped
+            # physical columns are dropped-column bytes — omitted
+            fields = [(inv[n], t) for n, t in fields if n in inv]
+        parts = [f"`{n}` {_arrow_to_ddl(t)}" for n, t in fields]
         part_col = _discover_partition_col(table)
+        if part_col and inv is not None:
+            part_col = inv.get(part_col, part_col)
         if part_col:
             # staged files never contain the partition column (it lives
             # in dir names); surfaced as a string for the consumer to

@@ -213,3 +213,41 @@ def test_gold_table_idempotent_replay(spark, tmp_path):
     gold = VersionedTable(gold_dir, partition_col="pb2")
     got = {r["id"]: r["s"] for r in gold.read(spark).collect()}
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_stream_resolves_column_mapping_logical_names(spark, tmp_path):
+    """A stream over a RENAMED table emits the head's LOGICAL names
+    (files keep physical names; the reader resolves the mapping frozen
+    at start), including history from BEFORE the rename and the
+    renamed partition column."""
+    t = _seed(spark, tmp_path, "cm")
+    t.rename_column(spark, "s", "label")
+    t.rename_column(spark, "pb", "bucket")
+    rows: list = []
+    _run_stream(spark, t.path, str(tmp_path / "cm_ck"), rows)
+    assert rows and set(rows[0].asDict()) == {
+        "id", "label", "ts", "bucket", "_change_type", "_commit_version"
+    }
+    got = {
+        (r["id"], r["label"], r["bucket"], r["_change_type"])
+        for r in rows
+    }
+    assert (2, "B", "1", "update_postimage") in got
+    assert (3, "c", "0", "delete") in got
+
+
+def test_stream_fails_on_mid_stream_rename(spark, tmp_path):
+    """A RENAME committed after the stream started must fail the next
+    trigger (the output schema was resolved at start) instead of
+    silently emitting stale names — Delta's restart-to-adopt rule."""
+    t = _seed(spark, tmp_path, "cm_mid")
+    reader = ChangeFeedStreamReader({"path": t.path})
+    # consume the existing history, then rename mid-stream
+    head = {"version": t.latest_version()}
+    reader.partitions({"version": 0}, head)
+    t.rename_column(spark, "s", "label")
+    import datetime as dt
+
+    t.append(_mk(spark, [(9, "z", dt.datetime(2024, 1, 2), 0)]).withColumnRenamed("s", "label"))
+    with pytest.raises(ValueError, match="mid-stream"):
+        reader.partitions(head, {"version": t.latest_version()})
