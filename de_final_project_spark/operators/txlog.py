@@ -542,8 +542,37 @@ class VersionedTable:
             v += 1
         return v
 
+    # Log-format protocol (Delta's minReaderVersion/minWriterVersion
+    # made explicit): features that change how an entry must be
+    # INTERPRETED — not merely extra metadata — bump the version an
+    # entry demands, and a reader/writer built before the feature FAILS
+    # LOUDLY instead of silently misreading. The concrete hazards:
+    # a pre-DV reader ignoring the "dv" list RESURRECTS deleted rows
+    # (min_reader 2); a pre-mapping reader ignoring "colmap" returns
+    # physical names and dropped columns' bytes (min_reader 3).
+    READER_VERSION = 3
+    WRITER_VERSION = 3
+
+    @staticmethod
+    def _required_protocol(entry: dict) -> int:
+        if "colmap" in entry:
+            return 3
+        if entry.get("dv"):
+            return 2
+        return 1
+
     def _read_entry(self, version: int) -> dict:
-        return json.loads(self._store.read(self._entry_name(version)))
+        entry = json.loads(self._store.read(self._entry_name(version)))
+        need = entry.get("protocol", {}).get("min_reader", 1)
+        if need > self.READER_VERSION:
+            raise RuntimeError(
+                f"table at {self.path} requires log-protocol reader "
+                f"version {need}; this reader supports "
+                f"{self.READER_VERSION} — upgrade before reading "
+                "(refusing is the contract: misreading would silently "
+                "resurrect deleted rows or expose dropped columns)"
+            )
+        return entry
 
     def history(self) -> list[dict]:
         """All RETAINED commits, oldest first (op, touched partitions,
@@ -564,7 +593,15 @@ class VersionedTable:
     def _try_commit(self, entry: dict) -> bool:
         """Atomically create the next version's log entry via the
         store's put-if-absent. False iff a concurrent writer took the
-        version number first."""
+        version number first. Stamps the entry's protocol requirement:
+        the max of what its own features demand and the floor carried
+        from the head (protocol only upgrades, Delta's rule — RESTORE
+        to a pre-feature snapshot keeps the raised floor because the
+        table's history still contains entries needing it)."""
+        need = self._required_protocol(entry)
+        cur = entry.get("protocol", {}).get("min_reader", 1)
+        if need > cur:
+            entry["protocol"] = {"min_reader": need, "min_writer": need}
         ok = self._store.put_if_absent(
             self._entry_name(entry["version"]),
             json.dumps(entry).encode(),
@@ -584,19 +621,28 @@ class VersionedTable:
         chk, nn = dict(self.constraints), list(self.not_null)
         gen = dict(self.generated)
         head = self.latest_version()
-        if head is not None:
-            e = self._read_entry(head)
-            for name, expr in e.get("constraints", {}).items():
-                chk.setdefault(name, expr)
-            for c in e.get("not_null", []):
-                if c not in nn:
-                    nn.append(c)
-            for c, expr in e.get("generated", {}).items():
-                gen.setdefault(c, expr)
+        e = self._read_entry(head) if head is not None else {}
+        for name, expr in e.get("constraints", {}).items():
+            chk.setdefault(name, expr)
+        for c in e.get("not_null", []):
+            if c not in nn:
+                nn.append(c)
+        for c, expr in e.get("generated", {}).items():
+            gen.setdefault(c, expr)
         return chk, nn, gen
 
     def _meta_fields(self) -> dict:
-        chk, nn, gen = self._effective_constraints()
+        head = self.latest_version()
+        e = self._read_entry(head) if head is not None else {}
+        chk, nn = dict(self.constraints), list(self.not_null)
+        gen = dict(self.generated)
+        for name, expr in e.get("constraints", {}).items():
+            chk.setdefault(name, expr)
+        for c in e.get("not_null", []):
+            if c not in nn:
+                nn.append(c)
+        for c, expr in e.get("generated", {}).items():
+            gen.setdefault(c, expr)
         out: dict = {}
         if chk:
             out["constraints"] = chk
@@ -607,13 +653,27 @@ class VersionedTable:
         # column mapping carries forward from the head verbatim (write
         # paths that EXTEND it — new columns — spread their fields
         # after this dict and override)
-        st = self._head_colmap()
+        st = self._colmap_state(e if "colmap" in e else None)
         if st is not None:
             cmap, dropped, used = st
             out["colmap"] = cmap
             out["colmap_used"] = used
             if dropped:
                 out["dropped_cols"] = dropped
+        # protocol floor carries forward (never downgrades); a writer
+        # older than the table's recorded min_writer must not commit —
+        # its entries would silently drop feature fields it doesn't
+        # know (e.g. the colmap), corrupting the table for everyone
+        proto = e.get("protocol")
+        if proto:
+            if proto.get("min_writer", 1) > self.WRITER_VERSION:
+                raise RuntimeError(
+                    f"table at {self.path} requires log-protocol "
+                    f"writer version {proto['min_writer']}; this "
+                    f"writer supports {self.WRITER_VERSION} — "
+                    "upgrade before writing"
+                )
+            out["protocol"] = proto
         return out
 
     def _materialize_generated(self, df: DataFrame) -> DataFrame:

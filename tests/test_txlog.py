@@ -2033,3 +2033,54 @@ class TestColumnMapping:
         head = t._read_entry(t.latest_version())
         cmap = head["colmap"]
         assert cmap["s_old"] == "s" and cmap["s"] != "s"
+
+
+# ---------------------------------------------------------- protocol
+class TestProtocol:
+    def test_feature_commits_stamp_required_versions(
+        self, spark, table_factory
+    ):
+        # plain table: no protocol field (fully readable by v1 readers)
+        t = table_factory("proto_plain", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        assert "protocol" not in t._read_entry(1)
+        # deletion vectors demand reader v2 (ignoring the dv list
+        # resurrects deleted rows)
+        t.delete_where(spark, "id = 1", mode="mor")
+        assert t._read_entry(2)["protocol"] == {
+            "min_reader": 2,
+            "min_writer": 2,
+        }
+        # column mapping demands v3 (ignoring colmap exposes physical
+        # names and dropped bytes)
+        t2 = table_factory("proto_cm", partition_col="pb")
+        t2.overwrite(_mk(spark, [(1, "a", 0)]))
+        t2.rename_column(spark, "s", "label")
+        assert t2._read_entry(2)["protocol"]["min_reader"] == 3
+
+    def test_protocol_floor_survives_restore(self, spark, table_factory):
+        t = table_factory("proto_floor", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))  # v1, no protocol
+        t.rename_column(spark, "s", "label")  # v2, min_reader 3
+        t.restore(1)  # v3: pre-mapping schema, but the floor stays
+        e = t._read_entry(3)
+        assert "colmap" not in e
+        assert e["protocol"]["min_reader"] == 3
+
+    def test_future_reader_version_fails_loudly(self, spark, table_factory):
+        t = table_factory("proto_future", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        e = t._read_entry(1)
+        e["protocol"] = {"min_reader": 99, "min_writer": 99}
+        t._store.put(t._entry_name(2), __import__("json").dumps(
+            {**e, "version": 2, "op": "merge", "touched": []}
+        ).encode())
+        with pytest.raises(RuntimeError, match="reader version 99"):
+            t.read(spark)
+        # and a writer refuses to commit past it (it trips the reader
+        # gate while loading the head it would build on — a writer that
+        # cannot read the head certainly must not rewrite it; the
+        # min_writer gate additionally covers futures where min_writer
+        # exceeds min_reader)
+        with pytest.raises(RuntimeError, match="version 99"):
+            t.append(_mk(spark, [(2, "b", 0)]))
