@@ -934,6 +934,149 @@ class VersionedTable:
         }
         return self._commit_metadata("drop_column", fields)
 
+    def _harvest_ptr_stats(
+        self, ptr: dict, cols: Sequence[str]
+    ) -> list[dict]:
+        """Per-file stats entries for one live pointer, harvested from
+        parquet FOOTERS (driver-side metadata reads — no data scan).
+        Same harvesting rules as _collect_file_stats: a column without
+        usable footer min/max stays unindexed for that file
+        (conservative — the file is simply never pruned on it)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(
+            self.path, ptr["commit_dir"], ptr.get("part_dir", "")
+        )
+        entries = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, name)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            stats: dict[str, list] = {}
+            for c in cols:
+                if c not in idx:
+                    continue
+                mn = mx = None
+                usable = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        usable = False
+                        break
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+                if usable and mn is not None:
+                    jmn, jmx = _json_stat(mn), _json_stat(mx)
+                    if jmn is not None and jmx is not None:
+                        stats[c] = [jmn, jmx]
+            sub = ptr.get("part_dir", "")
+            entries.append(
+                {
+                    "f": os.path.join(sub, name) if sub else name,
+                    "s": stats,
+                    "sz": os.path.getsize(os.path.join(d, name)),
+                }
+            )
+        return entries
+
+    def analyze(self, stats_cols: Sequence[str] | None = None) -> int:
+        """ANALYZE: backfill per-file min/max stats for LIVE files that
+        lack them — a METADATA-ONLY commit built from parquet footer
+        reads (no data scan, no rewrite), so history written before
+        ``stats_cols`` was configured starts data-skipping without
+        paying OPTIMIZE's full rewrite. At 100 TB this is the
+        difference between 'enable skipping' costing footer reads vs a
+        petabyte rewrite. ``stats_cols`` are PHYSICAL (file) column
+        names, defaulting to the handle's configured list; Bloom
+        indexes are deliberately NOT backfilled here (they need a data
+        scan — use compact() when that trade is worth it). Snapshot-
+        preserving and row-invariant: concurrent merges/appends rebase
+        across it (op 'analyze' is in their allowlists), and its own
+        retry loop re-reads the head so it never clobbers a racing
+        commit's pointers."""
+        cols = list(stats_cols) if stats_cols else self.stats_cols
+        if not cols:
+            raise ValueError(
+                "analyze needs stats_cols (argument or table config)"
+            )
+        if self.latest_version() is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cache: dict[tuple, list[dict]] = {}
+
+        def backfill(ptr: dict) -> dict:
+            key = (ptr["commit_dir"], ptr.get("part_dir", ""))
+            have = ptr.get("files")
+            if have is None:
+                return {
+                    **ptr,
+                    "files": cache.setdefault(
+                        key, self._harvest_ptr_stats(ptr, cols)
+                    ),
+                }
+            missing = [
+                c
+                for c in cols
+                if not all(c in fe.get("s", {}) for fe in have)
+            ]
+            if not missing:
+                return ptr
+            # files entries exist: attach only MISSING columns' stats,
+            # preserving whatever the writer already recorded (writer
+            # stats win on overlap — they were taken from the same
+            # footers, and preserving them keeps this idempotent)
+            fresh = cache.setdefault(
+                key, self._harvest_ptr_stats(ptr, cols)
+            )
+            by_f = {fe["f"]: fe for fe in fresh}
+            return {
+                **ptr,
+                "files": [
+                    {
+                        **fe,
+                        "s": {
+                            **{
+                                c: v
+                                for c, v in by_f.get(fe["f"], {})
+                                .get("s", {})
+                                .items()
+                                if c in missing
+                            },
+                            **fe.get("s", {}),
+                        },
+                    }
+                    for fe in have
+                ],
+            }
+
+        while True:
+            head = self.latest_version()
+            e = self._read_entry(head)
+            live = {
+                p: (
+                    [backfill(x) for x in v]
+                    if isinstance(v, list)
+                    else backfill(v)
+                )
+                for p, v in e["live"].items()
+            }
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "analyze",
+                "live": live,
+                "touched": [],
+                "txn": dict(e.get("txn", {})),
+                **({"dv": e["dv"]} if e.get("dv") else {}),
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
     def _enforce(self, df: DataFrame) -> DataFrame:
         """Weave the constraint checks into the staging write itself: a
         per-row assert inside an always-true filter, so enforcement
@@ -1452,7 +1595,7 @@ class VersionedTable:
                     # partitions they KEPT, so it proves nothing and we
                     # must conflict.
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts",
+                        "merge", "delete", "update", "compact_parts", "analyze",
                         "append", "delete_rows", "update_rows"
                     ):
                         raise ConcurrentWriteError(
@@ -1563,7 +1706,7 @@ class VersionedTable:
                             f"(base v{base}); re-read and retry"
                         ) from None
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts",
+                        "merge", "delete", "update", "compact_parts", "analyze",
                         "append", "delete_rows", "update_rows",
                         "delete_keys",
                     ):
@@ -1811,7 +1954,7 @@ class VersionedTable:
                             f"(base v{base_version}); re-read and retry"
                         ) from None
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts",
+                        "merge", "delete", "update", "compact_parts", "analyze",
                         "append", "delete_rows", "update_rows"
                     ):
                         raise ConcurrentWriteError(
@@ -1907,7 +2050,7 @@ class VersionedTable:
                             f"(base v{base_version}); re-read and retry"
                         ) from None
                     if e.get("op") not in (
-                        "merge", "delete", "update", "compact_parts",
+                        "merge", "delete", "update", "compact_parts", "analyze",
                         "append", "delete_rows", "update_rows",
                     ):
                         raise ConcurrentWriteError(
@@ -3677,6 +3820,43 @@ def versioned_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.overwrite(ev.repartitionByRange(8, "event_id"))
     return table.read(spark, where=f"event_id <= {cut}")
+
+
+def versioned_analyzed_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable ANALYZE backfill: the same range-clustered
+    events commit as versioned_stats_pruned_read, but written WITHOUT
+    ``stats_cols`` — so the commit entry carries no file stats and a
+    predicate read scans everything. ``analyze()`` then backfills
+    per-file min/max from parquet FOOTERS as a metadata-only commit
+    (no data scan, no rewrite — at 100 TB, 'turn on data skipping for
+    history' must not cost a petabyte OPTIMIZE), after which the same
+    half-range read prunes ~half the files from log metadata. The
+    oracle restates the filter over the raw table (skipping is
+    advisory); tests pin that pre-analyze reads skip nothing, the
+    post-analyze read skips files, and results are identical."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_analyze"), "events")
+    )
+    table.overwrite(ev.repartitionByRange(8, "event_id"))
+    table.analyze(stats_cols=["event_id", "ts"])
+    return table.read(spark, where=f"event_id <= {cut}")
+
+
+VERSIONED_ANALYZED_PRUNED_READ_SQL = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+WHERE event_id <= (SELECT (min(event_id) + max(event_id)) // 2 FROM events)
+"""
 
 
 def versioned_merge_into_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2084,3 +2084,80 @@ class TestProtocol:
         # exceeds min_reader)
         with pytest.raises(RuntimeError, match="version 99"):
             t.append(_mk(spark, [(2, "b", 0)]))
+
+
+# ----------------------------------------------------------- analyze
+class TestAnalyze:
+    def test_backfills_stats_and_enables_skipping(
+        self, spark, table_factory
+    ):
+        t = table_factory("an")  # written WITHOUT stats_cols
+        t.overwrite(
+            _mk(spark, [(i, f"s{i}", i % 3) for i in range(100)])
+            .repartitionByRange(4, "id")
+        )
+        before = t.prune_report("id <= 10")
+        assert before["files_scanned"] == before["files_total"]
+        v = t.analyze(stats_cols=["id"])
+        after = t.prune_report("id <= 10")
+        assert after["files_scanned"] < after["files_total"]
+        # row-invariant: pruned read equals the unpruned snapshot filter
+        got = {r["id"] for r in t.read(spark, where="id <= 10").collect()}
+        assert got == set(range(11))
+        # metadata-only: no new data dir was staged
+        e = t._read_entry(v)
+        assert e["op"] == "analyze" and e["touched"] == []
+
+    def test_idempotent_and_preserves_writer_stats(
+        self, spark, table_factory
+    ):
+        t = table_factory("an_idem", stats_cols=["id"])
+        t.overwrite(
+            _mk(spark, [(i, "x", 0) for i in range(20)])
+            .repartitionByRange(2, "id")
+        )
+        live1 = t._read_entry(t.latest_version())["live"]
+        t.analyze()  # nothing missing: live map unchanged
+        live2 = t._read_entry(t.latest_version())["live"]
+        assert live2 == live1
+
+    def test_fills_only_missing_columns_and_pointer_lists(
+        self, spark, table_factory
+    ):
+        t = table_factory("an_mixed", stats_cols=["id"])
+        # coalesce(1): tiny frames over 32-way parallelism write mostly
+        # EMPTY files, which carry no footer stats by construction
+        t.overwrite(
+            _mk(spark, [(i, "x", 0) for i in range(10)]).coalesce(1)
+        )  # stats for id only
+        t.append(
+            _mk(spark, [(i, "y", 0) for i in range(10, 20)]).coalesce(1)
+        )
+        t.analyze(stats_cols=["id", "s"])
+        e = t._read_entry(t.latest_version())
+        for ptr_or_list in e["live"].values():
+            ptrs = (
+                ptr_or_list
+                if isinstance(ptr_or_list, list)
+                else [ptr_or_list]
+            )
+            for ptr in ptrs:
+                for fe in ptr["files"]:
+                    assert "id" in fe["s"] and "s" in fe["s"]
+
+    def test_analyze_under_column_mapping_uses_physical_names(
+        self, spark, table_factory
+    ):
+        t = table_factory("an_cm")
+        t.overwrite(
+            _mk(spark, [(i, "x", 0) for i in range(50)])
+            .repartitionByRange(2, "id")
+        )
+        t.rename_column(spark, "id", "ident")
+        t.analyze(stats_cols=["id"])  # physical file-column name
+        rep = t.prune_report("ident <= 5")  # logical predicate
+        assert rep["files_scanned"] < rep["files_total"]
+        got = {
+            r["ident"] for r in t.read(spark, where="ident <= 5").collect()
+        }
+        assert got == set(range(6))
