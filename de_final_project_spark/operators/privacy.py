@@ -128,3 +128,61 @@ FROM (
 JOIN dim d USING (customer_token)
 GROUP BY 1, 2
 """
+
+
+# Deny-list terms for the redaction demo — on the synthetic corpus the
+# entity-ish tokens appear often enough to exercise non-trivial counts.
+REDACT_TERMS = ("customer", "supplier")
+REDACT_MASK = "[REDACTED]"
+
+
+def redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list redaction over the documents table — the erasure-
+    request shape a GDPR pipeline runs at corpus scale: every
+    occurrence of each listed term is replaced by a mask token, with a
+    per-term occurrence count kept for the audit trail. One narrow
+    projection, pure JVM regex (whole-stage codegen, no shuffle, no
+    UDF): cost is a single scan regardless of list size, and the
+    deny-list compiles into the plan as literal patterns — at 100 TB
+    this is a map-only job with full predicate/column pushdown.
+
+    Word boundaries (\\b) keep 'customers' distinct from 'customer'
+    (only exact tokens redact); patterns stay in the RE2-and-Java-
+    common subset so the DuckDB oracle replays them byte-identically.
+
+    Reference analog: none — extension surface (privacy family, beside
+    the salted-token pseudonymization at privacy.py:28)."""
+    from de_final_project_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.col("text"),
+        *[
+            (
+                F.size(F.split(F.col("text"), rf"\b{t}\b")) - 1
+            ).cast("long").alias(f"n_{t}")
+            for t in REDACT_TERMS
+        ],
+    )
+    red = F.col("text")
+    for t in REDACT_TERMS:
+        red = F.regexp_replace(red, rf"\b{t}\b", REDACT_MASK)
+    return out.select(
+        "doc_id",
+        *[f"n_{t}" for t in REDACT_TERMS],
+        red.alias("redacted_text"),
+    ).where(sum(F.col(f"n_{t}") for t in REDACT_TERMS) > 0)
+
+
+REDACT_TERMS_SQL = f"""
+SELECT doc_id,
+       (length(regexp_split_to_array(text, '\\b{REDACT_TERMS[0]}\\b')) - 1)::BIGINT AS n_{REDACT_TERMS[0]},
+       (length(regexp_split_to_array(text, '\\b{REDACT_TERMS[1]}\\b')) - 1)::BIGINT AS n_{REDACT_TERMS[1]},
+       regexp_replace(
+         regexp_replace(text, '\\b{REDACT_TERMS[0]}\\b', '{REDACT_MASK}', 'g'),
+         '\\b{REDACT_TERMS[1]}\\b', '{REDACT_MASK}', 'g') AS redacted_text
+FROM documents
+WHERE (length(regexp_split_to_array(text, '\\b{REDACT_TERMS[0]}\\b')) - 1)
+    + (length(regexp_split_to_array(text, '\\b{REDACT_TERMS[1]}\\b')) - 1) > 0
+"""

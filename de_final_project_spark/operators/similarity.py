@@ -2303,3 +2303,135 @@ kq AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
 
 
 ANN_RECALL_IVFPQ_TRAINED_SQL = _ann_recall_ivfpq_trained_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift report over the embedding corpus (PSI per dimension)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 8  # fixed [-1, 1) grid: floor((x + 1) * 4), clamped
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per embedding dimension between two
+    corpus cohorts (even vec_ids = reference, odd = candidate) — the
+    data-quality gate a production vector pipeline runs before
+    swapping in a re-embedded or newly-ingested corpus: a dimension
+    whose value distribution shifted (new embedding model, upstream
+    text drift, ingestion bug) surfaces as PSI >> 0 long before recall
+    metrics degrade.
+
+    Each dimension's values histogram onto a fixed [-1, 1) grid of
+    PSI_BINS cells (floor((x+1)*BINS/2), clamped — deterministic in
+    both engines); add-one smoothing over the FULL grid keeps empty
+    cells finite; PSI_d = Σ_bins (p - q)·ln(p/q).
+
+    Shape: one posexplode pass (rows×64, map-side combined) into a
+    (dim, cohort, bin) hash aggregate of 64×2×8 = 1024 rows, then the
+    bin grid is completed by a generated (dim × bin) frame and two
+    broadcast joins — O(corpus) scan cost, control-plane-sized
+    everything after. Reference analog: none — extension surface
+    (the observability side of the ANN family)."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("v").alias("dim", "x"),
+    )
+    binned = ex.select(
+        "dim",
+        "is_ref",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") + 1.0) * (PSI_BINS / 2.0)).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("dim", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cand"),
+    )
+    grid = (
+        spark.range(0, 64)
+        .select(F.col("id").cast("int").alias("dim"))
+        .select(
+            "dim",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PSI_BINS - 1))
+            ).alias("bin"),
+        )
+    )
+    full = grid.join(counts, ["dim", "bin"], "left").select(
+        "dim",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cand", F.lit(0)).alias("c_cand"),
+    )
+    tot = full.groupBy("dim").agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cand").alias("t_cand")
+    )
+    p = (F.col("c_ref") + 1) / (F.col("t_ref") + PSI_BINS)
+    q = (F.col("c_cand") + 1) / (F.col("t_cand") + PSI_BINS)
+    return (
+        full.join(F.broadcast(tot), "dim")
+        .select(
+            "dim",
+            "c_ref",
+            "c_cand",
+            ((p - q) * F.log(p / q)).alias("_term"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(F.sum("_term"), 6).alias("psi"),
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cand").alias("n_cand"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "psi", "n_ref", "n_cand")
+    )
+
+
+EMBEDDING_DRIFT_REPORT_SQL = f"""
+WITH ex AS (
+  SELECT (vec_id % 2 = 0) AS is_ref,
+         g.d AS dim,
+         least({PSI_BINS - 1}, greatest(0,
+           CAST(floor((CAST(embedding AS DOUBLE[])[g.d + 1] + 1.0)
+                      * {PSI_BINS / 2.0}) AS INT))) AS bin
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) g
+),
+counts AS (
+  SELECT dim, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS c_cand
+  FROM ex GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.d AS dim, b.b AS bin
+  FROM (SELECT unnest(generate_series(0, 63)) AS d) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS b) b
+),
+full_grid AS (
+  SELECT g.dim, g.bin,
+         coalesce(c.c_ref, 0) AS c_ref,
+         coalesce(c.c_cand, 0) AS c_cand
+  FROM grid g LEFT JOIN counts c USING (dim, bin)
+),
+tot AS (
+  SELECT dim, sum(c_ref) AS t_ref, sum(c_cand) AS t_cand
+  FROM full_grid GROUP BY 1
+)
+SELECT f.dim::BIGINT AS dim,
+       round(sum(((f.c_ref + 1.0) / (t.t_ref + {PSI_BINS})
+                  - (f.c_cand + 1.0) / (t.t_cand + {PSI_BINS}))
+                 * ln(((f.c_ref + 1.0) / (t.t_ref + {PSI_BINS}))
+                      / ((f.c_cand + 1.0) / (t.t_cand + {PSI_BINS})))),
+             6) AS psi,
+       sum(f.c_ref)::BIGINT AS n_ref,
+       sum(f.c_cand)::BIGINT AS n_cand
+FROM full_grid f JOIN tot t USING (dim)
+GROUP BY 1
+"""
