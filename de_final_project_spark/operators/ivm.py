@@ -1,0 +1,381 @@
+"""Incremental materialized-view maintenance over the transaction log.
+
+A materialized aggregate (GROUP BY keys -> COUNT / SUM / MIN / MAX)
+whose refresh cost tracks the CHURN of the base table, not its size:
+the view subscribes to the base :class:`VersionedTable`'s change feed
+and folds only the changed rows into its stored state. At 100 TB this
+is the difference between a nightly full re-aggregation (re-shuffling
+the whole fact table) and a merge proportional to the day's writes —
+the same argument Delta Live Tables / Materialized Views make, built
+here from two pieces this engine already has: the partition-pruned CDF
+(``read_changes``) and idempotent MERGE (``merge_into`` + txn stamps).
+
+Maintenance strategies (classic IVM taxonomy):
+
+- **delta** — every aggregate is self-maintainable (COUNT, SUM): the
+  feed's rows are signed (+1 for insert/update_postimage, -1 for
+  delete/update_preimage), summed per group, and merged arithmetically
+  into the view. The base table is NEVER read. NULL-correct: each SUM
+  column carries a hidden non-null count so a group whose values are
+  all NULL reports NULL (not 0), exactly like a full re-aggregation.
+- **rescan-groups** — MIN/MAX are not self-maintainable under deletes
+  (removing the current minimum needs the runner-up): the feed is used
+  only to find AFFECTED group keys, and exactly those groups are
+  re-aggregated from the base snapshot (a semi-join-restricted scan;
+  untouched groups cost nothing). Chosen automatically when any
+  MIN/MAX aggregate is declared.
+
+Both strategies land as ONE ``merge_into`` commit on the view's own
+VersionedTable, stamped ``txn=("ivm", base_version)`` — so a crashed
+and re-run refresh is a no-op (the watermark doubles as the applied-
+version record), and the view itself gets time travel, CDF, and
+constraints for free.
+
+Group keys must be non-null (the MERGE key join is SQL equality); the
+refresh raises if the feed produces a NULL group key rather than
+silently duplicating the group.
+
+Reference analog: none — the reference rebuilds every output table
+from scratch per run (``src/process_lambda.py:449-474``); this is the
+incremental form a 100 TB deployment needs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.txlog import VersionedTable
+
+_APP_ID = "ivm"
+_N = "_ivm_n"  # hidden: live-row count per group (group liveness)
+
+
+def _nn(col: str) -> str:
+    return f"_ivm_nn_{col}"  # hidden: non-null count for a SUM column
+
+
+class IncrementalAggView:
+    """A materialized ``GROUP BY group_by -> aggs`` over ``base``,
+    stored at ``path`` as its own :class:`VersionedTable` and refreshed
+    incrementally from the base's change feed.
+
+    ``aggs`` maps output column -> ``(kind, expr)`` with kind in
+    {"count", "sum", "min", "max"}; ``expr`` is a SQL expression over
+    the base columns ("count" ignores it). AVG is derived: declare the
+    SUM and the COUNT and divide on read. ``keys`` is the base row
+    identity the change feed diffs on."""
+
+    def __init__(
+        self,
+        base: VersionedTable,
+        path: str,
+        keys: Sequence[str],
+        group_by: Sequence[str],
+        aggs: dict[str, tuple[str, str]],
+    ):
+        for out, (kind, _) in aggs.items():
+            if kind not in ("count", "sum", "min", "max"):
+                raise ValueError(f"unsupported aggregate kind {kind!r}")
+            if out in group_by or out in (_N,):
+                raise ValueError(f"aggregate column {out!r} collides")
+        self.base = base
+        self.keys = list(keys)
+        self.group_by = list(group_by)
+        self.aggs = dict(aggs)
+        self.mv = VersionedTable(path)
+        # SUM/COUNT fold arithmetically; MIN/MAX force the affected
+        # groups to be re-aggregated from the base snapshot.
+        self._delta_ok = all(
+            k in ("count", "sum") for k, _ in self.aggs.values()
+        )
+
+    # ------------------------------------------------------------ agg
+    def _full_aggs(self) -> list:
+        """Aggregate expressions for a from-scratch (or per-group
+        rescan) aggregation of base rows."""
+        out = [F.count(F.lit(1)).alias(_N)]
+        for col, (kind, expr) in self.aggs.items():
+            if kind == "count":
+                out.append(F.count(F.lit(1)).alias(col))
+            elif kind == "sum":
+                out.append(F.sum(F.expr(expr)).alias(col))
+                out.append(
+                    F.sum(
+                        F.expr(expr).isNotNull().cast("long")
+                    ).alias(_nn(col))
+                )
+            elif kind == "min":
+                out.append(F.min(F.expr(expr)).alias(col))
+            else:
+                out.append(F.max(F.expr(expr)).alias(col))
+        return out
+
+    def _delta_aggs(self, sign) -> list:
+        """Signed-delta aggregates over the change feed (delta
+        strategy only — kinds are count/sum by construction)."""
+        out = [F.sum(sign).alias(_N)]
+        for col, (kind, expr) in self.aggs.items():
+            if kind == "count":
+                out.append(F.sum(sign).alias(col))
+            else:
+                out.append(F.sum(sign * F.expr(expr)).alias(col))
+                out.append(
+                    F.sum(
+                        sign * F.expr(expr).isNotNull().cast("long")
+                    ).alias(_nn(col))
+                )
+        return out
+
+    def _align_types(self, df: DataFrame, spark: SparkSession) -> DataFrame:
+        """Cast a source frame to the view's exact stored types so a
+        merge can never widen the on-disk schema (a delta SUM of
+        DECIMAL(12,2) is wider than the stored DECIMAL(22,2))."""
+        stored = dict(self.mv.read(spark).dtypes)
+        return df.select(
+            *[F.col(c).cast(stored[c]).alias(c) for c in df.columns]
+        )
+
+    # -------------------------------------------------------- refresh
+    def applied_version(self) -> int | None:
+        """Base version the view state reflects (the txn watermark)."""
+        head = self.mv.latest_version()
+        if head is None:
+            return None
+        return self.mv._read_entry(head).get("txn", {}).get(_APP_ID)
+
+    def refresh(self, spark: SparkSession) -> dict:
+        """Advance the view to the base head. Returns a report dict:
+        ``mode`` in {"full", "delta", "rescan", "noop"} plus the version
+        window applied. One commit per refresh, txn-stamped with the
+        base version, so replays are no-ops."""
+        base_v = self.base.latest_version()
+        if base_v is None:
+            raise FileNotFoundError(f"base has no commits: {self.base.path}")
+        applied = self.applied_version()
+        if applied is None:
+            full = self.base.read(spark).groupBy(*self.group_by).agg(
+                *self._full_aggs()
+            )
+            self.mv.overwrite(full, txn=(_APP_ID, base_v))
+            return {"mode": "full", "from": None, "to": base_v}
+        if applied >= base_v:
+            return {"mode": "noop", "from": applied, "to": applied}
+        try:
+            feed = self.base.read_changes(
+                spark,
+                self.keys,
+                applied,
+                base_v,
+                include_deletes=True,
+                include_update_preimages=True,
+            )
+        except ValueError:
+            # metadata-only commits between the versions: nothing to
+            # fold. The watermark intentionally stays put — the next
+            # real change re-diffs from the same (cheap) endpoints.
+            return {"mode": "noop", "from": applied, "to": base_v}
+        null_keys = feed.where(
+            " OR ".join(f"`{g}` IS NULL" for g in self.group_by)
+        ).limit(1).count()
+        if null_keys:
+            raise ValueError(
+                "NULL group key in the change feed — the MERGE key join "
+                "is SQL equality, so a NULL group cannot be maintained"
+            )
+        if self._delta_ok:
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            deltas = feed.groupBy(*self.group_by).agg(
+                *self._delta_aggs(sign)
+            )
+            src = self._align_types(deltas, spark)
+            upd: dict[str, str] = {_N: f"t.{_N} + s.{_N}"}
+            for col, (kind, _) in self.aggs.items():
+                if kind == "count":
+                    upd[col] = f"t.{col} + s.{col}"
+                else:
+                    nn = _nn(col)
+                    upd[nn] = f"t.{nn} + s.{nn}"
+                    # SUM ignores NULLs: the pair (sum, non-null count)
+                    # folds exactly — NULL iff no non-null value remains.
+                    upd[col] = (
+                        f"CASE WHEN t.{nn} + s.{nn} = 0 THEN NULL "
+                        f"ELSE coalesce(t.{col}, 0) + coalesce(s.{col}, 0) "
+                        f"END"
+                    )
+            self.mv.merge_into(
+                spark,
+                src,
+                on=self.group_by,
+                matched_update=upd,
+                matched_update_condition=f"t.{_N} + s.{_N} <> 0",
+                matched_delete_condition=f"t.{_N} + s.{_N} = 0",
+                insert_condition=f"s.{_N} <> 0",
+                txn=(_APP_ID, base_v),
+            )
+            return {"mode": "delta", "from": applied, "to": base_v}
+        # rescan-groups: MIN/MAX present. The feed only names WHICH
+        # groups moved; those groups re-aggregate from the base head
+        # snapshot (semi-join-restricted — untouched groups are never
+        # read), and one merge replaces/inserts/deletes them.
+        affected = feed.select(*self.group_by).distinct()
+        recomputed = (
+            self.base.read(spark)
+            .join(affected, self.group_by, "left_semi")
+            .groupBy(*self.group_by)
+            .agg(*self._full_aggs())
+        )
+        # vanished groups (every row deleted) appear in `affected` but
+        # not in the recompute: left join marks them with a NULL _N.
+        src = affected.join(recomputed, self.group_by, "left")
+        src = self._align_types(src, spark)
+        upd = {_N: f"s.{_N}"}
+        for col, (kind, _) in self.aggs.items():
+            upd[col] = f"s.{col}"
+            if kind == "sum":
+                upd[_nn(col)] = f"s.{_nn(col)}"
+        self.mv.merge_into(
+            spark,
+            src,
+            on=self.group_by,
+            matched_update=upd,
+            matched_update_condition=f"s.{_N} IS NOT NULL",
+            matched_delete_condition=f"s.{_N} IS NULL",
+            insert_condition=f"s.{_N} IS NOT NULL",
+            txn=(_APP_ID, base_v),
+        )
+        return {"mode": "rescan", "from": applied, "to": base_v}
+
+    # ----------------------------------------------------------- read
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The view's public face: group keys + declared aggregates
+        (hidden maintenance columns dropped)."""
+        return self.mv.read(spark).select(
+            *self.group_by, *self.aggs.keys()
+        )
+
+
+# --------------------------------------------------------------- driver
+def _events_base(spark: SparkSession, sf_dir: str, name: str):
+    """Shared scenario base: the events projection as a partitioned
+    VersionedTable, first half committed."""
+    import os
+
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("pbucket", F.col("user_id") % 4)
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    root = scratch_dir(name)
+    base = VersionedTable(
+        os.path.join(root, "events"), partition_col="pbucket"
+    )
+    base.overwrite(ev.where(F.col("event_id") <= cut))
+    return ev, cut, root, base
+
+
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable DELTA-strategy materialized view: a COUNT/SUM
+    aggregate per event_type, full-built at v1, then maintained through
+    an append, a merge-on-read DELETE (positional-DV feed rows), and a
+    merge-on-read UPDATE (pre/post-image feed rows) — three refreshes,
+    each folding only the signed change rows, the base never rescanned
+    (asserted in-line via the report mode). The oracle recomputes the
+    same aggregate from the equivalent final state, so any drift
+    between arithmetic maintenance and full re-aggregation flips the
+    hash. SUMs run in DECIMAL(12,2) so the fold is order-exact."""
+    import os
+
+    ev, cut, root, base = _events_base(spark, sf_dir, "ivm_delta")
+    view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv"),
+        keys=["event_id"],
+        group_by=["event_type"],
+        aggs={
+            "cnt": ("count", ""),
+            "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
+        },
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    base.append(ev.where(F.col("event_id") > cut))
+    assert view.refresh(spark)["mode"] == "delta"
+    base.delete_where(spark, "event_id % 5 = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    base.update_where(
+        spark, "event_id % 3 = 0", {"value": F.col("value") * 2}, mode="mor"
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    return view.read(spark).select(
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+INCREMENTAL_MV_REFRESH_SQL = """
+WITH final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM final GROUP BY event_type
+"""
+
+
+def incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable RESCAN-strategy materialized view: MIN/MAX per
+    event_type (not self-maintainable under deletes — removing the
+    current minimum needs the runner-up), maintained through the same
+    append / MOR-delete / MOR-update sequence. Each refresh
+    re-aggregates ONLY the groups the feed names (semi-join-restricted
+    base read) and lands as one merge that replaces, inserts, or
+    deletes groups. Oracle = full re-aggregation of the final state."""
+    import os
+
+    ev, cut, root, base = _events_base(spark, sf_dir, "ivm_minmax")
+    view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv"),
+        keys=["event_id"],
+        group_by=["event_type"],
+        aggs={
+            "cnt": ("count", ""),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    base.append(ev.where(F.col("event_id") > cut))
+    assert view.refresh(spark)["mode"] == "rescan"
+    base.delete_where(spark, "event_id % 5 = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "rescan"
+    base.update_where(
+        spark, "event_id % 3 = 0", {"value": F.col("value") * 2}, mode="mor"
+    )
+    assert view.refresh(spark)["mode"] == "rescan"
+    return view.read(spark)
+
+
+INCREMENTAL_MV_MINMAX_SQL = """
+WITH final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_type, count(*) AS cnt,
+       min(value) AS min_value, max(value) AS max_value
+FROM final GROUP BY event_type
+"""

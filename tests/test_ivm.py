@@ -1,0 +1,200 @@
+"""Incremental materialized-view maintenance (operators/ivm.py).
+
+The maintenance invariant under test everywhere: after any DML
+sequence on the base, the incrementally-refreshed view equals a full
+re-aggregation of the base head — including the NULL-SUM and
+vanished-group edges where naive delta arithmetic diverges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.ivm import IncrementalAggView
+from de_final_project_spark.operators.txlog import VersionedTable
+
+
+def _base(spark, tmp_path, rows):
+    t = VersionedTable(str(tmp_path / "base"), partition_col="pb")
+    t.overwrite(
+        spark.createDataFrame(rows, "id long, g string, v double").withColumn(
+            "pb", F.col("id") % 2
+        )
+    )
+    return t
+
+
+def _view(base, tmp_path, aggs=None):
+    return IncrementalAggView(
+        base,
+        str(tmp_path / "mv"),
+        keys=["id"],
+        group_by=["g"],
+        aggs=aggs
+        or {"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+    )
+
+
+def _recompute(base, spark, view):
+    return {
+        tuple(r[g] for g in view.group_by): tuple(r[c] for c in view.aggs)
+        for r in base.read(spark)
+        .groupBy(*view.group_by)
+        .agg(
+            *[
+                F.count(F.lit(1)).alias(c)
+                if kind == "count"
+                else getattr(F, kind)(F.expr(e)).alias(c)
+                for c, (kind, e) in view.aggs.items()
+            ]
+        )
+        .collect()
+    }
+
+
+def _state(view, spark):
+    return {
+        tuple(r[g] for g in view.group_by): tuple(r[c] for c in view.aggs)
+        for r in view.read(spark).collect()
+    }
+
+
+def test_delta_matches_recompute_through_dml(spark, tmp_path):
+    base = _base(
+        spark,
+        tmp_path,
+        [(i, "ab"[i % 2], float(i)) for i in range(20)],
+    )
+    view = _view(base, tmp_path)
+    assert view.refresh(spark)["mode"] == "full"
+    base.append(
+        spark.createDataFrame(
+            [(i, "c", 1.5 * i) for i in range(20, 30)],
+            "id long, g string, v double",
+        ).withColumn("pb", F.col("id") % 2)
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    base.delete_where(spark, "id % 3 = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    base.update_where(spark, "id % 4 = 1", {"v": F.col("v") + 100}, mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    assert _state(view, spark) == _recompute(base, spark, view)
+
+
+def test_refresh_is_idempotent_noop(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    head = view.mv.latest_version()
+    assert view.refresh(spark)["mode"] == "noop"
+    assert view.mv.latest_version() == head
+    # a replayed delta (same base version) is absorbed by the txn stamp
+    base.append(
+        spark.createDataFrame([(3, "a", 3.0)], "id long, g string, v double")
+        .withColumn("pb", F.col("id") % 2)
+    )
+    view.refresh(spark)
+    head = view.mv.latest_version()
+    assert view.refresh(spark)["mode"] == "noop"
+    assert view.mv.latest_version() == head
+
+
+def test_null_sum_group_stays_null_then_fills(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", None), (2, "a", None)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    assert _state(view, spark) == {("a",): (2, None)}
+    base.append(
+        spark.createDataFrame([(3, "a", 5.0)], "id long, g string, v double")
+        .withColumn("pb", F.col("id") % 2)
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    ((cnt, sv),) = _state(view, spark).values()
+    assert (cnt, float(sv)) == (3, 5.0)
+    # removing the only non-null value returns the SUM to NULL
+    base.delete_where(spark, "id = 3", mode="mor")
+    view.refresh(spark)
+    assert _state(view, spark) == {("a",): (2, None)}
+
+
+def test_vanished_group_row_is_deleted(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (4, "b", 4.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    base.delete_where(spark, "g = 'b'")
+    assert view.refresh(spark)["mode"] == "delta"
+    assert set(_state(view, spark)) == {("a",)}
+
+
+def test_new_group_inserts(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    base.append(
+        spark.createDataFrame(
+            [(2, "z", 7.0), (3, "z", None)], "id long, g string, v double"
+        ).withColumn("pb", F.col("id") % 2)
+    )
+    view.refresh(spark)
+    st = _state(view, spark)
+    assert st[("a",)][0] == 1 and st[("z",)][0] == 2
+    assert float(st[("z",)][1]) == 7.0
+
+
+def test_null_group_key_raises(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    base.append(
+        spark.createDataFrame([(2, None, 2.0)], "id long, g string, v double")
+        .withColumn("pb", F.col("id") % 2)
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        view.refresh(spark)
+
+
+def test_rescan_minmax_survives_extremum_delete(spark, tmp_path):
+    base = _base(
+        spark, tmp_path, [(i, "ab"[i % 2], float(i)) for i in range(1, 11)]
+    )
+    view = _view(
+        base,
+        tmp_path,
+        aggs={"cnt": ("count", ""), "mn": ("min", "v"), "mx": ("max", "v")},
+    )
+    view.refresh(spark)
+    # delete both extremes of group 'a' (min id=2, max id=10): the
+    # runner-up values must surface — delta arithmetic cannot do this
+    base.delete_where(spark, "id IN (2, 10)", mode="mor")
+    assert view.refresh(spark)["mode"] == "rescan"
+    assert _state(view, spark) == _recompute(base, spark, view)
+    # untouched-group guarantee: 'b' rows never entered the recompute
+    base.update_where(spark, "g = 'a'", {"v": F.col("v") * 10})
+    view.refresh(spark)
+    assert _state(view, spark) == _recompute(base, spark, view)
+
+
+def test_rescan_vanished_group_deleted(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    view = _view(base, tmp_path, aggs={"mn": ("min", "v")})
+    view.refresh(spark)
+    base.delete_where(spark, "g = 'b'")
+    assert view.refresh(spark)["mode"] == "rescan"
+    assert set(_state(view, spark)) == {("a",)}
+
+
+def test_view_time_travel_keeps_old_state(spark, tmp_path):
+    """The view is itself a VersionedTable: the pre-refresh snapshot
+    stays readable at its old version."""
+    base = _base(spark, tmp_path, [(1, "a", 1.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    v1 = view.mv.latest_version()
+    base.append(
+        spark.createDataFrame([(2, "a", 2.0)], "id long, g string, v double")
+        .withColumn("pb", F.col("id") % 2)
+    )
+    view.refresh(spark)
+    old = view.mv.read(spark, version=v1).select("cnt").first()[0]
+    new = view.mv.read(spark).select("cnt").first()[0]
+    assert (old, new) == (1, 2)
