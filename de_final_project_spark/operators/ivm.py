@@ -177,47 +177,9 @@ class IncrementalAggView:
             # fold. The watermark intentionally stays put — the next
             # real change re-diffs from the same (cheap) endpoints.
             return {"mode": "noop", "from": applied, "to": base_v}
-        null_keys = feed.where(
-            " OR ".join(f"`{g}` IS NULL" for g in self.group_by)
-        ).limit(1).count()
-        if null_keys:
-            raise ValueError(
-                "NULL group key in the change feed — the MERGE key join "
-                "is SQL equality, so a NULL group cannot be maintained"
-            )
+        self._reject_null_keys(feed)
         if self._delta_ok:
-            sign = F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-            deltas = feed.groupBy(*self.group_by).agg(
-                *self._delta_aggs(sign)
-            )
-            src = self._align_types(deltas, spark)
-            upd: dict[str, str] = {_N: f"t.{_N} + s.{_N}"}
-            for col, (kind, _) in self.aggs.items():
-                if kind == "count":
-                    upd[col] = f"t.{col} + s.{col}"
-                else:
-                    nn = _nn(col)
-                    upd[nn] = f"t.{nn} + s.{nn}"
-                    # SUM ignores NULLs: the pair (sum, non-null count)
-                    # folds exactly — NULL iff no non-null value remains.
-                    upd[col] = (
-                        f"CASE WHEN t.{nn} + s.{nn} = 0 THEN NULL "
-                        f"ELSE coalesce(t.{col}, 0) + coalesce(s.{col}, 0) "
-                        f"END"
-                    )
-            self.mv.merge_into(
-                spark,
-                src,
-                on=self.group_by,
-                matched_update=upd,
-                matched_update_condition=f"t.{_N} + s.{_N} <> 0",
-                matched_delete_condition=f"t.{_N} + s.{_N} = 0",
-                insert_condition=f"s.{_N} <> 0",
-                txn=(_APP_ID, base_v),
-            )
+            self.fold_changes(spark, feed, base_v)
             return {"mode": "delta", "from": applied, "to": base_v}
         # rescan-groups: MIN/MAX present. The feed only names WHICH
         # groups moved; those groups re-aggregate from the base head
@@ -250,6 +212,63 @@ class IncrementalAggView:
             txn=(_APP_ID, base_v),
         )
         return {"mode": "rescan", "from": applied, "to": base_v}
+
+    def _reject_null_keys(self, feed: DataFrame) -> None:
+        if feed.where(
+            " OR ".join(f"`{g}` IS NULL" for g in self.group_by)
+        ).limit(1).count():
+            raise ValueError(
+                "NULL group key in the change feed — the MERGE key join "
+                "is SQL equality, so a NULL group cannot be maintained"
+            )
+
+    def fold_changes(
+        self, spark: SparkSession, feed: DataFrame, base_version: int
+    ) -> None:
+        """Fold one window of change rows (``_change_type``-tagged, the
+        read_changes / versioned_change_feed shape) into the view as a
+        single txn-stamped merge. Delta strategy only — SUM/COUNT
+        deltas are ADDITIVE across any split of the feed into windows,
+        which is exactly what lets a Structured Streaming consumer
+        maintain the view per micro-batch. On an empty view the first
+        fold IS the initial build (every change row is an insert)."""
+        if not self._delta_ok:
+            raise ValueError(
+                "fold_changes requires self-maintainable aggregates "
+                "(COUNT/SUM); MIN/MAX views refresh via refresh()"
+            )
+        self._reject_null_keys(feed)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        deltas = feed.groupBy(*self.group_by).agg(*self._delta_aggs(sign))
+        if self.mv.latest_version() is not None:
+            deltas = self._align_types(deltas, spark)
+        upd: dict[str, str] = {_N: f"t.{_N} + s.{_N}"}
+        for col, (kind, _) in self.aggs.items():
+            if kind == "count":
+                upd[col] = f"t.{col} + s.{col}"
+            else:
+                nn = _nn(col)
+                upd[nn] = f"t.{nn} + s.{nn}"
+                # SUM ignores NULLs: the pair (sum, non-null count)
+                # folds exactly — NULL iff no non-null value remains.
+                upd[col] = (
+                    f"CASE WHEN t.{nn} + s.{nn} = 0 THEN NULL "
+                    f"ELSE coalesce(t.{col}, 0) + coalesce(s.{col}, 0) "
+                    f"END"
+                )
+        self.mv.merge_into(
+            spark,
+            deltas,
+            on=self.group_by,
+            matched_update=upd,
+            matched_update_condition=f"t.{_N} + s.{_N} <> 0",
+            matched_delete_condition=f"t.{_N} + s.{_N} = 0",
+            insert_condition=f"s.{_N} <> 0",
+            txn=(_APP_ID, base_version),
+        )
 
     # ----------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
@@ -377,5 +396,106 @@ WITH final AS (
 )
 SELECT event_type, count(*) AS cnt,
        min(value) AS min_value, max(value) AS max_value
+FROM final GROUP BY event_type
+"""
+
+def streamed_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable STREAMING materialized view: the bronze events
+    table takes four commits (load, append, merge-on-read UPDATE that
+    MOVES rows between groups — event_type flips to 'patched' — and a
+    merge-on-read DELETE), then a genuine Structured Streaming query
+    subscribes via the versioned_change_feed source (availableNow,
+    maxVersionsPerTrigger=2 so the fold spans several micro-batches)
+    and maintains the COUNT/SUM view per version window through
+    ``fold_changes`` — possible precisely because SUM/COUNT deltas are
+    additive across any split of the feed, and idempotent because each
+    fold is txn-stamped with its commit version. The group migration is
+    the interesting delta: the update's preimage subtracts from the old
+    event_type and its postimage adds to 'patched'. Oracle = full
+    re-aggregation of the equivalent final state."""
+    import os
+
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+    from de_final_project_spark.streaming.change_source import (
+        read_change_feed,
+    )
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("pbucket", (F.col("user_id") % 4).cast("int"))
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    root = scratch_dir("streamed_mv")
+    bronze = VersionedTable(
+        os.path.join(root, "bronze"), partition_col="pbucket"
+    )
+    bronze.overwrite(ev.where(F.col("event_id") <= cut))
+    bronze.append(ev.where(F.col("event_id") > cut))
+    bronze.update_where(
+        spark,
+        "event_id % 7 = 0",
+        {"event_type": "'patched'", "value": F.col("value") * 2},
+        mode="mor",
+    )
+    bronze.delete_where(spark, "event_id % 11 = 0", mode="mor")
+
+    mv_path = os.path.join(root, "mv")
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        view = IncrementalAggView(
+            VersionedTable(bronze.path, partition_col="pbucket"),
+            mv_path,
+            keys=["event_id"],
+            group_by=["event_type"],
+            aggs={
+                "cnt": ("count", ""),
+                "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
+            },
+        )
+        versions = sorted(
+            r[0]
+            for r in batch_df.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            view.fold_changes(
+                s,
+                batch_df.where(F.col("_commit_version") == v).drop(
+                    "_commit_version"
+                ),
+                v,
+            )
+
+    q = (
+        read_change_feed(spark, bronze.path, max_versions_per_trigger=2)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mv = VersionedTable(mv_path)
+    return mv.read(spark).select(
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAMED_MV_REFRESH_SQL = """
+WITH final AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN 'patched' ELSE event_type END
+             AS event_type,
+         CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 11 <> 0
+)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM final GROUP BY event_type
 """

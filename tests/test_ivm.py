@@ -183,6 +183,87 @@ def test_rescan_vanished_group_deleted(spark, tmp_path):
     assert set(_state(view, spark)) == {("a",)}
 
 
+def _stream_fold(spark, base, mv_path, ckpt):
+    """Run the availableNow change-feed stream folding into an MV at
+    mv_path (maxVersionsPerTrigger=1 forces one micro-batch per
+    commit)."""
+    from de_final_project_spark.operators.ivm import IncrementalAggView
+    from de_final_project_spark.streaming.change_source import (
+        read_change_feed,
+    )
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        view = IncrementalAggView(
+            VersionedTable(base.path, partition_col="pb"),
+            mv_path,
+            keys=["id"],
+            group_by=["g"],
+            aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+        )
+        for v in sorted(
+            r[0] for r in batch_df.select("_commit_version").distinct().collect()
+        ):
+            view.fold_changes(
+                s,
+                batch_df.where(F.col("_commit_version") == v).drop(
+                    "_commit_version"
+                ),
+                v,
+            )
+
+    q = (
+        read_change_feed(spark, base.path, max_versions_per_trigger=1)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streamed_fold_matches_recompute_and_replays_idempotently(
+    spark, tmp_path
+):
+    base = _base(
+        spark, tmp_path, [(i, "ab"[i % 2], float(i)) for i in range(12)]
+    )
+    base.append(
+        spark.createDataFrame(
+            [(i, "c", 2.0 * i) for i in range(12, 18)],
+            "id long, g string, v double",
+        ).withColumn("pb", F.col("id") % 2)
+    )
+    base.update_where(spark, "id % 4 = 0", {"v": F.col("v") + 10}, mode="mor")
+    base.delete_where(spark, "id % 5 = 3", mode="mor")
+    mv_path = str(tmp_path / "smv")
+    _stream_fold(spark, base, mv_path, str(tmp_path / "ckpt1"))
+    view = _view(base, tmp_path)
+    view.mv = VersionedTable(mv_path)
+    assert _state(view, spark) == _recompute(base, spark, view)
+    # one fold commit per base version (maxVersionsPerTrigger=1)
+    head = view.mv.latest_version()
+    assert head == base.latest_version()
+    # checkpoint loss: a fresh stream from version 0 replays every
+    # window; the per-version txn stamps absorb all of them
+    _stream_fold(spark, base, mv_path, str(tmp_path / "ckpt2"))
+    assert view.mv.latest_version() == head
+    assert _state(view, spark) == _recompute(base, spark, view)
+
+
+def test_fold_changes_rejects_minmax_view(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0)])
+    view = _view(base, tmp_path, aggs={"mn": ("min", "v")})
+    with pytest.raises(ValueError, match="self-maintainable"):
+        view.fold_changes(
+            spark,
+            base.read(spark).withColumn("_change_type", F.lit("insert")),
+            1,
+        )
+
+
 def test_view_time_travel_keeps_old_state(spark, tmp_path):
     """The view is itself a VersionedTable: the pre-refresh snapshot
     stays readable at its old version."""
