@@ -66,7 +66,20 @@ class IncrementalAggView:
     {"count", "sum", "min", "max"}; ``expr`` is a SQL expression over
     the base columns ("count" ignores it). AVG is derived: declare the
     SUM and the COUNT and divide on read. ``keys`` is the base row
-    identity the change feed diffs on."""
+    identity the change feed diffs on.
+
+    ``transform`` (optional) enriches rows BEFORE grouping — the
+    aggregate-over-join view: typically a broadcast join to a STATIC
+    dimension plus derived columns, letting ``group_by``/``aggs``
+    reference dimension attributes. It must be deterministic and
+    row-local (each input row maps to 0..N output rows independently —
+    filters and 1:N joins are fine), and must carry the
+    ``_change_type`` column through when present in its input (a join
+    that doesn't consume it does this for free): a change row and its
+    base row must transform identically, or signed deltas stop
+    cancelling. A CHANGING dimension is out of contract — its updates
+    never appear in the base's feed (maintain such views from the
+    dimension's own feed, or rescan)."""
 
     def __init__(
         self,
@@ -75,6 +88,7 @@ class IncrementalAggView:
         keys: Sequence[str],
         group_by: Sequence[str],
         aggs: dict[str, tuple[str, str]],
+        transform=None,
     ):
         for out, (kind, _) in aggs.items():
             if kind not in ("count", "sum", "min", "max"):
@@ -85,6 +99,7 @@ class IncrementalAggView:
         self.keys = list(keys)
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        self.transform = transform if transform is not None else (lambda df: df)
         self.mv = VersionedTable(path)
         # SUM/COUNT fold arithmetically; MIN/MAX force the affected
         # groups to be re-aggregated from the base snapshot.
@@ -156,8 +171,10 @@ class IncrementalAggView:
             raise FileNotFoundError(f"base has no commits: {self.base.path}")
         applied = self.applied_version()
         if applied is None:
-            full = self.base.read(spark).groupBy(*self.group_by).agg(
-                *self._full_aggs()
+            full = (
+                self.transform(self.base.read(spark))
+                .groupBy(*self.group_by)
+                .agg(*self._full_aggs())
             )
             self.mv.overwrite(full, txn=(_APP_ID, base_v))
             return {"mode": "full", "from": None, "to": base_v}
@@ -177,7 +194,6 @@ class IncrementalAggView:
             # fold. The watermark intentionally stays put — the next
             # real change re-diffs from the same (cheap) endpoints.
             return {"mode": "noop", "from": applied, "to": base_v}
-        self._reject_null_keys(feed)
         if self._delta_ok:
             self.fold_changes(spark, feed, base_v)
             return {"mode": "delta", "from": applied, "to": base_v}
@@ -185,9 +201,11 @@ class IncrementalAggView:
         # groups moved; those groups re-aggregate from the base head
         # snapshot (semi-join-restricted — untouched groups are never
         # read), and one merge replaces/inserts/deletes them.
+        feed = self.transform(feed)
+        self._reject_null_keys(feed)
         affected = feed.select(*self.group_by).distinct()
         recomputed = (
-            self.base.read(spark)
+            self.transform(self.base.read(spark))
             .join(affected, self.group_by, "left_semi")
             .groupBy(*self.group_by)
             .agg(*self._full_aggs())
@@ -236,6 +254,12 @@ class IncrementalAggView:
             raise ValueError(
                 "fold_changes requires self-maintainable aggregates "
                 "(COUNT/SUM); MIN/MAX views refresh via refresh()"
+            )
+        feed = self.transform(feed)
+        if "_change_type" not in feed.columns:
+            raise ValueError(
+                "transform dropped _change_type — enrichment must carry "
+                "the change tag through (see the transform contract)"
             )
         self._reject_null_keys(feed)
         sign = F.when(
@@ -398,6 +422,80 @@ SELECT event_type, count(*) AS cnt,
        min(value) AS min_value, max(value) AS max_value
 FROM final GROUP BY event_type
 """
+
+def incremental_mv_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable aggregate-over-join view: order revenue per
+    customer MARKET SEGMENT — the group key lives on a static broadcast
+    dimension, not the base table, so every feed row is enriched by the
+    same ``transform`` the full build uses before its signed delta
+    lands. DML exercises the joined delta both ways: an appended second
+    half, a MOR delete, and a MOR price update whose pre/postimages
+    both route through the join to the same segment. Oracle = the
+    equivalent join + full re-aggregation of the final state."""
+    import os
+
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    orders = (
+        read_testdata(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("pbucket", F.col("o_custkey") % 4)
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = (lo + hi) // 2
+    root = scratch_dir("ivm_joined")
+    base = VersionedTable(
+        os.path.join(root, "orders"), partition_col="pbucket"
+    )
+    base.overwrite(orders.where(F.col("o_orderkey") <= cut))
+    dim = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+
+    view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv"),
+        keys=["o_orderkey"],
+        group_by=["c_mktsegment"],
+        aggs={
+            "n_orders": ("count", ""),
+            "revenue": ("sum", "CAST(o_totalprice AS DECIMAL(12,2))"),
+        },
+        transform=lambda df: df.join(F.broadcast(dim), "o_custkey"),
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    base.append(orders.where(F.col("o_orderkey") > cut))
+    assert view.refresh(spark)["mode"] == "delta"
+    base.delete_where(spark, "o_orderkey % 5 = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    base.update_where(
+        spark,
+        "o_orderkey % 3 = 0",
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        mode="mor",
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    return view.read(spark).select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+INCREMENTAL_MV_JOINED_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM final JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
 
 def streamed_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable STREAMING materialized view: the bronze events

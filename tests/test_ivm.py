@@ -253,6 +253,62 @@ def test_streamed_fold_matches_recompute_and_replays_idempotently(
     assert _state(view, spark) == _recompute(base, spark, view)
 
 
+def test_transform_filter_and_join_maintains(spark, tmp_path):
+    """A row-local transform (filter + broadcast dim join) applies
+    identically to the full build and to every signed feed row."""
+    dim = spark.createDataFrame(
+        [("a", "east"), ("b", "west"), ("c", "east")], "g string, region string"
+    )
+    base = _base(
+        spark, tmp_path, [(i, "abc"[i % 3], float(i)) for i in range(18)]
+    )
+    view = IncrementalAggView(
+        base,
+        str(tmp_path / "mv"),
+        keys=["id"],
+        group_by=["region"],
+        aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+        transform=lambda df: df.where(F.col("v") >= 2).join(
+            F.broadcast(dim), "g"
+        ),
+    )
+    view.refresh(spark)
+    base.delete_where(spark, "id % 4 = 2", mode="mor")
+    base.update_where(spark, "id % 5 = 1", {"v": F.col("v") * 3}, mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    got = {r["region"]: (r["cnt"], float(r["sv"])) for r in view.read(spark).collect()}
+    want = {
+        r["region"]: (r["cnt"], float(r["sv"]))
+        for r in view.transform(base.read(spark))
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr("CAST(v AS DECIMAL(12,2))")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_dropping_change_type_raises(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    view = _view(base, tmp_path)
+    view.transform = lambda df: df.select("g", "v")
+    view.mv.overwrite(
+        spark.createDataFrame(
+            [("a", 1, 1.0, 1, 1)],
+            f"g string, cnt long, sv double, _ivm_n long, _ivm_nn_sv long",
+        ),
+        txn=("ivm", 1),
+    )
+    base.append(
+        spark.createDataFrame([(3, "a", 3.0)], "id long, g string, v double")
+        .withColumn("pb", F.col("id") % 2)
+    )
+    with pytest.raises(ValueError, match="_change_type"):
+        view.refresh(spark)
+
+
 def test_fold_changes_rejects_minmax_view(spark, tmp_path):
     base = _base(spark, tmp_path, [(1, "a", 1.0)])
     view = _view(base, tmp_path, aggs={"mn": ("min", "v")})
