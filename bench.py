@@ -95,6 +95,13 @@ BENCH_QUERIES_R5 = [
     "versioned_dv_delete",
     "versioned_dv_update",
     "versioned_append_load",
+    # round 9 (second session): incremental materialized views (delta
+    # fold, group rescan, aggregate-over-join) and SemDeDup's
+    # cluster-then-prune pipeline.
+    "incremental_mv_refresh",
+    "incremental_mv_minmax",
+    "incremental_mv_joined",
+    "semantic_dedup",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
@@ -126,6 +133,9 @@ BENCH_QUERIES_STREAMING = [
     # IVF-PQ index (frozen quantizer + frozen codebooks + coded MERGE).
     "streamed_gold_from_feed",
     "streamed_ivfpq_index",
+    # round 9 (second session): the streamed materialized view (four
+    # commits folded per version window through the change-feed source).
+    "streamed_mv_refresh",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the

@@ -497,6 +497,66 @@ GROUP BY c_mktsegment
 """
 
 
+def incremental_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable CASCADED materialized views: tier 1 rolls
+    events up to (event_type, day); tier 2 bases on TIER 1's OWN
+    VersionedTable — the view is a table, so it has a change feed, and
+    a coarser rollup subscribes to it exactly like any consumer. Tier
+    2's aggregates are sums OF tier-1 sums (a re-rollup: its cnt is
+    SUM(cnt), not COUNT(*)), and tier-1 group updates arrive as
+    pre/postimage pairs whose signed deltas net to the group's change.
+    This is the lakehouse medallion ladder (bronze -> hourly -> daily)
+    with every hop incremental: each refresh at each tier costs the
+    churn of the tier below, never a rescan. Oracle = one direct full
+    aggregation of the final base state."""
+    import os
+
+    ev, cut, root, base = _events_base(spark, sf_dir, "ivm_cascade")
+    tier1 = IncrementalAggView(
+        base,
+        os.path.join(root, "mv_day"),
+        keys=["event_id"],
+        group_by=["event_type", "day"],
+        aggs={
+            "cnt": ("count", ""),
+            "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
+        },
+        transform=lambda df: df.withColumn("day", F.to_date("ts")),
+    )
+    tier2 = IncrementalAggView(
+        tier1.mv,
+        os.path.join(root, "mv_total"),
+        keys=["event_type", "day"],
+        group_by=["event_type"],
+        aggs={"cnt": ("sum", "cnt"), "sum_value": ("sum", "sum_value")},
+    )
+
+    def ladder():
+        tier1.refresh(spark)
+        tier2.refresh(spark)
+
+    ladder()
+    base.append(ev.where(F.col("event_id") > cut))
+    ladder()
+    base.delete_where(spark, "event_id % 5 = 0", mode="mor")
+    ladder()
+    base.update_where(
+        spark, "event_id % 3 = 0", {"value": F.col("value") * 2}, mode="mor"
+    )
+    ladder()
+    assert tier2.refresh(spark)["mode"] == "noop"
+    return tier2.read(spark).select(
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+# Identical final state to the single-tier delta view: summing the
+# day-level partial aggregates re-aggregates to the same totals.
+INCREMENTAL_MV_CASCADE_SQL = INCREMENTAL_MV_REFRESH_SQL
+
+
 def streamed_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable STREAMING materialized view: the bronze events
     table takes four commits (load, append, merge-on-read UPDATE that

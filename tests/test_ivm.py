@@ -320,6 +320,42 @@ def test_fold_changes_rejects_minmax_view(spark, tmp_path):
         )
 
 
+def test_cascaded_view_catches_up_across_lag(spark, tmp_path):
+    """Tier 2 (an MV over tier 1's table) may lag several tier-1
+    commits; one refresh folds the whole window."""
+    base = _base(
+        spark, tmp_path, [(i, "ab"[i % 2], float(i)) for i in range(10)]
+    )
+    tier1 = _view(base, tmp_path)
+    # grand total via a constant group key (the merge join needs a key)
+    tier2 = IncrementalAggView(
+        tier1.mv,
+        str(tmp_path / "mv2"),
+        keys=["g"],
+        group_by=["grp"],
+        aggs={"total_cnt": ("sum", "cnt"), "total_sv": ("sum", "sv")},
+        transform=lambda df: df.withColumn("grp", F.lit("all")),
+    )
+    tier1.refresh(spark)
+    tier2.refresh(spark)
+    # two tier-1 commits while tier 2 sleeps
+    base.append(
+        spark.createDataFrame(
+            [(10, "c", 10.0), (11, "a", 11.0)], "id long, g string, v double"
+        ).withColumn("pb", F.col("id") % 2)
+    )
+    tier1.refresh(spark)
+    base.delete_where(spark, "id % 2 = 0")
+    tier1.refresh(spark)
+    assert tier2.refresh(spark)["mode"] == "delta"
+    row = tier2.read(spark).first()
+    n = base.read(spark).count()
+    sv = base.read(spark).agg(
+        F.sum(F.expr("CAST(v AS DECIMAL(12,2))"))
+    ).first()[0]
+    assert (row["total_cnt"], row["total_sv"]) == (n, sv)
+
+
 def test_view_time_travel_keeps_old_state(spark, tmp_path):
     """The view is itself a VersionedTable: the pre-refresh snapshot
     stays readable at its old version."""
