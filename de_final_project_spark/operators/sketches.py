@@ -374,3 +374,142 @@ SELECT o_orderpriority,
 FROM truth
 GROUP BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------- quantiles
+# Mergeable equi-width histogram quantile sketch. The scale story: exact
+# percentiles need a full sort (or an order-dependent streaming sketch
+# like GK/KLL/t-digest, which no cross-engine oracle can replay); an
+# equi-width histogram over a FIXED bucketing is order-independent,
+# mergeable by plain addition (map-side combine IS the merge), costs one
+# scan + a <=HQ_BUCKETS-row aggregate, and answers any quantile with
+# error bounded by one bucket width. Boundaries come from an exact
+# min/max pre-pass (two scans total — the same two-scan discipline as
+# plans/stats.py's profiler); shards that reuse the boundaries merge by
+# summing counts (pinned by test).
+#
+# Everything is exact integer arithmetic until ONE final IEEE division,
+# the same fixed-point discipline as k-means/PageRank/BPE: values
+# quantize by floor(x * 64) (power of two — exact in doubles), buckets
+# by integer division over the quantized span, the rank by
+# ceil-as-integers, and the in-bucket linear interpolation as a ratio of
+# exact int64 products. No round() anywhere — there is no .5 boundary to
+# disagree on.
+
+HQ_BUCKETS = 64
+HQ_SCALE = 64  # power of two: x*HQ_SCALE is exact in doubles
+HQ_PHIS = (25, 50, 75, 90, 99)  # integer percents, exact rank math
+
+
+def _hq_quantized(col: Column) -> Column:
+    return F.floor(col * HQ_SCALE).cast("long")
+
+
+def hq_counts(df: DataFrame, col: str, qmin: int, span: int) -> DataFrame:
+    """The sketch itself: (bucket, cnt) under boundaries [qmin,
+    qmin+span) split into HQ_BUCKETS equi-width cells. Two sketches
+    built under the SAME boundaries merge by summing cnt per bucket."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            (
+                (_hq_quantized(F.col(col)) - F.lit(int(qmin)))
+                * HQ_BUCKETS
+            ).alias("sq")
+        )
+        .select(F.expr(f"sq div {int(span)}L").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles of lineitem extended price: for each
+    phi, the rank, the bucket that covers it, the bucket's exact bounds
+    (lo/hi are /64ths — exact doubles), and the interpolated estimate
+    (one IEEE division of exact int64 products). The exact-sort twin is
+    quantity_percentiles (plans/setops.py); this is the form that runs
+    at 100 TB — one scan, a 64-row aggregate, no sort."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_extendedprice")
+    q = _hq_quantized(F.col("l_extendedprice"))
+    qmin, qmax, n = li.agg(F.min(q), F.max(q), F.count(q)).first()
+    span = int(qmax) - int(qmin) + 1
+    counts = hq_counts(li, "l_extendedprice", int(qmin), span)
+    from pyspark.sql import Window
+
+    cum = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    phis = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in HQ_PHIS])).alias("phi")
+    )
+    # rank = ceil(phi% * n) computed as exact integers — a float here
+    # could disagree with the oracle when a bucket's cum lands exactly
+    # on the rank
+    rank_expr = F.expr(f"(phi * {int(n)}L + 99) div 100")
+    ranked = (
+        phis.join(cum)
+        .where(F.col("cum") >= rank_expr)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("phi").orderBy("bucket")
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    lo_q = F.lit(int(qmin)) + F.expr(f"(bucket * {span}L) div {HQ_BUCKETS}")
+    hi_q = F.lit(int(qmin)) + F.expr(
+        f"((bucket + 1) * {span}L) div {HQ_BUCKETS}"
+    )
+    rank = rank_expr.cast("long")
+    pos = rank - (F.col("cum") - F.col("cnt"))
+    return ranked.select(
+        F.col("phi").cast("long").alias("phi"),
+        rank.alias("rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").alias("n_in_bucket"),
+        (lo_q.cast("double") / HQ_SCALE).alias("bucket_lo"),
+        (hi_q.cast("double") / HQ_SCALE).alias("bucket_hi"),
+        (
+            (lo_q * F.col("cnt") + (hi_q - lo_q) * pos).cast("double")
+            / (F.col("cnt") * HQ_SCALE).cast("double")
+        ).alias("est"),
+    )
+
+
+VALUE_QUANTILE_SKETCH_SQL = f"""
+WITH q AS (
+  SELECT CAST(floor(l_extendedprice * {HQ_SCALE}) AS BIGINT) AS q
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), bounds AS (
+  SELECT min(q) AS qmin, max(q) - min(q) + 1 AS span,
+         count(*)::BIGINT AS n
+  FROM q
+), counts AS (
+  SELECT ((q.q - b.qmin) * {HQ_BUCKETS}) // b.span AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM q, bounds b GROUP BY 1
+), cum AS (
+  SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum
+  FROM counts
+), phis AS (
+  SELECT unnest([{", ".join(str(p) for p in HQ_PHIS)}])::BIGINT AS phi
+), hit AS (
+  SELECT phi, bucket, cnt, cum,
+         (phi * b.n + 99) // 100 AS rank, b.qmin, b.span,
+         row_number() OVER (PARTITION BY phi ORDER BY bucket) AS rk
+  FROM phis, cum, bounds b
+  WHERE cum >= (phi * b.n + 99) // 100
+)
+SELECT phi, rank, bucket, cnt AS n_in_bucket,
+       (qmin + (bucket * span) // {HQ_BUCKETS})::DOUBLE / {HQ_SCALE}
+         AS bucket_lo,
+       (qmin + ((bucket + 1) * span) // {HQ_BUCKETS})::DOUBLE / {HQ_SCALE}
+         AS bucket_hi,
+       ((qmin + (bucket * span) // {HQ_BUCKETS}) * cnt
+        + (((bucket + 1) * span) // {HQ_BUCKETS}
+           - (bucket * span) // {HQ_BUCKETS}) * (rank - (cum - cnt)))::DOUBLE
+       / (cnt * {HQ_SCALE})::DOUBLE AS est
+FROM hit WHERE rk = 1
+"""

@@ -260,3 +260,56 @@ def test_merged_user_snapshot_delta_wins(spark):
         if r.from_delta:
             assert r.event_id > cut
     snap.unpersist()
+
+
+# ------------------------------------------------------ quantile sketch
+def test_hq_sketch_merges_by_addition(spark):
+    """Two shards sketched under the SAME boundaries merge by summing
+    counts — map-side combine is the merge."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 201)], "x double"
+    )
+    qmin = 1 * sk.HQ_SCALE
+    span = 200 * sk.HQ_SCALE - qmin + 1
+    whole = {
+        r["bucket"]: r["cnt"]
+        for r in sk.hq_counts(df, "x", qmin, span).collect()
+    }
+    a = sk.hq_counts(df.where("x <= 87"), "x", qmin, span).collect()
+    b = sk.hq_counts(df.where("x > 87"), "x", qmin, span).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[r["bucket"]] = merged.get(r["bucket"], 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_hq_quantile_estimates_within_one_bucket(spark):
+    """Estimates are monotone in phi, land inside their bucket, and sit
+    within one bucket width of the exact percentile."""
+    from de_final_project_spark.operators import sketches as sk
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["phi"]: r for r in sk.value_quantile_sketch(spark, sf).collect()}
+    assert set(rows) == set(sk.HQ_PHIS)
+    from de_final_project_spark.sources.readers import read_testdata
+
+    vals = sorted(
+        r[0]
+        for r in read_testdata(spark, sf, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    prev = None
+    for phi in sorted(rows):
+        r = rows[phi]
+        assert r["bucket_lo"] <= r["est"] <= r["bucket_hi"]
+        if prev is not None:
+            assert r["est"] >= prev
+        prev = r["est"]
+        exact = vals[r["rank"] - 1]
+        width = r["bucket_hi"] - r["bucket_lo"]
+        assert abs(r["est"] - exact) <= width
