@@ -103,6 +103,7 @@ BENCH_QUERIES_R5 = [
     "incremental_mv_joined",
     "semantic_dedup",
     "value_quantile_sketch",
+    "hybrid_search_rrf",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
