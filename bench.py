@@ -104,6 +104,7 @@ BENCH_QUERIES_R5 = [
     "semantic_dedup",
     "value_quantile_sketch",
     "hybrid_search_rrf",
+    "user_value_ewma",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

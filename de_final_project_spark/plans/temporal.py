@@ -1174,3 +1174,68 @@ SELECT cust_key, recency_days, frequency, monetary,
        || ntile(4) OVER (ORDER BY monetary DESC, cust_key ASC)::VARCHAR AS segment
 FROM base
 """
+
+
+EWMA_W = 16  # trailing row frame; weights 2^-k are exact in int64
+EWMA_SCALE = 64  # power of two: value*64 is exact in doubles
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event value
+    (alpha = 1/2, adjust-normalized, trailing EWMA_W rows) — the
+    feature-engineering staple for behavioral trends, in a form both
+    engines compute BIT-IDENTICALLY: alpha = 1/2 makes every weight a
+    power of two, values quantize by floor(x*64), so numerator
+    (sum of q_i << i over the ordered frame) and denominator (2^m - 1)
+    are exact int64 and the EWMA is ONE IEEE division — the same
+    fixed-point discipline as k-means/PageRank/the quantile sketch. The
+    frame list is collected in frame order (oldest first) on both
+    engines, so the indexed weights agree by construction.
+
+    One shuffle on user_id; the frame is 16 longs per row — bounded
+    state, no sort beyond the window's. Reference analog: none
+    (extension surface, time-series ops)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+    qs = F.collect_list(
+        F.floor(F.col("value") * EWMA_SCALE).cast("long")
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        qs.alias("_qs"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(aggregate(transform(_qs, (x, i) -> "
+            "              x * shiftleft(CAST(1 AS BIGINT), i)), "
+            "          CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE) "
+            f"/ CAST((shiftleft(CAST(1 AS BIGINT), size(_qs)) - 1) "
+            f"       * {EWMA_SCALE} AS DOUBLE)"
+        ).alias("ewma"),
+    )
+
+
+USER_VALUE_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, ts,
+         list(CAST(floor(value * {EWMA_SCALE}) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW)
+           AS qs
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       list_sum(list_transform(qs,
+                  (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1))))::DOUBLE
+       / (((CAST(1 AS BIGINT) << len(qs)) - 1) * {EWMA_SCALE})::DOUBLE
+         AS ewma
+FROM framed
+"""

@@ -40,3 +40,36 @@ def test_locf_carries_last_observed(spark):
             last[k] = r["filled_avg"]
         elif k in last:
             assert r["filled_avg"] == last[k]
+
+
+def test_ewma_hand_computed(spark):
+    """EWMA with alpha=1/2 over a hand-built 3-event frame: weights
+    oldest->newest are 1,2,4 over a denominator of 7 (adjust form)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from de_final_project_spark.plans import temporal as tp
+
+    rows = [
+        (1, 9, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (2, 9, dt.datetime(2024, 1, 1, 0, 1, 0), 2.0),
+        (3, 9, dt.datetime(2024, 1, 1, 0, 2, 0), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    import de_final_project_spark.sources.readers as readers
+
+    orig = readers.read_testdata
+    try:
+        readers_patch = lambda s, d, t: df  # noqa: E731
+        tp.read_testdata = readers_patch
+        out = {r["event_id"]: r["ewma"] for r in tp.user_value_ewma(spark, "x").collect()}
+    finally:
+        tp.read_testdata = orig
+    # frame [1]: 1.0; frame [1,2]: (1*1 + 2*2)/3; frame [1,2,4]:
+    # (1*1 + 2*2 + 4*4)/7  (quantized by 64 exactly: values are ints)
+    assert out[1] == 1.0
+    assert out[2] == (1 + 2 * 2) / 3
+    assert out[3] == (1 + 2 * 2 + 4 * 4) / 7
