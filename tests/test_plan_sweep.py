@@ -47,6 +47,11 @@ BNLJ_ALLOWED = {
     "q22_sales_opportunity",  # avg-balance scalar pin
     "source_quality_report",  # corpus-stat scalar pin
     "customer_rfm_segments",  # 1-row corpus-max-date scalar pin
+    "hybrid_search_rrf",  # 1-row avgdl scalar pin (same as bm25_scores)
+    # 5-phi x <=64-bucket literal grid: every phi scans the cumulative
+    # histogram — the cross product IS the quantile lookup and is
+    # bounded by HQ_PHIS x HQ_BUCKETS, corpus-size-independent.
+    "value_quantile_sketch",
     # |segments| x |nations| grid densification (~125 rows): Catalyst
     # folds the constant-key equi-join back to a nested loop; the cross
     # product is the intent and is bounded by category cardinality.
