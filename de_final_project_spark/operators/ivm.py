@@ -1,6 +1,7 @@
 """Incremental materialized-view maintenance over the transaction log.
 
-A materialized aggregate (GROUP BY keys -> COUNT / SUM / MIN / MAX)
+A materialized aggregate (GROUP BY keys -> COUNT / SUM / MIN / MAX
+/ COUNT DISTINCT)
 whose refresh cost tracks the CHURN of the base table, not its size:
 the view subscribes to the base :class:`VersionedTable`'s change feed
 and folds only the changed rows into its stored state. At 100 TB this
@@ -18,8 +19,9 @@ Maintenance strategies (classic IVM taxonomy):
   into the view. The base table is NEVER read. NULL-correct: each SUM
   column carries a hidden non-null count so a group whose values are
   all NULL reports NULL (not 0), exactly like a full re-aggregation.
-- **rescan-groups** — MIN/MAX are not self-maintainable under deletes
-  (removing the current minimum needs the runner-up): the feed is used
+- **rescan-groups** — MIN/MAX/COUNT DISTINCT are not self-maintainable
+  under deletes (removing the current minimum needs the runner-up; a
+  distinct count needs the remaining multiset): the feed is used
   only to find AFFECTED group keys, and exactly those groups are
   re-aggregated from the base snapshot (a semi-join-restricted scan;
   untouched groups cost nothing). Chosen automatically when any
@@ -63,7 +65,8 @@ class IncrementalAggView:
     incrementally from the base's change feed.
 
     ``aggs`` maps output column -> ``(kind, expr)`` with kind in
-    {"count", "sum", "min", "max"}; ``expr`` is a SQL expression over
+    {"count", "sum", "min", "max", "count_distinct"}; ``expr`` is a SQL
+    expression over
     the base columns ("count" ignores it). AVG is derived: declare the
     SUM and the COUNT and divide on read. ``keys`` is the base row
     identity the change feed diffs on.
@@ -91,7 +94,7 @@ class IncrementalAggView:
         transform=None,
     ):
         for out, (kind, _) in aggs.items():
-            if kind not in ("count", "sum", "min", "max"):
+            if kind not in ("count", "sum", "min", "max", "count_distinct"):
                 raise ValueError(f"unsupported aggregate kind {kind!r}")
             if out in group_by or out in (_N,):
                 raise ValueError(f"aggregate column {out!r} collides")
@@ -101,8 +104,9 @@ class IncrementalAggView:
         self.aggs = dict(aggs)
         self.transform = transform if transform is not None else (lambda df: df)
         self.mv = VersionedTable(path)
-        # SUM/COUNT fold arithmetically; MIN/MAX force the affected
-        # groups to be re-aggregated from the base snapshot.
+        # SUM/COUNT fold arithmetically; MIN/MAX/COUNT DISTINCT force
+        # the affected groups to be re-aggregated from the base
+        # snapshot (a delete needs the runner-up / remaining multiset).
         self._delta_ok = all(
             k in ("count", "sum") for k, _ in self.aggs.values()
         )
@@ -124,8 +128,10 @@ class IncrementalAggView:
                 )
             elif kind == "min":
                 out.append(F.min(F.expr(expr)).alias(col))
-            else:
+            elif kind == "max":
                 out.append(F.max(F.expr(expr)).alias(col))
+            else:
+                out.append(F.countDistinct(F.expr(expr)).alias(col))
         return out
 
     def _delta_aggs(self, sign) -> list:
@@ -293,6 +299,23 @@ class IncrementalAggView:
             insert_condition=f"s.{_N} <> 0",
             txn=(_APP_ID, base_version),
         )
+
+    def verify(self, spark: SparkSession) -> bool:
+        """Anti-entropy check: does the stored view equal a full
+        re-aggregation of the base head? Runs the recompute the view
+        exists to avoid — for audits and tests, never the refresh
+        path."""
+        full = (
+            self.transform(self.base.read(spark))
+            .groupBy(*self.group_by)
+            .agg(*self._full_aggs())
+        )
+        stored = self._align_types(full, spark)
+        mv = self.mv.read(spark)
+        cols = mv.columns
+        diff = stored.select(cols).exceptAll(mv.select(cols)).limit(1)
+        rdiff = mv.select(cols).exceptAll(stored.select(cols)).limit(1)
+        return diff.count() == 0 and rdiff.count() == 0
 
     # ----------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:

@@ -371,3 +371,48 @@ def test_view_time_travel_keeps_old_state(spark, tmp_path):
     old = view.mv.read(spark, version=v1).select("cnt").first()[0]
     new = view.mv.read(spark).select("cnt").first()[0]
     assert (old, new) == (1, 2)
+
+
+def test_count_distinct_rescans_and_matches(spark, tmp_path):
+    base = _base(
+        spark,
+        tmp_path,
+        [(i, "ab"[i % 2], float(i % 3)) for i in range(12)],
+    )
+    view = _view(
+        base,
+        tmp_path,
+        aggs={"cnt": ("count", ""), "nv": ("count_distinct", "v")},
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    # deleting every v=0 row of group 'a' must drop its distinct count
+    base.delete_where(spark, "g = 'a' AND v = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "rescan"
+    st = {r["g"]: (r["cnt"], r["nv"]) for r in view.read(spark).collect()}
+    want = {
+        r["g"]: (r["cnt"], r["nv"])
+        for r in base.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("v").alias("nv"),
+        )
+        .collect()
+    }
+    assert st == want
+    assert view.verify(spark)
+
+
+def test_verify_detects_tampering(spark, tmp_path):
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    view = _view(base, tmp_path)
+    view.refresh(spark)
+    assert view.verify(spark)
+    # tamper: double one count via a raw merge on the view table
+    tampered = view.mv.read(spark).withColumn(
+        "cnt", F.col("cnt") + F.when(F.col("g") == "a", 1).otherwise(0)
+    )
+    # no txn stamp: a stamped overwrite at the applied version would be
+    # absorbed as an idempotent replay (that's the point of the stamp)
+    view.mv.overwrite(tampered)
+    assert not view.verify(spark)

@@ -1,0 +1,151 @@
+"""Property-based test: an IncrementalAggView refreshed after EVERY
+step of an arbitrary DML sequence must equal a sequential Python
+reference model of the final aggregate — the maintenance invariant
+under adversarial op interleavings (append / COW delete / MOR delete /
+MOR update, group creation, group vanishing, NULL values), for both
+strategies (delta COUNT/SUM and rescan MIN/COUNT DISTINCT). Examples
+are deliberately few (each costs real commits); the value is the
+shape coverage, not volume."""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.ivm import IncrementalAggView
+from de_final_project_spark.operators.txlog import VersionedTable
+
+# ops: ("append", rows) | ("delete", mod, rem, mode) | ("update", mod,
+# rem, add). Predicates are id-modulus so the reference model is exact.
+_row = st.tuples(
+    st.integers(min_value=0, max_value=30),
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+)
+
+
+def _rows(min_size=1):
+    return st.lists(_row, min_size=min_size, max_size=6, unique_by=lambda r: r[0])
+
+
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows(min_size=0)),
+    st.tuples(
+        st.just("delete"),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["cow", "mor"]),
+    ),
+    st.tuples(
+        st.just("update"),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=1, max_value=7),
+    ),
+)
+
+
+def _reference(state: dict) -> dict:
+    """state: id -> (g, v). Returns g -> (cnt, sum, min, n_distinct)."""
+    out: dict = {}
+    for g, v in state.values():
+        c, s, m, d = out.get(g, (0, None, None, set()))
+        c += 1
+        if v is not None:
+            s = v if s is None else s + v
+            m = v if m is None else min(m, v)
+            d = d | {v}
+        out[g] = (c, s, m, d)
+    return {
+        g: (c, s, m, len(d)) for g, (c, s, m, d) in out.items()
+    }
+
+
+@given(initial=_rows(), ops=st.lists(_op, min_size=1, max_size=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivm_matches_reference_through_dml(
+    spark, tmp_path_factory, initial, ops
+):
+    root = str(tmp_path_factory.mktemp("ivm"))
+    base = VersionedTable(os.path.join(root, "base"), partition_col="pb")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, g, float(v) if v is not None else None, i % 2) for i, g, v in rows],
+        "id long, g string, v double, pb long",
+    )
+    base.overwrite(mk(initial))
+    delta_view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv_delta"),
+        keys=["id"],
+        group_by=["g"],
+        aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+    )
+    rescan_view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv_rescan"),
+        keys=["id"],
+        group_by=["g"],
+        aggs={"mn": ("min", "v"), "nd": ("count_distinct", "v")},
+    )
+    state = {i: (g, v) for i, g, v in initial}
+    delta_view.refresh(spark)
+    rescan_view.refresh(spark)
+    for op in ops:
+        if op[0] == "append":
+            fresh = [r for r in op[1] if r[0] not in state]
+            if not fresh:
+                continue
+            base.append(mk(fresh))
+            for i, g, v in fresh:
+                state[i] = (g, v)
+        elif op[0] == "delete":
+            _, mod, rem, mode = op
+            if not any(i % mod == rem for i in state):
+                continue
+            base.delete_where(spark, f"id % {mod} = {rem}", mode=mode)
+            state = {i: gv for i, gv in state.items() if i % mod != rem}
+        else:
+            _, mod, rem, add = op
+            if not any(i % mod == rem for i in state):
+                continue
+            base.update_where(
+                spark,
+                f"id % {mod} = {rem}",
+                {"v": F.col("v") + add},
+                mode="mor",
+            )
+            state = {
+                i: (g, (v + add) if (i % mod == rem and v is not None) else v)
+                for i, (g, v) in state.items()
+            }
+        r1 = delta_view.refresh(spark)
+        r2 = rescan_view.refresh(spark)
+        assert r1["mode"] in ("delta", "noop")
+        assert r2["mode"] in ("rescan", "noop")
+    want = _reference(state)
+    if not state:
+        return  # every row deleted: the empty-view read is pinned elsewhere
+    got_d = {
+        r["g"]: (r["cnt"], None if r["sv"] is None else Decimal(r["sv"]))
+        for r in delta_view.read(spark).collect()
+    }
+    got_r = {
+        r["g"]: (r["mn"], r["nd"])
+        for r in rescan_view.read(spark).collect()
+    }
+    assert got_d == {
+        g: (c, None if s is None else Decimal(s).quantize(Decimal("0.01")))
+        for g, (c, s, m, d) in want.items()
+    }, f"delta diverged: state={state}"
+    assert got_r == {
+        g: (None if m is None else float(m), d)
+        for g, (c, s, m, d) in want.items()
+    }, f"rescan diverged: state={state}"
