@@ -177,8 +177,10 @@ class IncrementalAggView:
             raise FileNotFoundError(f"base has no commits: {self.base.path}")
         applied = self.applied_version()
         if applied is None:
+            # pinned at base_v: the build must reflect exactly the
+            # version its txn stamp claims (see the rescan note)
             full = (
-                self.transform(self.base.read(spark))
+                self.transform(self.base.read(spark, version=base_v))
                 .groupBy(*self.group_by)
                 .agg(*self._full_aggs())
             )
@@ -210,8 +212,12 @@ class IncrementalAggView:
         feed = self.transform(feed)
         self._reject_null_keys(feed)
         affected = feed.select(*self.group_by).distinct()
+        # read PINNED at the watermark target: a concurrent writer
+        # committing between latest_version() and here must not leak
+        # newer rows into a refresh stamped base_v (time travel makes
+        # snapshot isolation free)
         recomputed = (
-            self.transform(self.base.read(spark))
+            self.transform(self.base.read(spark, version=base_v))
             .join(affected, self.group_by, "left_semi")
             .groupBy(*self.group_by)
             .agg(*self._full_aggs())

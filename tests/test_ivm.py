@@ -416,3 +416,34 @@ def test_verify_detects_tampering(spark, tmp_path):
     # absorbed as an idempotent replay (that's the point of the stamp)
     view.mv.overwrite(tampered)
     assert not view.verify(spark)
+
+
+def test_refresh_pins_base_version_against_racing_writer(spark, tmp_path):
+    """A commit landing between latest_version() and the recompute read
+    must not leak into a refresh stamped with the earlier version."""
+    base = _base(spark, tmp_path, [(1, "a", 1.0), (2, "a", 5.0)])
+    view = _view(base, tmp_path, aggs={"mn": ("min", "v")})
+    view.refresh(spark)
+    base.delete_where(spark, "id = 1", mode="mor")  # min becomes 5.0
+    v_target = base.latest_version()
+    # simulate the race: another writer appends AFTER the refresh's
+    # target version is chosen — monkeypatch latest_version to return
+    # the stale head the refresh observed
+    orig = base.latest_version
+    base.latest_version = lambda: v_target
+    try:
+        racer = VersionedTable(base.path, partition_col="pb")
+        racer.append(
+            spark.createDataFrame(
+                [(3, "a", 0.25)], "id long, g string, v double"
+            ).withColumn("pb", F.col("id") % 2)
+        )
+        view.refresh(spark)
+    finally:
+        base.latest_version = orig
+    # the refresh was stamped v_target and must show min=5.0 (the racing
+    # 0.25 row belongs to the NEXT refresh)
+    assert view.applied_version() == v_target
+    assert _state(view, spark) == {("a",): (5.0,)}
+    view.refresh(spark)
+    assert _state(view, spark) == {("a",): (0.25,)}
