@@ -273,12 +273,20 @@ class IncrementalAggView:
                 "transform dropped _change_type — enrichment must carry "
                 "the change tag through (see the transform contract)"
             )
-        self._reject_null_keys(feed)
+        self._merge_signed(spark, feed, (_APP_ID, base_version))
+
+    def _merge_signed(
+        self, spark: SparkSession, signed: DataFrame, txn: tuple[str, int]
+    ) -> None:
+        """Aggregate ``_change_type``-tagged rows into signed per-group
+        deltas and land them as one txn-stamped merge (shared by the
+        single-table fold and the two-sided join view)."""
+        self._reject_null_keys(signed)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit(1),
         ).otherwise(F.lit(-1))
-        deltas = feed.groupBy(*self.group_by).agg(*self._delta_aggs(sign))
+        deltas = signed.groupBy(*self.group_by).agg(*self._delta_aggs(sign))
         if self.mv.latest_version() is not None:
             deltas = self._align_types(deltas, spark)
         upd: dict[str, str] = {_N: f"t.{_N} + s.{_N}"}
@@ -303,7 +311,7 @@ class IncrementalAggView:
             matched_update_condition=f"t.{_N} + s.{_N} <> 0",
             matched_delete_condition=f"t.{_N} + s.{_N} = 0",
             insert_condition=f"s.{_N} <> 0",
-            txn=(_APP_ID, base_version),
+            txn=txn,
         )
 
     def verify(self, spark: SparkSession) -> bool:
@@ -329,6 +337,148 @@ class IncrementalAggView:
         (hidden maintenance columns dropped)."""
         return self.mv.read(spark).select(
             *self.group_by, *self.aggs.keys()
+        )
+
+
+_J_APP_ID = "ivmj"
+_J_SHIFT = 1 << 30  # encodes (fact_version, dim_version) in one stamp
+
+
+class IncrementalJoinAggView(IncrementalAggView):
+    """Aggregate over ``fact ⋈ dim`` where BOTH tables change — the
+    full bilinear IVM the single-table ``transform`` contract excludes.
+
+    The maintenance identity (bag algebra, exact):
+
+        F_new⋈D_new − F_old⋈D_old  =  ΔF⋈D_new  +  F_old⋈ΔD
+
+    so one refresh lands two signed terms: the fact feed joined to the
+    PINNED NEW dim snapshot, and the PINNED OLD fact snapshot joined to
+    the dim feed (the join itself is the restriction — only facts of
+    CHANGED dim keys are read, so a dim trickle never rescans the fact
+    table, and a dim-side segment move re-buckets exactly the affected
+    groups via the pre/postimage pair). No ΔF⋈ΔD term exists in this
+    expansion — simultaneous churn on both sides is covered exactly.
+
+    Contract: the join is many-to-one (dim key unique per version);
+    aggregates must be self-maintainable (COUNT/SUM). The single txn
+    stamp encodes both watermarks as ``f_v * 2^30 + d_v`` — strictly
+    monotone because versions only grow.
+
+    Reference analog: none — this closes the "changing dimension"
+    exclusion documented on :class:`IncrementalAggView`."""
+
+    def __init__(
+        self,
+        fact: VersionedTable,
+        dim: VersionedTable,
+        path: str,
+        fact_keys: Sequence[str],
+        dim_keys: Sequence[str],
+        on: tuple[str, str],
+        group_by: Sequence[str],
+        aggs: dict[str, tuple[str, str]],
+    ):
+        super().__init__(fact, path, fact_keys, group_by, aggs)
+        if not self._delta_ok:
+            raise ValueError(
+                "IncrementalJoinAggView requires self-maintainable "
+                "aggregates (COUNT/SUM)"
+            )
+        self.dim = dim
+        self.dim_keys = list(dim_keys)
+        self.fact_on, self.dim_on = on
+
+    def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+        return fact_df.join(
+            dim_df, fact_df[self.fact_on] == dim_df[self.dim_on]
+        ).drop(self.dim_on)
+
+    def applied_versions(self) -> tuple[int, int] | None:
+        head = self.mv.latest_version()
+        if head is None:
+            return None
+        enc = self.mv._read_entry(head).get("txn", {}).get(_J_APP_ID)
+        if enc is None:
+            return None
+        return divmod(enc, _J_SHIFT)
+
+    def refresh(self, spark: SparkSession) -> dict:
+        f_v = self.base.latest_version()
+        d_v = self.dim.latest_version()
+        if f_v is None or d_v is None:
+            raise FileNotFoundError("fact and dim both need commits")
+        enc = f_v * _J_SHIFT + d_v
+        applied = self.applied_versions()
+        if applied is None:
+            full = (
+                self._joined(
+                    self.base.read(spark, version=f_v),
+                    self.dim.read(spark, version=d_v),
+                )
+                .groupBy(*self.group_by)
+                .agg(*self._full_aggs())
+            )
+            self.mv.overwrite(full, txn=(_J_APP_ID, enc))
+            return {"mode": "full", "from": None, "to": (f_v, d_v)}
+        af, ad = applied
+        if (af, ad) == (f_v, d_v):
+            return {"mode": "noop", "from": applied, "to": applied}
+        terms = []
+        if f_v > af:
+            try:
+                f_feed = self.base.read_changes(
+                    spark, self.keys, af, f_v,
+                    include_deletes=True,
+                    include_update_preimages=True,
+                )
+            except ValueError:
+                f_feed = None
+            if f_feed is not None:
+                terms.append(
+                    self._joined(
+                        f_feed, self.dim.read(spark, version=d_v)
+                    )
+                )
+        if d_v > ad:
+            try:
+                d_feed = self.dim.read_changes(
+                    spark, self.dim_keys, ad, d_v,
+                    include_deletes=True,
+                    include_update_preimages=True,
+                )
+            except ValueError:
+                d_feed = None
+            if d_feed is not None:
+                # the OLD fact snapshot; the join to the dim feed is
+                # itself the changed-keys restriction
+                terms.append(
+                    self._joined(
+                        self.base.read(spark, version=af), d_feed
+                    )
+                )
+        if not terms:
+            return {"mode": "noop", "from": applied, "to": (f_v, d_v)}
+        signed = terms[0]
+        for t in terms[1:]:
+            signed = signed.unionByName(t)
+        self._merge_signed(spark, signed, (_J_APP_ID, enc))
+        return {"mode": "delta", "from": applied, "to": (f_v, d_v)}
+
+    def verify(self, spark: SparkSession) -> bool:
+        full = (
+            self._joined(self.base.read(spark), self.dim.read(spark))
+            .groupBy(*self.group_by)
+            .agg(*self._full_aggs())
+        )
+        stored = self._align_types(full, spark)
+        mv = self.mv.read(spark)
+        cols = mv.columns
+        return (
+            stored.select(cols).exceptAll(mv.select(cols)).limit(1).count()
+            == 0
+            and mv.select(cols).exceptAll(stored.select(cols)).limit(1).count()
+            == 0
         )
 
 
@@ -522,6 +672,87 @@ WITH final AS (
 SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM final JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def incremental_mv_dim_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable TWO-SIDED join view: revenue per market segment
+    where the DIMENSION churns too. The fact side appends its second
+    half and MOR-deletes a slice; the dim side MOR-moves every 7th
+    customer to a new segment (a mass group migration arriving as
+    pre/postimage pairs through the F_old⋈ΔD term) and MOR-deletes
+    every 11th-mod-3 customer (whose orders must vanish from the view —
+    inner-join semantics). The last refresh folds BOTH feeds in one
+    window, exercising the exact two-term identity ΔF⋈D_new + F_old⋈ΔD
+    with simultaneous churn. Oracle = one full join + re-aggregation of
+    the equivalent final state."""
+    import os
+
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    orders = (
+        read_testdata(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("pbucket", F.col("o_custkey") % 4)
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = (lo + hi) // 2
+    root = scratch_dir("ivm_dim_churn")
+    fact = VersionedTable(
+        os.path.join(root, "orders"), partition_col="pbucket"
+    )
+    fact.overwrite(orders.where(F.col("o_orderkey") <= cut))
+    dim = VersionedTable(os.path.join(root, "customer"))
+    dim.overwrite(
+        read_testdata(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    view = IncrementalJoinAggView(
+        fact,
+        dim,
+        os.path.join(root, "mv"),
+        fact_keys=["o_orderkey"],
+        dim_keys=["c_custkey"],
+        on=("o_custkey", "c_custkey"),
+        group_by=["c_mktsegment"],
+        aggs={
+            "n_orders": ("count", ""),
+            "revenue": ("sum", "CAST(o_totalprice AS DECIMAL(12,2))"),
+        },
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    fact.append(orders.where(F.col("o_orderkey") > cut))
+    assert view.refresh(spark)["mode"] == "delta"  # ΔF⋈D term only
+    dim.update_where(
+        spark, "c_custkey % 7 = 0", {"c_mktsegment": "'MOVED'"}, mode="mor"
+    )
+    assert view.refresh(spark)["mode"] == "delta"  # F_old⋈ΔD term only
+    fact.delete_where(spark, "o_orderkey % 5 = 0", mode="mor")
+    dim.delete_where(spark, "c_custkey % 11 = 3", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"  # both terms, one window
+    return view.read(spark).select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+INCREMENTAL_MV_DIM_CHURN_SQL = """
+WITH f AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+), d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 3
+)
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM f JOIN d ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 

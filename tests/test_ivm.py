@@ -447,3 +447,83 @@ def test_refresh_pins_base_version_against_racing_writer(spark, tmp_path):
     assert _state(view, spark) == {("a",): (5.0,)}
     view.refresh(spark)
     assert _state(view, spark) == {("a",): (0.25,)}
+
+
+def _join_setup(spark, tmp_path):
+    from de_final_project_spark.operators.ivm import IncrementalJoinAggView
+
+    fact = VersionedTable(str(tmp_path / "fact"), partition_col="pb")
+    fact.overwrite(
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(1, 9)],
+            "id long, k long, v double",
+        ).withColumn("pb", F.col("id") % 2)
+    )
+    dim = VersionedTable(str(tmp_path / "dim"))
+    dim.overwrite(
+        spark.createDataFrame(
+            [(0, "g0"), (1, "g1"), (2, "g2")], "k long, grp string"
+        )
+    )
+    view = IncrementalJoinAggView(
+        fact,
+        dim,
+        str(tmp_path / "mv"),
+        fact_keys=["id"],
+        dim_keys=["k"],
+        on=("k", "k"),
+        group_by=["grp"],
+        aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+    )
+    return fact, dim, view
+
+
+def test_join_view_dim_insert_adopts_orphan_facts(spark, tmp_path):
+    """Facts referencing a missing dim key (k=3) contribute nothing
+    until the dim key is inserted — then one refresh adopts them."""
+    fact, dim, view = _join_setup(spark, tmp_path)
+    view.refresh(spark)
+    st = _state(view, spark)
+    assert set(st) == {("g0",), ("g1",), ("g2",)}  # k=3 facts orphaned
+    dim.append(spark.createDataFrame([(3, "g3")], "k long, grp string"))
+    assert view.refresh(spark)["mode"] == "delta"
+    st = _state(view, spark)
+    assert st[("g3",)][0] == 2  # ids 3 and 7
+    assert view.verify(spark)
+
+
+def test_join_view_dim_delete_drops_group(spark, tmp_path):
+    fact, dim, view = _join_setup(spark, tmp_path)
+    view.refresh(spark)
+    dim.delete_where(spark, "k = 1")
+    assert view.refresh(spark)["mode"] == "delta"
+    assert ("g1",) not in _state(view, spark)
+    assert view.verify(spark)
+
+
+def test_join_view_simultaneous_churn_is_exact(spark, tmp_path):
+    """Both feeds in ONE window, including a fact row whose dim row
+    changes in the same window (the correlation the two-term identity
+    must cover without a ΔF⋈ΔD term)."""
+    fact, dim, view = _join_setup(spark, tmp_path)
+    view.refresh(spark)
+    # same window: fact id=1 (k=1) updates value; dim k=1 moves group;
+    # fact id=2 deletes; dim k=2 deletes (dropping ids 2*,6)
+    fact.update_where(spark, "id = 1", {"v": F.col("v") + 100}, mode="mor")
+    fact.delete_where(spark, "id = 2", mode="mor")
+    dim.update_where(spark, "k = 1", {"grp": "'moved'"}, mode="mor")
+    dim.delete_where(spark, "k = 2", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    assert view.verify(spark), _state(view, spark)
+
+
+def test_join_view_rejects_minmax(spark, tmp_path):
+    from de_final_project_spark.operators.ivm import IncrementalJoinAggView
+
+    fact, dim, _ = _join_setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="self-maintainable"):
+        IncrementalJoinAggView(
+            fact, dim, str(tmp_path / "mv2"),
+            fact_keys=["id"], dim_keys=["k"], on=("k", "k"),
+            group_by=["grp"], aggs={"mn": ("min", "v")},
+        )
