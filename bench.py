@@ -101,6 +101,7 @@ BENCH_QUERIES_R5 = [
     "incremental_mv_refresh",
     "incremental_mv_minmax",
     "incremental_mv_joined",
+    "incremental_mv_dim_churn",
     "semantic_dedup",
     "value_quantile_sketch",
     "hybrid_search_rrf",
