@@ -149,3 +149,132 @@ def test_ivm_matches_reference_through_dml(
         g: (None if m is None else float(m), d)
         for g, (c, s, m, d) in want.items()
     }, f"rescan diverged: state={state}"
+
+
+# ---------------------------------------------------------- join view
+# fact ops: ("fappend", rows) | ("fdelete", mod, rem) — dim ops:
+# ("dmove", mod, rem, grp) | ("ddelete", mod, rem) | ("dappend", keys)
+_fact_row = st.tuples(
+    st.integers(min_value=0, max_value=24),      # id
+    st.integers(min_value=0, max_value=6),       # k (dim key, some missing)
+    st.integers(min_value=-4, max_value=4),      # v
+)
+_join_op = st.one_of(
+    st.tuples(
+        st.just("fappend"),
+        st.lists(_fact_row, min_size=0, max_size=4, unique_by=lambda r: r[0]),
+    ),
+    st.tuples(
+        st.just("fdelete"),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=0, max_value=3),
+    ),
+    st.tuples(
+        st.just("dmove"),
+        st.integers(min_value=2, max_value=3),
+        st.integers(min_value=0, max_value=2),
+        st.sampled_from(["gx", "gy"]),
+    ),
+    st.tuples(
+        st.just("ddelete"),
+        st.integers(min_value=2, max_value=3),
+        st.integers(min_value=0, max_value=2),
+    ),
+)
+
+
+def _join_reference(facts: dict, dims: dict) -> dict:
+    out: dict = {}
+    for _, (k, v) in facts.items():
+        if k in dims:
+            g = dims[k]
+            c, s = out.get(g, (0, 0))
+            out[g] = (c + 1, s + v)
+    return out
+
+
+@given(
+    initial=st.lists(
+        _fact_row, min_size=1, max_size=6, unique_by=lambda r: r[0]
+    ),
+    ops=st.lists(_join_op, min_size=1, max_size=3),
+    refresh_every=st.booleans(),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_view_matches_reference_through_dml(
+    spark, tmp_path_factory, initial, ops, refresh_every
+):
+    """The two-term identity under arbitrary fact/dim interleavings —
+    with refresh_every=False several ops land in ONE window, covering
+    simultaneous two-sided churn (the no-cross-term case)."""
+    from de_final_project_spark.operators.ivm import IncrementalJoinAggView
+
+    root = str(tmp_path_factory.mktemp("ivmj"))
+    fact = VersionedTable(os.path.join(root, "fact"), partition_col="pb")
+    mkf = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, k, float(v), i % 2) for i, k, v in rows],
+        "id long, k long, v double, pb long",
+    )
+    fact.overwrite(mkf(initial))
+    dims = {k: f"g{k % 3}" for k in range(5)}  # keys 5,6 start missing
+    dim = VersionedTable(os.path.join(root, "dim"))
+    dim.overwrite(
+        spark.createDataFrame(
+            [(k, g) for k, g in dims.items()], "k long, grp string"
+        )
+    )
+    view = IncrementalJoinAggView(
+        fact,
+        dim,
+        os.path.join(root, "mv"),
+        fact_keys=["id"],
+        dim_keys=["k"],
+        on=("k", "k"),
+        group_by=["grp"],
+        aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+    )
+    facts = {i: (k, v) for i, k, v in initial}
+    view.refresh(spark)
+    for op in ops:
+        if op[0] == "fappend":
+            fresh = [r for r in op[1] if r[0] not in facts]
+            if fresh:
+                fact.append(mkf(fresh))
+                for i, k, v in fresh:
+                    facts[i] = (k, v)
+        elif op[0] == "fdelete":
+            _, mod, rem = op
+            if any(i % mod == rem for i in facts):
+                fact.delete_where(spark, f"id % {mod} = {rem}", mode="mor")
+                facts = {i: kv for i, kv in facts.items() if i % mod != rem}
+        elif op[0] == "dmove":
+            _, mod, rem, grp = op
+            if any(k % mod == rem for k in dims):
+                dim.update_where(
+                    spark, f"k % {mod} = {rem}", {"grp": f"'{grp}'"},
+                    mode="mor",
+                )
+                dims = {
+                    k: (grp if k % mod == rem else g)
+                    for k, g in dims.items()
+                }
+        else:
+            _, mod, rem = op
+            if any(k % mod == rem for k in dims):
+                dim.delete_where(spark, f"k % {mod} = {rem}", mode="mor")
+                dims = {k: g for k, g in dims.items() if k % mod != rem}
+        if refresh_every:
+            view.refresh(spark)
+    view.refresh(spark)
+    want = _join_reference(facts, dims)
+    got = {
+        r["grp"]: (r["cnt"], int(r["sv"]))
+        for r in view.read(spark).collect()
+    }
+    assert got == {g: (c, s) for g, (c, s) in want.items()}, (
+        f"facts={facts} dims={dims} refresh_every={refresh_every}"
+    )
