@@ -609,3 +609,71 @@ FROM t
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN runs r USING (doc_id)
 """
+
+
+# ----------------------------------------------------------------------
+# Training-shard export manifest
+# ----------------------------------------------------------------------
+
+SHARD_BINS = 32  # packed sequences per output shard
+
+
+def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export plan for the packed token stream: group the packing bins
+    into fixed-size output shards (WebDataset-style) and emit the
+    per-shard manifest a resumable writer verifies against — bin and
+    doc counts, token totals, id range, fill ratio against the shard's
+    token capacity, and an ORDER-INDEPENDENT content fingerprint (sum
+    of each member doc's md5-prefix integer) so any engine can confirm
+    a shard's membership without reading the data. One extra hash
+    aggregate on top of sequence_packing's distributed cumsum; the
+    manifest is O(corpus / shard-capacity) rows — the control-plane
+    artifact, not the data.
+
+    Fill is exact-int division as double (no rounding hazard); a doc
+    straddling a shard boundary belongs to the shard of its STARTING
+    bin, the same rule packing uses for bins — so fill can exceed 1.0
+    slightly on straddles, which is the honest number (capacity
+    accounting, not padding)."""
+    packed = sequence_packing(spark, sf_dir)
+    doc_fp = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        packed.select(
+            F.expr(f"bin_id div {SHARD_BINS}").alias("shard_id"),
+            "bin_id",
+            "doc_id",
+            "n_tokens",
+            doc_fp.alias("_fp"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            (
+                F.sum("n_tokens").cast("double")
+                / float(SHARD_BINS * PACK_BUDGET)
+            ).alias("fill"),
+            F.sum("_fp").alias("content_hash"),
+        )
+    )
+
+
+PACKED_SHARD_MANIFEST_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_SQL})
+SELECT bin_id // {SHARD_BINS} AS shard_id,
+       count(DISTINCT bin_id)::BIGINT AS n_bins,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       sum(n_tokens)::DOUBLE / {SHARD_BINS * PACK_BUDGET} AS fill,
+       sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)::BIGINT
+         AS content_hash
+FROM packed
+GROUP BY 1
+"""

@@ -368,3 +368,37 @@ def test_doc_quality_pandas_twin_exact_parity(spark):
         r.doc_id: tuple(r) for r in doc_quality_pandas(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_shard_manifest_consistent_with_packing(spark):
+    """Shard totals re-derive from the packing assignment: bins group
+    into shards of SHARD_BINS, token sums and doc counts add up, and
+    the content hash equals the sum of member doc fingerprints."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators import trainprep as tp
+
+    sf = "/root/testdata/sf0.001"
+    packed = tp.sequence_packing(spark, sf).collect()
+    manifest = {r["shard_id"]: r for r in tp.packed_shard_manifest(spark, sf).collect()}
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r["bin_id"] // tp.SHARD_BINS, []).append(r)
+    assert set(manifest) == set(by_shard)
+    for sid, rows in by_shard.items():
+        m = manifest[sid]
+        assert m["n_docs"] == len(rows)
+        assert m["n_tokens"] == sum(r["n_tokens"] for r in rows)
+        assert m["n_bins"] == len({r["bin_id"] for r in rows})
+        assert m["first_doc"] == min(r["doc_id"] for r in rows)
+        assert m["last_doc"] == max(r["doc_id"] for r in rows)
+        assert m["fill"] == m["n_tokens"] / (tp.SHARD_BINS * tp.PACK_BUDGET)
+    # fingerprint: recompute one shard's hash driver-side
+    import hashlib
+
+    sid, rows = next(iter(by_shard.items()))
+    want = sum(
+        int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+        for r in rows
+    )
+    assert manifest[sid]["content_hash"] == want
