@@ -97,3 +97,79 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
 FROM documents
 """
+
+
+def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict ACROSS methods — which passes flagged
+    each doc as a duplicate: exact fingerprint (non-canonical copy of a
+    byte-identical group), MinHash near-dup (non-canonical member of an
+    LSH cluster), and SemDeDup (pruned by the embedding
+    cluster-then-compare pass; NULL for docs without an embedding).
+    dedup_method_agreement summarizes corpus-level overlap in one row;
+    this is the row-level artifact a curation pipeline actually acts on
+    — and audits ("why was doc X dropped?"). Each arm is the existing
+    scale-shaped operator; the consolidation is two key joins.
+    Reference analog: none (extension surface)."""
+    from de_final_project_spark.operators.neardup import neardup_clusters
+    from de_final_project_spark.operators.semdedup import semantic_dedup
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    per_doc_hash = docs.select(
+        "doc_id", fingerprint("text").alias("text_hash")
+    )
+    exact = per_doc_hash.join(
+        dedup_docs_exact(spark, sf_dir), "text_hash"
+    ).select(
+        "doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("exact_dup"),
+    )
+    minhash = neardup_clusters(spark, sf_dir).select(
+        "doc_id", (~F.col("is_canonical")).alias("minhash_dup")
+    )
+    semantic = semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        (~F.col("kept")).alias("semantic_dup"),
+    )
+    return (
+        exact.join(minhash, "doc_id")
+        .join(semantic, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            "minhash_dup",
+            "semantic_dup",
+            (
+                F.col("exact_dup").cast("long")
+                + F.col("minhash_dup").cast("long")
+                + F.coalesce(F.col("semantic_dup").cast("long"), F.lit(0))
+            ).alias("n_flags"),
+        )
+    )
+
+
+def _dedup_provenance_sql() -> str:
+    from de_final_project_spark.operators.neardup import NEARDUP_CLUSTERS_SQL
+    from de_final_project_spark.operators.semdedup import SEMANTIC_DEDUP_SQL
+
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+), exact AS (
+  SELECT p.doc_id, p.doc_id <> g.canonical_doc_id AS exact_dup
+  FROM per_doc p JOIN ({DEDUP_DOCS_EXACT_SQL}) g USING (text_hash)
+), mh AS (
+  SELECT doc_id, NOT is_canonical AS minhash_dup
+  FROM ({NEARDUP_CLUSTERS_SQL})
+), sem AS (
+  SELECT vec_id AS doc_id, NOT kept AS semantic_dup
+  FROM ({SEMANTIC_DEDUP_SQL})
+)
+SELECT e.doc_id, e.exact_dup, mh.minhash_dup, sem.semantic_dup,
+       (e.exact_dup::BIGINT + mh.minhash_dup::BIGINT
+        + coalesce(sem.semantic_dup::BIGINT, 0)) AS n_flags
+FROM exact e
+JOIN mh USING (doc_id)
+LEFT JOIN sem USING (doc_id)
+"""

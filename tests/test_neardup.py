@@ -205,3 +205,34 @@ def test_band_join_skew_guard_salted_output_identical(spark):
     }
     assert salted == plain and plain  # non-empty and identical
     bands.unpersist()
+
+
+def test_dedup_provenance_consistent_with_arms(spark):
+    """The consolidated verdict agrees with each method's own output,
+    covers every doc exactly once, and n_flags sums the booleans."""
+    import pyspark.sql.functions as F
+
+    from de_final_project_spark.operators import textdedup as td
+    from de_final_project_spark.operators.neardup import neardup_clusters
+    from de_final_project_spark.operators.semdedup import semantic_dedup
+    from de_final_project_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.001"
+    prov = {r["doc_id"]: r for r in td.dedup_provenance(spark, sf).collect()}
+    n = read_testdata(spark, sf, "documents").count()
+    assert len(prov) == n
+    mh = {
+        r["doc_id"]: not r["is_canonical"]
+        for r in neardup_clusters(spark, sf).collect()
+    }
+    sem = {
+        r["vec_id"]: not r["kept"] for r in semantic_dedup(spark, sf).collect()
+    }
+    for d, r in prov.items():
+        assert r["minhash_dup"] == mh[d]
+        assert r["semantic_dup"] == sem.get(d)
+        assert r["n_flags"] == (
+            int(r["exact_dup"])
+            + int(r["minhash_dup"])
+            + int(bool(r["semantic_dup"]))
+        )
