@@ -23,9 +23,11 @@ Maintenance strategies (classic IVM taxonomy):
   under deletes (removing the current minimum needs the runner-up; a
   distinct count needs the remaining multiset): the feed is used
   only to find AFFECTED group keys, and exactly those groups are
-  re-aggregated from the base snapshot (a semi-join-restricted scan;
-  untouched groups cost nothing). Chosen automatically when any
-  MIN/MAX aggregate is declared.
+  re-aggregated from the base snapshot. The semi-join restricts the
+  RE-AGGREGATION to affected groups; it restricts the base SCAN too
+  only insofar as Catalyst pushes the semi-join below ``transform``
+  (it does for the identity transform; a derived group key keeps the
+  scan full while the shuffle/agg stays churn-sized).
 
 Both strategies land as ONE ``merge_into`` commit on the view's own
 VersionedTable, stamped ``txn=("ivm", base_version)`` — so a crashed
@@ -59,17 +61,29 @@ def _nn(col: str) -> str:
     return f"_ivm_nn_{col}"  # hidden: non-null count for a SUM column
 
 
+def _s2(col: str) -> str:
+    return f"_ivm_s2_{col}"  # hidden: sum of squares for a VAR column
+
+
+# kinds whose running state is (sum, non-null count) — avg derives on
+# read; var_pop additionally folds a sum-of-squares
+_SUM_LIKE = ("sum", "avg", "var_pop")
+
+
 class IncrementalAggView:
     """A materialized ``GROUP BY group_by -> aggs`` over ``base``,
     stored at ``path`` as its own :class:`VersionedTable` and refreshed
     incrementally from the base's change feed.
 
     ``aggs`` maps output column -> ``(kind, expr)`` with kind in
-    {"count", "sum", "min", "max", "count_distinct"}; ``expr`` is a SQL
-    expression over
-    the base columns ("count" ignores it). AVG is derived: declare the
-    SUM and the COUNT and divide on read. ``keys`` is the base row
-    identity the change feed diffs on.
+    {"count", "sum", "avg", "var_pop", "min", "max", "count_distinct"};
+    ``expr`` is a SQL expression over the base columns ("count" ignores
+    it). AVG and VAR_POP are first-class delta kinds: each stores exact
+    running moments (sum / sum-of-squares / non-null count) and derives
+    the ratio as DOUBLE on read — sum-of-squares folding keeps the
+    moments family self-maintainable. STDDEV is sqrt(var_pop) on the
+    caller's side. ``keys`` is the base row identity the change feed
+    diffs on.
 
     ``transform`` (optional) enriches rows BEFORE grouping — the
     aggregate-over-join view: typically a broadcast join to a STATIC
@@ -93,11 +107,27 @@ class IncrementalAggView:
         aggs: dict[str, tuple[str, str]],
         transform=None,
     ):
+        # every hidden maintenance column the declared aggs will create;
+        # _ivm_* is reserved wholesale so an output or group key can
+        # never alias a counter (ADVICE r9: the per-column _ivm_nn_<x>
+        # names were previously unchecked)
+        hidden = {_N}
         for out, (kind, _) in aggs.items():
-            if kind not in ("count", "sum", "min", "max", "count_distinct"):
+            if kind in _SUM_LIKE:
+                hidden.add(_nn(out))
+            if kind == "var_pop":
+                hidden.add(_s2(out))
+        for out, (kind, _) in aggs.items():
+            if kind not in (
+                "count", "sum", "avg", "var_pop", "min", "max",
+                "count_distinct",
+            ):
                 raise ValueError(f"unsupported aggregate kind {kind!r}")
-            if out in group_by or out in (_N,):
+            if out in group_by or out in hidden or out.startswith("_ivm_"):
                 raise ValueError(f"aggregate column {out!r} collides")
+        for g in group_by:
+            if g in hidden or g.startswith("_ivm_"):
+                raise ValueError(f"group key {g!r} collides")
         self.base = base
         self.keys = list(keys)
         self.group_by = list(group_by)
@@ -108,7 +138,7 @@ class IncrementalAggView:
         # the affected groups to be re-aggregated from the base
         # snapshot (a delete needs the runner-up / remaining multiset).
         self._delta_ok = all(
-            k in ("count", "sum") for k, _ in self.aggs.values()
+            k in ("count",) + _SUM_LIKE for k, _ in self.aggs.values()
         )
 
     # ------------------------------------------------------------ agg
@@ -119,13 +149,17 @@ class IncrementalAggView:
         for col, (kind, expr) in self.aggs.items():
             if kind == "count":
                 out.append(F.count(F.lit(1)).alias(col))
-            elif kind == "sum":
+            elif kind in _SUM_LIKE:
                 out.append(F.sum(F.expr(expr)).alias(col))
                 out.append(
                     F.sum(
                         F.expr(expr).isNotNull().cast("long")
                     ).alias(_nn(col))
                 )
+                if kind == "var_pop":
+                    out.append(
+                        F.sum(F.expr(expr) * F.expr(expr)).alias(_s2(col))
+                    )
             elif kind == "min":
                 out.append(F.min(F.expr(expr)).alias(col))
             elif kind == "max":
@@ -148,6 +182,12 @@ class IncrementalAggView:
                         sign * F.expr(expr).isNotNull().cast("long")
                     ).alias(_nn(col))
                 )
+                if kind == "var_pop":
+                    out.append(
+                        F.sum(
+                            sign * F.expr(expr) * F.expr(expr)
+                        ).alias(_s2(col))
+                    )
         return out
 
     def _align_types(self, df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -207,8 +247,10 @@ class IncrementalAggView:
             return {"mode": "delta", "from": applied, "to": base_v}
         # rescan-groups: MIN/MAX present. The feed only names WHICH
         # groups moved; those groups re-aggregate from the base head
-        # snapshot (semi-join-restricted — untouched groups are never
-        # read), and one merge replaces/inserts/deletes them.
+        # snapshot (the semi-join restricts the re-aggregation —
+        # untouched groups never reach the shuffle, and the scan too
+        # when Catalyst pushes the semi-join through the transform),
+        # and one merge replaces/inserts/deletes them.
         feed = self.transform(feed)
         self._reject_null_keys(feed)
         affected = feed.select(*self.group_by).distinct()
@@ -229,8 +271,10 @@ class IncrementalAggView:
         upd = {_N: f"s.{_N}"}
         for col, (kind, _) in self.aggs.items():
             upd[col] = f"s.{col}"
-            if kind == "sum":
+            if kind in _SUM_LIKE:
                 upd[_nn(col)] = f"s.{_nn(col)}"
+            if kind == "var_pop":
+                upd[_s2(col)] = f"s.{_s2(col)}"
         self.mv.merge_into(
             spark,
             src,
@@ -265,7 +309,8 @@ class IncrementalAggView:
         if not self._delta_ok:
             raise ValueError(
                 "fold_changes requires self-maintainable aggregates "
-                "(COUNT/SUM); MIN/MAX views refresh via refresh()"
+                "(COUNT/SUM/AVG/VAR_POP); MIN/MAX views refresh via "
+                "refresh()"
             )
         feed = self.transform(feed)
         if "_change_type" not in feed.columns:
@@ -303,6 +348,13 @@ class IncrementalAggView:
                     f"ELSE coalesce(t.{col}, 0) + coalesce(s.{col}, 0) "
                     f"END"
                 )
+                if kind == "var_pop":
+                    s2 = _s2(col)
+                    upd[s2] = (
+                        f"CASE WHEN t.{nn} + s.{nn} = 0 THEN NULL "
+                        f"ELSE coalesce(t.{s2}, 0) + coalesce(s.{s2}, 0) "
+                        f"END"
+                    )
         self.mv.merge_into(
             spark,
             deltas,
@@ -334,10 +386,32 @@ class IncrementalAggView:
     # ----------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
         """The view's public face: group keys + declared aggregates
-        (hidden maintenance columns dropped)."""
-        return self.mv.read(spark).select(
-            *self.group_by, *self.aggs.keys()
-        )
+        (hidden maintenance columns dropped). AVG/VAR_POP derive here
+        from the exact stored moments: the stored sums are exact (the
+        caller declares DECIMAL exprs for that), so the one or two IEEE
+        ops per read are bit-reproducible in any engine that replays the
+        same formula — never engine-native avg()/var_pop()."""
+        cols = []
+        for col, (kind, _) in self.aggs.items():
+            if kind == "avg":
+                nn = F.col(_nn(col))
+                cols.append(
+                    F.when(nn == 0, F.lit(None).cast("double"))
+                    .otherwise(F.col(col).cast("double") / nn)
+                    .alias(col)
+                )
+            elif kind == "var_pop":
+                nn = F.col(_nn(col))
+                sd = F.col(col).cast("double")
+                s2d = F.col(_s2(col)).cast("double")
+                cols.append(
+                    F.when(nn == 0, F.lit(None).cast("double"))
+                    .otherwise(s2d / nn - (sd / nn) * (sd / nn))
+                    .alias(col)
+                )
+            else:
+                cols.append(F.col(col))
+        return self.mv.read(spark).select(*self.group_by, *cols)
 
 
 _J_APP_ID = "ivmj"
@@ -390,9 +464,12 @@ class IncrementalJoinAggView(IncrementalAggView):
         self.fact_on, self.dim_on = on
 
     def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+        # drop by COLUMN REFERENCE, not name: when fact_on == dim_on a
+        # name-based drop removes both copies, losing the fact-side key
+        # (ADVICE r9)
         return fact_df.join(
             dim_df, fact_df[self.fact_on] == dim_df[self.dim_on]
-        ).drop(self.dim_on)
+        ).drop(dim_df[self.dim_on])
 
     def applied_versions(self) -> tuple[int, int] | None:
         head = self.mv.latest_version()
@@ -815,6 +892,71 @@ def incremental_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Identical final state to the single-tier delta view: summing the
 # day-level partial aggregates re-aggregates to the same totals.
 INCREMENTAL_MV_CASCADE_SQL = INCREMENTAL_MV_REFRESH_SQL
+
+
+def incremental_mv_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MOMENTS-family materialized view: AVG and
+    VAR_POP per event_type as first-class DELTA kinds — the running
+    state is exact DECIMAL moments (sum, sum of squares, non-null
+    count) folded arithmetically through the same append / MOR-delete /
+    MOR-update sequence as the COUNT/SUM view, never a rescan (asserted
+    in-line). The ratios derive on read as a fixed IEEE op sequence
+    over the exact moments, so the oracle reproduces them bit-exactly
+    by restating the identical formula over the equivalent final state
+    (never engine-native avg()/var_pop(), whose accumulation order is
+    engine-dependent)."""
+    import os
+
+    ev, cut, root, base = _events_base(spark, sf_dir, "ivm_avg")
+    view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv"),
+        keys=["event_id"],
+        group_by=["event_type"],
+        aggs={
+            "cnt": ("count", ""),
+            "avg_value": ("avg", "CAST(value AS DECIMAL(12,2))"),
+            "var_value": ("var_pop", "CAST(value AS DECIMAL(12,2))"),
+        },
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    base.append(ev.where(F.col("event_id") > cut))
+    assert view.refresh(spark)["mode"] == "delta"
+    base.delete_where(spark, "event_id % 5 = 0", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    base.update_where(
+        spark, "event_id % 3 = 0", {"value": F.col("value") * 2}, mode="mor"
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    return view.read(spark)
+
+
+# The oracle restates read()'s exact-moments formula over the
+# equivalent final state: decimal sums are exact rationals, the
+# decimal->double casts and the division/multiply/subtract sequence
+# are IEEE-deterministic, so the hash matches bit-for-bit.
+INCREMENTAL_MV_AVG_SQL = """
+WITH final AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+              AS DECIMAL(12,2)) AS value
+  FROM events WHERE event_id % 5 <> 0
+), moments AS (
+  SELECT event_type, count(*) AS cnt,
+         count(value)::BIGINT AS nn,
+         sum(value) AS s,
+         sum(value * value) AS s2
+  FROM final GROUP BY event_type
+)
+SELECT event_type, cnt,
+       CASE WHEN nn = 0 THEN NULL
+            ELSE CAST(s AS DOUBLE) / nn END AS avg_value,
+       CASE WHEN nn = 0 THEN NULL
+            ELSE CAST(s2 AS DOUBLE) / nn
+                 - (CAST(s AS DOUBLE) / nn) * (CAST(s AS DOUBLE) / nn)
+       END AS var_value
+FROM moments
+"""
 
 
 def streamed_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,16 +161,27 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = (
         ranked.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_distinct_exact"),
+            # sketch-side state only: the count of DISTINCT HASHES (the
+            # small-range fallback a real KMV reports) and the K-th one
+            F.count(F.lit(1)).alias("_nh"),
             F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("_kth"),
         )
     )
+    # ground truth is countDistinct over the KEYS, not the hashes — a
+    # 32-bit md5-prefix collision must not shift the 'exact' column
+    # (ADVICE r9). The `_kth = 0` guard is theoretical (64 distinct
+    # non-negative hashes put the 64th at >= 63) but keeps the divide
+    # total.
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
     estimate = F.when(
-        F.col("_kth").isNull(), F.col("n_distinct_exact").cast("double")
+        F.col("_kth").isNull() | (F.col("_kth") == 0),
+        F.col("_nh").cast("double"),
     ).otherwise(
         F.round((F.lit(KMV_K - 1)) / (F.col("_kth").cast("double") / F.lit(float(2**32))), 6)
     )
-    return per_group.select(
+    return exact.join(per_group, "event_type").select(
         "event_type", "n_distinct_exact", estimate.alias("kmv_estimate")
     )
 
@@ -184,16 +195,22 @@ WITH hashed AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
   FROM hashed
+), sk AS (
+  SELECT event_type,
+         count(*)::BIGINT AS nh,
+         max(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+  FROM ranked
+  GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_exact
+  FROM events GROUP BY event_type
 )
-SELECT event_type,
-       count(*)::BIGINT AS n_distinct_exact,
-       CASE WHEN max(CASE WHEN rk = {KMV_K} THEN h END) IS NULL
-            THEN count(*)::DOUBLE
-            ELSE round(({KMV_K} - 1)
-                       / (max(CASE WHEN rk = {KMV_K} THEN h END)::DOUBLE / 4294967296.0), 6)
+SELECT e.event_type, e.n_distinct_exact,
+       CASE WHEN sk.kth IS NULL OR sk.kth = 0
+            THEN sk.nh::DOUBLE
+            ELSE round(({KMV_K} - 1) / (sk.kth::DOUBLE / 4294967296.0), 6)
        END AS kmv_estimate
-FROM ranked
-GROUP BY event_type
+FROM exact e JOIN sk USING (event_type)
 """
 
 

@@ -527,3 +527,80 @@ def test_join_view_rejects_minmax(spark, tmp_path):
             fact_keys=["id"], dim_keys=["k"], on=("k", "k"),
             group_by=["grp"], aggs={"mn": ("min", "v")},
         )
+
+
+def test_join_view_group_by_shared_key_name(spark, tmp_path):
+    """fact_on == dim_on with group_by referencing the key: a
+    name-based drop would remove BOTH copies and lose the fact-side
+    key (ADVICE r9); the reference-based drop keeps exactly one."""
+    from de_final_project_spark.operators.ivm import IncrementalJoinAggView
+
+    fact, dim, _ = _join_setup(spark, tmp_path)
+    view = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "mv_bykey"),
+        fact_keys=["id"], dim_keys=["k"], on=("k", "k"),
+        group_by=["k"],
+        aggs={"cnt": ("count", ""), "sv": ("sum", "CAST(v AS DECIMAL(12,2))")},
+    )
+    view.refresh(spark)
+    st = _state(view, spark)
+    assert set(st) == {(0,), (1,), (2,)}  # k=3 orphaned (no dim row)
+    fact.delete_where(spark, "id = 1", mode="mor")  # k=1 loses id 1
+    assert view.refresh(spark)["mode"] == "delta"
+    assert view.verify(spark), _state(view, spark)
+
+
+def test_hidden_counter_name_collisions_rejected(spark, tmp_path):
+    """Outputs or group keys colliding with the per-column hidden
+    maintenance counters (_ivm_nn_<col>, _ivm_s2_<col>, or any _ivm_
+    prefix) must be rejected at construction (ADVICE r9)."""
+    base = _base(spark, tmp_path, [(1, "a", 1.0)])
+    for bad_aggs in (
+        # an output named exactly the hidden non-null counter of x
+        {"x": ("sum", "v"), "_ivm_nn_x": ("count", "")},
+        # ...or the hidden sum-of-squares of x
+        {"x": ("var_pop", "v"), "_ivm_s2_x": ("count", "")},
+        # ...or anything in the reserved prefix
+        {"_ivm_anything": ("count", "")},
+    ):
+        with pytest.raises(ValueError, match="collides"):
+            IncrementalAggView(
+                base, str(tmp_path / "mv_bad"), keys=["id"],
+                group_by=["g"], aggs=bad_aggs,
+            )
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalAggView(
+            base, str(tmp_path / "mv_bad2"), keys=["id"],
+            group_by=["_ivm_nn_x"], aggs={"x": ("sum", "v")},
+        )
+
+
+def test_moments_view_null_and_vanish_edges(spark, tmp_path):
+    """AVG/VAR_POP through the NULL-group and vanished-group edges:
+    an all-NULL group reads NULL moments, filling it flips to values,
+    and deleting every row of a group removes it."""
+    base = _base(spark, tmp_path, [(1, "a", None), (2, "b", 3.0)])
+    view = _view(
+        base,
+        tmp_path,
+        aggs={
+            "av": ("avg", "CAST(v AS DECIMAL(12,2))"),
+            "vr": ("var_pop", "CAST(v AS DECIMAL(12,2))"),
+        },
+    )
+    assert view.refresh(spark)["mode"] == "full"
+    st = _state(view, spark)
+    assert st[("a",)] == (None, None)
+    assert st[("b",)] == (3.0, 0.0)
+    base.append(
+        spark.createDataFrame([(3, "a", 5.0, 1), (4, "b", 1.0, 0)],
+                              "id long, g string, v double, pb long")
+    )
+    assert view.refresh(spark)["mode"] == "delta"
+    st = _state(view, spark)
+    assert st[("a",)] == (5.0, 0.0)
+    assert st[("b",)] == (2.0, 1.0)  # mean 2, var ((3-2)^2+(1-2)^2)/2
+    base.delete_where(spark, "g = 'a'", mode="mor")
+    assert view.refresh(spark)["mode"] == "delta"
+    assert ("a",) not in _state(view, spark)
+    assert view.verify(spark)

@@ -50,19 +50,33 @@ _op = st.one_of(
 
 
 def _reference(state: dict) -> dict:
-    """state: id -> (g, v). Returns g -> (cnt, sum, min, n_distinct)."""
+    """state: id -> (g, v). Returns g -> (cnt, sum, min, n_distinct,
+    nn, sum_sq) — the last two feed the moments (avg/var_pop) model."""
     out: dict = {}
     for g, v in state.values():
-        c, s, m, d = out.get(g, (0, None, None, set()))
+        c, s, m, d, nn, s2 = out.get(g, (0, None, None, set(), 0, 0))
         c += 1
         if v is not None:
             s = v if s is None else s + v
             m = v if m is None else min(m, v)
             d = d | {v}
-        out[g] = (c, s, m, d)
+            nn += 1
+            s2 += v * v
+        out[g] = (c, s, m, d, nn, s2)
     return {
-        g: (c, s, m, len(d)) for g, (c, s, m, d) in out.items()
+        g: (c, s, m, len(d), nn, s2)
+        for g, (c, s, m, d, nn, s2) in out.items()
     }
+
+
+def _moments(nn: int, s, s2) -> tuple:
+    """The exact-moments read formula, replayed in Python floats — the
+    same IEEE op sequence IncrementalAggView.read() generates, so the
+    comparison is bit-exact."""
+    if nn == 0:
+        return (None, None)
+    avg = float(s) / nn
+    return (avg, float(s2) / nn - avg * avg)
 
 
 @given(initial=_rows(), ops=st.lists(_op, min_size=1, max_size=3))
@@ -95,9 +109,20 @@ def test_ivm_matches_reference_through_dml(
         group_by=["g"],
         aggs={"mn": ("min", "v"), "nd": ("count_distinct", "v")},
     )
+    moments_view = IncrementalAggView(
+        base,
+        os.path.join(root, "mv_moments"),
+        keys=["id"],
+        group_by=["g"],
+        aggs={
+            "av": ("avg", "CAST(v AS DECIMAL(12,2))"),
+            "vr": ("var_pop", "CAST(v AS DECIMAL(12,2))"),
+        },
+    )
     state = {i: (g, v) for i, g, v in initial}
     delta_view.refresh(spark)
     rescan_view.refresh(spark)
+    moments_view.refresh(spark)
     for op in ops:
         if op[0] == "append":
             fresh = [r for r in op[1] if r[0] not in state]
@@ -128,8 +153,10 @@ def test_ivm_matches_reference_through_dml(
             }
         r1 = delta_view.refresh(spark)
         r2 = rescan_view.refresh(spark)
+        r3 = moments_view.refresh(spark)
         assert r1["mode"] in ("delta", "noop")
         assert r2["mode"] in ("rescan", "noop")
+        assert r3["mode"] in ("delta", "noop")  # moments are delta kinds
     want = _reference(state)
     if not state:
         return  # every row deleted: the empty-view read is pinned elsewhere
@@ -141,14 +168,22 @@ def test_ivm_matches_reference_through_dml(
         r["g"]: (r["mn"], r["nd"])
         for r in rescan_view.read(spark).collect()
     }
+    got_m = {
+        r["g"]: (r["av"], r["vr"])
+        for r in moments_view.read(spark).collect()
+    }
     assert got_d == {
         g: (c, None if s is None else Decimal(s).quantize(Decimal("0.01")))
-        for g, (c, s, m, d) in want.items()
+        for g, (c, s, m, d, nn, s2) in want.items()
     }, f"delta diverged: state={state}"
     assert got_r == {
         g: (None if m is None else float(m), d)
-        for g, (c, s, m, d) in want.items()
+        for g, (c, s, m, d, nn, s2) in want.items()
     }, f"rescan diverged: state={state}"
+    assert got_m == {
+        g: _moments(nn, s, s2)
+        for g, (c, s, m, d, nn, s2) in want.items()
+    }, f"moments diverged: state={state}"
 
 
 # ---------------------------------------------------------- join view
