@@ -29,6 +29,20 @@ The K×64 centroid state is a control-plane scalar set (same class as
 the BPE argmax and watermark probes). Empty clusters keep their
 previous centroid.
 
+K is CORPUS-ADAPTIVE: ``K = clamp(ceil(n / TARGET_CLUSTER_SIZE),
+K_MIN, K_MAX)`` from one cheap count, so expected cluster size — and
+with it the quadratic within-cluster pair cost SemDeDup pays — stays
+bounded as the corpus grows (the fixed K=8 of earlier rounds measured
+8.6× wall at 10× data; adaptive K makes the pair stage ~linear:
+n²/K = n·target). The SQL twin computes the identical K from the
+identical count inside the generated CTE chain (``kparam``), so the
+oracle stays bit-exact at EVERY scale factor without regenerating SQL
+per corpus. K_MAX bounds the centroid literal expression the
+assignment projection compiles; at production scale (K ~ n/10⁴ in the
+tens of thousands) the literal broadcast would hand over to a
+broadcast-joined centroid RELATION — same math, one more join — which
+K_MAX makes an explicit design seam rather than a silent cliff.
+
 Reference analog: none — the reference has no ML-adjacent surface;
 this completes the ANN/clustering family (IVF cells, PQ codebooks,
 label centroids) with a trained partitioner.
@@ -41,10 +55,20 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.sources.readers import read_testdata
 
-K_CLUSTERS = 8
+K_CLUSTERS = 8  # the FLOOR: chosen K never drops below this
+K_MIN = K_CLUSTERS
+K_MAX = 64           # literal-expression ceiling (see module docstring)
+TARGET_CLUSTER_SIZE = 256
 KMEANS_ITERS = 4
 DIM = 64
 SCALE = 64  # power of two: x*SCALE is exact in doubles
+
+
+def choose_k(n: int) -> int:
+    """Corpus-adaptive cluster count: ceil(n / TARGET_CLUSTER_SIZE)
+    clamped to [K_MIN, K_MAX]. Mirrored bit-for-bit by the SQL twin's
+    ``kparam`` CTE (least/greatest over the same integer ceiling)."""
+    return min(K_MAX, max(K_MIN, -(-n // TARGET_CLUSTER_SIZE)))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,13 +127,18 @@ def train_kmeans(
     return qdf, train_kmeans_frame(qdf)
 
 
-def train_kmeans_frame(qdf: DataFrame) -> list[list[int]]:
+def train_kmeans_frame(qdf: DataFrame, k: int | None = None) -> list[list[int]]:
     """Lloyd loop over an arbitrary quantized frame (vec_id, q:
     array<long> of length DIM) — the frame-parameterized core, so the
     trainer composes over derived corpora (e.g. the clustered A/B
-    corpus) as well as the embeddings table."""
+    corpus) as well as the embeddings table. ``k`` defaults to the
+    corpus-adaptive :func:`choose_k` over the frame's count (one cheap
+    control-plane count job); pass a fixed k only for twins that must
+    pin it."""
+    if k is None:
+        k = choose_k(qdf.count())
     seed_rows = (
-        qdf.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+        qdf.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     )
     # Seeding contract: vec_ids 0..K-1 must ALL exist. Spark numbers
     # clusters by seed-row position while the oracle labels them by
@@ -117,10 +146,10 @@ def train_kmeans_frame(qdf: DataFrame) -> list[list[int]]:
     # short seed list would IndexError deep in the empty-cluster branch.
     # Fail fast with the actual ids instead (ADVICE r6).
     seed_ids = [r["vec_id"] for r in seed_rows]
-    if seed_ids != list(range(K_CLUSTERS)):
+    if seed_ids != list(range(k)):
         raise ValueError(
             f"k-means seeding needs embeddings with contiguous vec_ids "
-            f"0..{K_CLUSTERS - 1}; found {seed_ids}"
+            f"0..{k - 1}; found {seed_ids}"
         )
     centroids = [[int(v) * SCALE for v in r["q"]] for r in seed_rows]
     for _ in range(KMEANS_ITERS):
@@ -137,7 +166,7 @@ def train_kmeans_frame(qdf: DataFrame) -> list[list[int]]:
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["d"]] = (r["s"], r["n"])
         new_centroids = []
-        for j in range(K_CLUSTERS):
+        for j in range(k):
             if j in by_cluster:
                 dims = by_cluster[j]
                 new_centroids.append(
@@ -160,7 +189,7 @@ def train_kmeans_frame(qdf: DataFrame) -> list[list[int]]:
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMEANS_ITERS Lloyd iterations from a deterministic seed (the
-    first K_CLUSTERS vectors by vec_id), returning each vector's final
+    first K = choose_k(n) vectors by vec_id), returning each vector's final
     cluster and its exact squared grid distance. The oracle replays the
     identical integer iterations as generated CTEs."""
     qdf, centroids = train_kmeans(spark, sf_dir)
@@ -197,11 +226,21 @@ def _kmeans_sql(qv_body: str | None = None, train_where: str = "") -> str:
     # MATERIALIZED: qv is referenced by every iteration CTE plus
     # final_assign; DuckDB otherwise re-inlines the quantization per
     # reference (measured 3.3x end-to-end on the sf1 oracle).
+    # kparam mirrors choose_k() bit-for-bit over the TRAINING corpus
+    # (the train_where-restricted rows when a frozen quantizer trains
+    # on history): positive-integer // floors in both engines, so
+    # (n + T - 1) // T is the exact ceiling.
+    train_count_pred = f" WHERE {train_where}" if train_where else ""
     base = f"""WITH qv AS MATERIALIZED (
   {qv}
+), kparam AS (
+  SELECT least({K_MAX}, greatest({K_MIN},
+           (count(*) + {TARGET_CLUSTER_SIZE - 1}) // {TARGET_CLUSTER_SIZE}
+         ))::BIGINT AS kk
+  FROM qv v{train_count_pred}
 ), c0 AS (
   SELECT vec_id AS cl, list_transform(q, v -> v * {SCALE}) AS c
-  FROM qv WHERE vec_id < {K_CLUSTERS}
+  FROM qv WHERE vec_id < (SELECT kk FROM kparam)
 )"""
     dist = KMEANS_DIST_SQL
     train_pred = f" WHERE {train_where}" if train_where else ""

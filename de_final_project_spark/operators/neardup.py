@@ -794,3 +794,268 @@ SELECT (SELECT count(*) FROM mh) AS n_minhash,
        (SELECT count(*) FROM mh JOIN em USING (a_id, b_id)) AS n_minhash_and_embedding,
        (SELECT count(*) FROM sh JOIN em USING (a_id, b_id)) AS n_simhash_and_embedding
 """
+
+
+# ----------------------------------------------------------------------
+# Incrementally-maintained near-dup index (VERDICT r9 item 3)
+# ----------------------------------------------------------------------
+
+_NDIDX_APP = "ndidx"
+
+
+class IncrementalNearDupIndex:
+    """A PERSISTED MinHash band index maintained from a documents
+    table's change feed — the steady-state form of near-dup detection
+    at 100 TB: each refresh signs ONLY the docs the feed names (never
+    the corpus), probes their bands against the stored index with one
+    equi-join, verifies candidates with exact shingle Jaccard against a
+    semi-join-restricted text read, and lands two txn-stamped commits
+    (verdict append, band-index merge) so a crashed refresh replays as
+    a no-op per table. This is the ``ivm.py`` subscription pattern
+    applied to the dedup tier (the streamed IVF index at
+    streaming/pipeline.py:241 is the vector-side precedent).
+
+    Costs per refresh: O(batch) signature work, O(batch·B) index
+    probes, O(candidates) verification text reads. The corpus is
+    re-read only for candidate OLD doc texts (left-semi restricted).
+
+    Verdict semantics are EMISSION-TIME: a pair is recorded when its
+    later doc arrives. Under insert-only feeds the accumulated verdicts
+    equal a full-corpus recompute exactly (each pair is found once —
+    within its batch via the batch self-join, or against the stored
+    index otherwise); under updates/deletes the INDEX stays exact (old
+    band rows are merged away) while already-emitted verdicts are
+    historical, like any CDC consumer's output."""
+
+    def __init__(self, docs: "VersionedTable", root: str):
+        import os
+
+        from de_final_project_spark.operators.txlog import VersionedTable
+
+        self.docs = docs
+        self.index = VersionedTable(os.path.join(root, "band_index"))
+        self.verdicts = VersionedTable(os.path.join(root, "verdicts"))
+
+    def _applied(self, table) -> int | None:
+        head = table.latest_version()
+        if head is None:
+            return None
+        return table._read_entry(head).get("txn", {}).get(_NDIDX_APP)
+
+    def applied_version(self) -> int | None:
+        return self._applied(self.index)
+
+    @staticmethod
+    def _sign(docs_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(shingles, band rows) for a doc frame — the same signature
+        pipeline the batch operators use, applied to ONLY these rows."""
+        sh = docs_df.select(
+            "doc_id", shingle_set(F.col("text")).alias("shingles")
+        ).persist()
+        sigs = sh.select(
+            "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+        ).persist()
+        bands = sigs.select(
+            "doc_id", F.explode(lsh_bands(F.col("sig"))).alias("b")
+        ).select(
+            "doc_id",
+            F.col("b.band_idx").cast("long").alias("band_idx"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        return sh, bands
+
+    def _verify(
+        self, spark, cands: DataFrame, sh_new: DataFrame, base_v: int
+    ) -> DataFrame:
+        """Exact shingle-Jaccard over (new_id, other_id) candidates;
+        other-side texts come from the PINNED base snapshot restricted
+        to exactly the candidate ids (left-semi before shingling)."""
+        other_docs = self.docs.read(spark, version=base_v).join(
+            cands.select(F.col("other_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        sh_other = other_docs.select(
+            F.col("doc_id").alias("other_id"),
+            shingle_set(F.col("text")).alias("sh_o"),
+        )
+        scored = (
+            cands.join(
+                sh_new.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("shingles").alias("sh_n"),
+                ),
+                "new_id",
+            )
+            .join(sh_other, "other_id")
+        )
+        inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+        union = F.size(F.col("sh_n")) + F.size(F.col("sh_o")) - inter
+        return (
+            scored.select(
+                F.least("new_id", "other_id").alias("a_id"),
+                F.greatest("new_id", "other_id").alias("b_id"),
+                F.round(inter / union, 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .distinct()
+        )
+
+    def refresh(self, spark: SparkSession) -> dict:
+        """Advance index + verdicts to the docs head. Returns a report:
+        mode, the version window, ``signed_docs`` (rows through the
+        signature pipeline — the churn-proportionality measurement) and
+        ``n_candidates``."""
+        base_v = self.docs.latest_version()
+        if base_v is None:
+            raise FileNotFoundError(f"no commits at {self.docs.path}")
+        applied = self.applied_version()
+        if applied is not None and applied >= base_v:
+            return {"mode": "noop", "from": applied, "to": applied,
+                    "signed_docs": 0, "n_candidates": 0}
+        if applied is None:
+            feed = self.docs.read(spark, version=base_v).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            mode = "build"
+        else:
+            try:
+                feed = self.docs.read_changes(
+                    spark, ["doc_id"], applied, base_v,
+                    include_deletes=True,
+                    include_update_preimages=True,
+                )
+            except ValueError:
+                return {"mode": "noop", "from": applied, "to": base_v,
+                        "signed_docs": 0, "n_candidates": 0}
+            mode = "delta"
+        new_docs = feed.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).persist()
+        removed_ids = feed.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("doc_id").distinct()
+        sh_new, new_bands = self._sign(new_docs)
+        new_bands = new_bands.persist()
+        signed = new_docs.count()
+
+        have_index = self.index.latest_version() is not None
+        # ---- verdicts against the PRE-MERGE index + within the batch
+        within = (
+            new_bands.select(
+                F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+            )
+            .join(
+                new_bands.select(
+                    F.col("doc_id").alias("other_id"), "band_idx",
+                    "band_hash",
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .where(F.col("new_id") < F.col("other_id"))
+            .select("new_id", "other_id")
+        )
+        cands = within
+        if have_index:
+            stored = self.index.read(spark).join(
+                removed_ids, "doc_id", "left_anti"
+            )
+            probe = (
+                new_bands.select(
+                    F.col("doc_id").alias("new_id"), "band_idx",
+                    "band_hash",
+                )
+                .join(
+                    stored.select(
+                        F.col("doc_id").alias("other_id"), "band_idx",
+                        "band_hash",
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .where(F.col("new_id") != F.col("other_id"))
+                .select("new_id", "other_id")
+            )
+            cands = cands.unionByName(probe)
+        cands = cands.distinct().persist()
+        n_cands = cands.count()
+        verdict = self._verify(spark, cands, sh_new, base_v)
+        if self._applied(self.verdicts) != base_v:
+            if self.verdicts.latest_version() is None:
+                self.verdicts.overwrite(verdict, txn=(_NDIDX_APP, base_v))
+            else:
+                self.verdicts.append(verdict, txn=(_NDIDX_APP, base_v))
+        # ---- band-index merge: upsert new docs' rows, drop removed
+        if not have_index:
+            self.index.overwrite(new_bands, txn=(_NDIDX_APP, base_v))
+        else:
+            grid = spark.range(LSH_BANDS).select(
+                F.col("id").alias("band_idx")
+            )
+            # merge_into requires source columns == table columns, so
+            # the delete marker is a NULL band_hash (real band rows
+            # always carry an md5 digest)
+            gone = removed_ids.join(
+                new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).crossJoin(grid).select(
+                "doc_id",
+                "band_idx",
+                F.lit(None).cast("string").alias("band_hash"),
+            )
+            src = new_bands.unionByName(gone)
+            self.index.merge_into(
+                spark,
+                src.select("doc_id", "band_idx", "band_hash"),
+                on=["doc_id", "band_idx"],
+                matched_update={"band_hash": "s.band_hash"},
+                matched_update_condition="s.band_hash IS NOT NULL",
+                matched_delete_condition="s.band_hash IS NULL",
+                insert_condition="s.band_hash IS NOT NULL",
+                txn=(_NDIDX_APP, base_v),
+            )
+        for df in (new_docs, new_bands, cands, sh_new):
+            df.unpersist()
+        return {"mode": mode, "from": applied, "to": base_v,
+                "signed_docs": signed, "n_candidates": n_cands}
+
+    def read_verdicts(self, spark: SparkSession) -> DataFrame:
+        return self.verdicts.read(spark)
+
+
+def incremental_neardup_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable incrementally-maintained near-dup index: the
+    documents table arrives as THREE commits (70% history, then two
+    append batches), and the index refreshes after each — every refresh
+    signs only its own batch (asserted in-line from the report), probes
+    the stored band relation, and appends emission-time verdicts.
+    Under insert-only feeds the accumulated verdicts equal the full-
+    corpus MinHash-LSH recompute EXACTLY (each pair is found once, when
+    its later doc arrives), so the oracle is the batch operator's own
+    SQL — the strongest possible check that incremental maintenance
+    changes cost, not answers."""
+    import os
+
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    root = scratch_dir("ndidx")
+    bronze = VersionedTable(os.path.join(root, "documents"))
+    history = docs.where(F.col("doc_id") % 10 < 7)
+    batch_a = docs.where(F.col("doc_id") % 10 == 7)
+    batch_b = docs.where(F.col("doc_id") % 10 >= 8)
+    n_hist, n_a, n_b = history.count(), batch_a.count(), batch_b.count()
+    bronze.overwrite(history)
+    idx = IncrementalNearDupIndex(bronze, root)
+    r1 = idx.refresh(spark)
+    assert (r1["mode"], r1["signed_docs"]) == ("build", n_hist), r1
+    bronze.append(batch_a)
+    r2 = idx.refresh(spark)
+    # churn proportionality: the second refresh signs ONLY its batch
+    assert (r2["mode"], r2["signed_docs"]) == ("delta", n_a), r2
+    bronze.append(batch_b)
+    r3 = idx.refresh(spark)
+    assert (r3["mode"], r3["signed_docs"]) == ("delta", n_b), r3
+    assert idx.refresh(spark)["mode"] == "noop"
+    return idx.read_verdicts(spark)

@@ -29,6 +29,13 @@ two clusters are not compared (the paper accepts this recall loss;
 raising K trades recall for cost). The exact baseline twin is
 embedding_neardup_exact.
 
+K is corpus-adaptive (operators/kmeans.py choose_k: clamp(ceil(n /
+256), 8, 64)), which is what keeps the within-cluster pair stage
+~LINEAR in n (n·target pairs) instead of O(n²/const) — under the old
+fixed K=8 this operator measured 8.6× wall at 10× data; the max-
+cluster guard below stays as the backstop against a degenerate
+clustering, not as the scaling mechanism.
+
 Reference analog: none — extension surface (training-data pipeline
 ops).
 """

@@ -27,19 +27,37 @@ commit/rebase/abort/crash test suite runs against both.
 
 Layout::
 
-    <table>/_txlog/00000001.json      one entry per commit (atomic create)
-    <table>/_txlog/_last_checkpoint   advisory newest-known-version pointer
-    <table>/data/<commit-id>/         immutable parquet, one dir per commit
-    <table>/data/<commit-id>/<p>=<v>/ Hive layout when partitioned
+    <table>/_txlog/00000001.json               one entry per commit
+    <table>/_txlog/00000010.checkpoint.parquet periodic full-state parquet
+    <table>/_txlog/_last_checkpoint            advisory head pointer
+    <table>/data/<commit-id>/                  immutable parquet per commit
+    <table>/data/<commit-id>/<p>=<v>/          Hive layout when partitioned
 
-Each log entry stores the FULL live-partition map (version snapshot,
-not a delta), so a reader loads exactly one JSON file — no log replay
-— and every entry IS a checkpoint. What grows with commit count is
-only DISCOVERING the head; the ``_last_checkpoint`` pointer (refreshed
-every ``CHECKPOINT_INTERVAL`` commits, last-writer-wins — stale-low is
-harmless, it just costs extra existence probes) bounds that to O(1)
-reads + O(interval) probes regardless of history length, the same job
-Delta's ``_last_checkpoint`` does.
+Log entries are DELTA-ENCODED (Delta Lake's actual design, VERDICT r9
+item 1): an entry records only the pointers its commit set
+(``live_set``), the partitions it removed (``live_rm``), and the
+tombstones it appended (``dv_add``; wholesale replacements use
+``dv_set``) — so entry SIZE is O(touched files), never O(live files).
+The earlier codec stored the full live map per entry, which made every
+commit write — and every read parse — a blob proportional to the
+table's total file count: at millions of live files that is a
+multi-GB driver-side JSON per commit, the one metadata-plane cost that
+grows with table size instead of churn. Snapshot state is
+reconstructed from the nearest ANCHOR at or below the target — a
+parquet CHECKPOINT (written every ``CHECKPOINT_INTERVAL`` commits; one
+row per live pointer, so a planner can read it DISTRIBUTEDLY — see
+``live_files_df``), a full entry (the first commit; pre-delta-era
+tables), or a cached reconstruction — plus the delta suffix: O(1)
+checkpoint + O(interval) entry reads, never O(history) (pinned by
+tests/test_txlog.py's read-counting store). Reconstructions are
+memoized per handle, so sequential reads (history walks, the head
+re-reads every commit does) pay O(1) amortized. Head DISCOVERY is the
+same ``_last_checkpoint`` pointer protocol as before (O(1) reads +
+≤ interval existence probes).
+
+Vacuum materializes a checkpoint at the oldest retained version before
+dropping older entries, so reconstruction never needs a vacuumed
+entry.
 
 Scan shape: live partitions are grouped by owning commit dir and each
 group is ONE parquet scan with ``basePath`` set to the commit dir (so
@@ -56,6 +74,7 @@ concurrent lakehouse deployment of the same pipeline needs.
 
 from __future__ import annotations
 
+import copy
 import datetime
 import json
 import os
@@ -99,11 +118,21 @@ def _with_pos(df: DataFrame) -> DataFrame:
         F.col("_metadata.row_index").alias("__pos"),
     )
 
-# Refresh the _last_checkpoint pointer every Nth commit. Head discovery
-# costs O(1) reads + at most ~N existence probes past the pointer.
+# Refresh the _last_checkpoint pointer AND write a parquet state
+# checkpoint every Nth commit. Head discovery costs O(1) reads + at
+# most ~N existence probes past the pointer; snapshot reconstruction
+# costs O(1) checkpoint + at most ~N delta entries.
 CHECKPOINT_INTERVAL = 10
 
 _CHECKPOINT_NAME = "_last_checkpoint"
+
+# per-handle reconstruction memo size; eviction drops the OLDEST
+# versions first so ascending walks (history, CDF windows) stay O(1)
+# amortized while memory stays bounded
+_ENTRY_CACHE_CAP = 128
+
+# raw-entry keys that belong to the delta codec, not the logical entry
+_DELTA_KEYS = ("live_set", "live_append", "live_rm", "dv_add", "dv_set")
 
 
 # ------------------------------------------------------------------ stats
@@ -474,6 +503,10 @@ class VersionedTable:
         self.path = path
         self.partition_col = partition_col
         self._store = log_store or LocalFSLogStore(os.path.join(path, "_txlog"))
+        # reconstruction memo (version -> full logical entry). Entries
+        # are immutable once committed, so caching is safe; bounded by
+        # _ENTRY_CACHE_CAP, oldest-version eviction.
+        self._entry_cache: dict[int, dict] = {}
         # Columns indexed for data skipping (Delta's
         # dataSkippingNumIndexedCols made explicit — an opt-in list keeps
         # log entries bounded instead of indexing every column of a wide
@@ -549,21 +582,27 @@ class VersionedTable:
     # LOUDLY instead of silently misreading. The concrete hazards:
     # a pre-DV reader ignoring the "dv" list RESURRECTS deleted rows
     # (min_reader 2); a pre-mapping reader ignoring "colmap" returns
-    # physical names and dropped columns' bytes (min_reader 3).
-    READER_VERSION = 3
-    WRITER_VERSION = 3
+    # physical names and dropped columns' bytes (min_reader 3); a
+    # pre-widening reader ignoring "widened" returns mixed physical
+    # types across file generations (min_reader 4); a pre-delta-codec
+    # reader treating a delta entry as a snapshot would read a
+    # one-commit sliver of the table as if it were everything
+    # (min_reader 5).
+    READER_VERSION = 5
+    WRITER_VERSION = 5
 
     @staticmethod
     def _required_protocol(entry: dict) -> int:
+        if entry.get("widened"):
+            return 4
         if "colmap" in entry:
             return 3
         if entry.get("dv"):
             return 2
         return 1
 
-    def _read_entry(self, version: int) -> dict:
-        entry = json.loads(self._store.read(self._entry_name(version)))
-        need = entry.get("protocol", {}).get("min_reader", 1)
+    def _check_raw_protocol(self, raw: dict) -> None:
+        need = raw.get("protocol", {}).get("min_reader", 1)
         if need > self.READER_VERSION:
             raise RuntimeError(
                 f"table at {self.path} requires log-protocol reader "
@@ -572,7 +611,144 @@ class VersionedTable:
                 "(refusing is the contract: misreading would silently "
                 "resurrect deleted rows or expose dropped columns)"
             )
+
+    # ------------------------------------------------ delta-log codec
+    @staticmethod
+    def _ckpt_name(version: int) -> str:
+        return f"{version:08d}.checkpoint.parquet"
+
+    def _write_checkpoint(self, version: int, entry: dict) -> None:
+        """Materialize ``entry``'s full reconstructed state as a parquet
+        checkpoint: one row per live pointer (Delta's add-file action
+        shape — the relation a 1000-executor planner would read
+        distributedly, see live_files_df), one per tombstone, one meta
+        row with every non-state field. Checkpoints are derived data:
+        last-writer-wins puts, never part of the commit race."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kinds, keys, payloads = [], [], []
+        for p, e in entry["live"].items():
+            kinds.append("ptr")
+            keys.append(p)
+            payloads.append(json.dumps(e))
+        for t in entry.get("dv", []):
+            kinds.append("dv")
+            keys.append("")
+            payloads.append(json.dumps(t))
+        kinds.append("meta")
+        keys.append("")
+        payloads.append(
+            json.dumps(
+                {k: v for k, v in entry.items() if k not in ("live", "dv")}
+            )
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {"kind": kinds, "key": keys, "payload": payloads}
+            ),
+            buf,
+        )
+        self._store.put(self._ckpt_name(version), buf.getvalue())
+
+    def _read_checkpoint(self, version: int) -> dict:
+        import io
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            io.BytesIO(self._store.read(self._ckpt_name(version)))
+        ).to_pylist()
+        live: dict = {}
+        dv: list = []
+        meta: dict = {}
+        for r in t:
+            if r["kind"] == "ptr":
+                live[r["key"]] = json.loads(r["payload"])
+            elif r["kind"] == "dv":
+                dv.append(json.loads(r["payload"]))
+            else:
+                meta = json.loads(r["payload"])
+        entry = dict(meta)
+        entry["live"] = live
+        if dv:
+            entry["dv"] = dv
         return entry
+
+    def _cache_put(self, version: int, entry: dict) -> None:
+        self._entry_cache[version] = entry
+        while len(self._entry_cache) > _ENTRY_CACHE_CAP:
+            self._entry_cache.pop(min(self._entry_cache))
+
+    def _read_entry(self, version: int) -> dict:
+        """Reconstruct the FULL logical entry (live map + dv list +
+        metadata) for ``version``: walk down from the target collecting
+        delta entries until an anchor — a memoized reconstruction, a
+        parquet checkpoint, or a full ("live"-bearing) entry — then fold
+        the deltas forward. O(1) anchor + O(CHECKPOINT_INTERVAL) entry
+        reads worst-case; O(1) amortized for sequential walks via the
+        memo. Returns a private copy (callers mutate entries while
+        building commits)."""
+        chain: list[dict] = []
+        u = version
+        state: dict | None = None
+        while True:
+            if u in self._entry_cache:
+                state = copy.deepcopy(self._entry_cache[u])
+                break
+            raw = None
+            try:
+                raw = json.loads(self._store.read(self._entry_name(u)))
+            except FileNotFoundError:
+                # vacuumed ancestor — only fine if its full state was
+                # checkpointed (vacuum writes one at the oldest
+                # retained version before deleting)
+                pass
+            if raw is not None:
+                self._check_raw_protocol(raw)
+                if "live" in raw:  # full entry: v1, or pre-delta era
+                    state = raw
+                    break
+            if self._store.exists(self._ckpt_name(u)):
+                # interval mark or vacuum anchor: the checkpoint IS
+                # u's full state — stop the walk here
+                state = self._read_checkpoint(u)
+                self._check_raw_protocol(state)
+                break
+            if raw is None:
+                raise FileNotFoundError(self._entry_name(u))
+            chain.append(raw)
+            u -= 1
+            if u < 1:
+                raise RuntimeError(
+                    f"corrupt log at {self.path}: delta entry chain "
+                    f"below v{version} has no anchor"
+                )
+        live = dict(state["live"])
+        dv = list(state.get("dv", []))
+        for raw in reversed(chain):
+            for p in raw.get("live_rm", []):
+                live.pop(p, None)
+            live.update(raw.get("live_set", {}))
+            for p, suffix in raw.get("live_append", {}).items():
+                live[p] = _ptrs(live[p]) + list(suffix)
+            if "dv_set" in raw:
+                dv = list(raw["dv_set"])
+            dv = dv + list(raw.get("dv_add", []))
+            entry = {
+                k: v for k, v in raw.items() if k not in _DELTA_KEYS
+            }
+            entry["live"] = dict(live)
+            if dv:
+                entry["dv"] = list(dv)
+            self._cache_put(raw["version"], entry)
+        if not chain:  # the target itself was the anchor
+            self._cache_put(version, state)
+            return copy.deepcopy(state)
+        return copy.deepcopy(self._entry_cache[version])
 
     def history(self) -> list[dict]:
         """All RETAINED commits, oldest first (op, touched partitions,
@@ -597,17 +773,73 @@ class VersionedTable:
         the max of what its own features demand and the floor carried
         from the head (protocol only upgrades, Delta's rule — RESTORE
         to a pre-feature snapshot keeps the raised floor because the
-        table's history still contains entries needing it)."""
-        need = self._required_protocol(entry)
+        table's history still contains entries needing it).
+
+        The raw bytes written are DELTA-ENCODED against the parent
+        version (live_set / live_rm / dv_add|dv_set): O(touched files)
+        per commit, never O(live files). The first commit is written
+        full — it IS its own anchor. Every CHECKPOINT_INTERVAL commits
+        the winner also materializes a parquet state checkpoint and
+        advances the head pointer."""
+        version = entry["version"]
+        raw: dict
+        if version <= 1:
+            raw = entry
+            need = self._required_protocol(entry)
+        else:
+            parent = self._read_entry(version - 1)
+            p_live, p_dv = parent["live"], parent.get("dv", [])
+            live, dv = entry["live"], entry.get("dv", [])
+            raw = {k: v for k, v in entry.items() if k not in ("live", "dv")}
+            live_set: dict = {}
+            live_append: dict = {}
+            for p, e in live.items():
+                if p_live.get(p) == e:
+                    continue
+                # merge-on-read APPEND grows a partition's pointer LIST;
+                # when the parent's pointers are a strict prefix, store
+                # only the new suffix — O(new files), not O(partition
+                # history) (the "MOR pointer lists growing per commit"
+                # ceiling named in VERDICT r9 item 1)
+                old_ptrs = _ptrs(p_live[p]) if p in p_live else None
+                if (
+                    isinstance(e, list)
+                    and old_ptrs is not None
+                    and len(e) > len(old_ptrs)
+                    and e[: len(old_ptrs)] == old_ptrs
+                ):
+                    live_append[p] = e[len(old_ptrs):]
+                else:
+                    live_set[p] = e
+            live_rm = sorted(p for p in p_live if p not in live)
+            if live_set:
+                raw["live_set"] = live_set
+            if live_append:
+                raw["live_append"] = live_append
+            if live_rm:
+                raw["live_rm"] = live_rm
+            if dv[: len(p_dv)] == p_dv:
+                if len(dv) > len(p_dv):
+                    raw["dv_add"] = dv[len(p_dv):]
+            else:
+                raw["dv_set"] = dv
+            # the delta codec itself is a reader-breaking feature
+            need = max(self._required_protocol(entry), 5)
         cur = entry.get("protocol", {}).get("min_reader", 1)
         if need > cur:
-            entry["protocol"] = {"min_reader": need, "min_writer": need}
+            proto = {"min_reader": need, "min_writer": need}
+            entry["protocol"] = proto
+            if raw is not entry:
+                raw["protocol"] = proto
         ok = self._store.put_if_absent(
-            self._entry_name(entry["version"]),
-            json.dumps(entry).encode(),
+            self._entry_name(version),
+            json.dumps(raw).encode(),
         )
-        if ok and entry["version"] % CHECKPOINT_INTERVAL == 0:
-            self._advance_checkpoint(entry["version"])
+        if ok:
+            self._cache_put(version, copy.deepcopy(entry))
+            if version % CHECKPOINT_INTERVAL == 0:
+                self._write_checkpoint(version, entry)
+                self._advance_checkpoint(version)
         return ok
 
     # ----------------------------------------------------- constraints
@@ -660,6 +892,13 @@ class VersionedTable:
             out["colmap_used"] = used
             if dropped:
                 out["dropped_cols"] = dropped
+        # type-widening state carries forward verbatim (physical name
+        # -> widened SQL type); like the protocol floor it never
+        # downgrades — RESTORE to a pre-widen snapshot keeps the wide
+        # read schema because later history's files already hold wide
+        # values (Delta's rule for feature state under RESTORE)
+        if e.get("widened"):
+            out["widened"] = dict(e["widened"])
         # protocol floor carries forward (never downgrades); a writer
         # older than the table's recorded min_writer must not commit —
         # its entries would silently drop feature fields it doesn't
@@ -731,10 +970,29 @@ class VersionedTable:
         columns (additive evolution under mapping) are bound to fresh
         physical names collision-checked against every name ever used;
         writes naming a dropped column are rejected. No-op ({} fields)
-        when mapping is disabled — the zero-cost default path."""
+        when mapping is disabled — the zero-cost default path. Widened
+        columns are cast to their recorded target type so post-widen
+        files land physically wide (the read-side cast then only pays
+        for pre-widen file generations)."""
+
+        def _widen_out(phys_df: DataFrame) -> DataFrame:
+            widened = self._head_widen()
+            todo = {
+                c: t for c, t in widened.items() if c in phys_df.columns
+            }
+            if not todo:
+                return phys_df
+            return phys_df.select(
+                *[
+                    F.col(f"`{c}`").cast(todo[c]).alias(c) if c in todo
+                    else F.col(f"`{c}`")
+                    for c in phys_df.columns
+                ]
+            )
+
         st = self._head_colmap()
         if st is None:
-            return df, {}
+            return _widen_out(df), {}
         cmap, dropped, used = st
         bad = sorted(set(df.columns) & set(dropped))
         if bad:
@@ -760,7 +1018,7 @@ class VersionedTable:
         fields: dict = {"colmap": cmap, "colmap_used": used}
         if dropped:
             fields["dropped_cols"] = dropped
-        return df, fields
+        return _widen_out(df), fields
 
     def _cols_to_physical(self, cols: Sequence[str]) -> list[str]:
         """Map logical column names (keys, zorder dims) to physical."""
@@ -933,6 +1191,111 @@ class VersionedTable:
             "dropped_cols": dropped + [col],
         }
         return self._commit_metadata("drop_column", fields)
+
+    # --------------------------------------------------- type widening
+    # Delta-style type widening: int->bigint / float->double (and the
+    # rest of the lossless lattice below) as a METADATA-ONLY commit.
+    # Old files keep their narrow physical type; every read CASTS each
+    # widened column to the entry's recorded target, so snapshots are
+    # uniformly typed no matter which file generation a row came from,
+    # and post-widen writes land physically wide (values beyond the
+    # narrow range — the reason to widen — need no rewrite of history).
+    # Narrowing is rejected: a lossy cast would silently corrupt
+    # out-of-range rows. State is keyed by PHYSICAL name so it is
+    # stable across renames. Reference analog: none — Delta's
+    # typeWidening table feature re-expressed on this log (VERDICT r9
+    # item 8).
+
+    # strictly-widening integer chain; index orders the lattice
+    _INT_CHAIN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    _DEC_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+    @classmethod
+    def _widen_allowed(cls, cur: str, new: str) -> bool:
+        cur, new = cur.lower(), new.lower()
+        if cur == new:
+            return False
+        if cur in cls._INT_CHAIN:
+            if new in cls._INT_CHAIN:
+                return cls._INT_CHAIN[new] > cls._INT_CHAIN[cur]
+            # int32 and below are exact in an IEEE double (53-bit
+            # significand); bigint is NOT — that cast stays rejected
+            return new == "double" and cls._INT_CHAIN[cur] <= 2
+        if cur == "float":
+            return new == "double"
+        mc, mn = cls._DEC_RE.match(cur), cls._DEC_RE.match(new)
+        if mc and mn:
+            pc, sc = int(mc.group(1)), int(mc.group(2))
+            pn, sn = int(mn.group(1)), int(mn.group(2))
+            # scale may only grow, and integral digits may only grow
+            return sn >= sc and (pn - sn) >= (pc - sc)
+        return False
+
+    def _widen_state(self, entry: dict | None) -> dict[str, str]:
+        return dict(entry.get("widened", {})) if entry else {}
+
+    def _head_widen(self) -> dict[str, str]:
+        head = self.latest_version()
+        if head is None:
+            return {}
+        return self._widen_state(self._read_entry(head))
+
+    def _apply_widen(
+        self, df: DataFrame | None, entry: dict
+    ) -> DataFrame | None:
+        """Cast the physical columns named by ``entry``'s widen map to
+        their recorded target types — the read-side half of the
+        feature. Version-scoped: time travel to a pre-widen entry
+        applies that entry's (empty) map and reads the narrow type."""
+        if df is None:
+            return None
+        widened = self._widen_state(entry)
+        todo = {c: t for c, t in widened.items() if c in df.columns}
+        if not todo:
+            return df
+        return df.select(
+            *[
+                F.col(f"`{c}`").cast(todo[c]).alias(c) if c in todo
+                else F.col(f"`{c}`")
+                for c in df.columns
+            ]
+        )
+
+    def widen_column(self, spark: SparkSession, col: str, new_type: str) -> int:
+        """WIDEN COLUMN as a metadata-only commit: record ``col`` (a
+        logical name; resolution to physical survives renames) as
+        reading-and-writing ``new_type`` from this version on. Zero
+        data IO — widening costs the same at 100 TB as at 100 rows.
+        Rejected when the transition is not in the lossless lattice
+        (any narrowing, bigint->double, float->anything-but-double),
+        when the column does not exist, or when it is the partition
+        column (its values are directory names, not parquet bytes)."""
+        if self.latest_version() is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        cmap, dropped, _ = self._bootstrap_colmap(spark)
+        if col in dropped:
+            raise ValueError(f"column '{col}' was dropped")
+        if col not in cmap:
+            raise ValueError(f"no such column '{col}'")
+        phys = cmap[col]
+        if self.partition_col and phys == self.partition_col:
+            raise ValueError(f"cannot widen partition column '{col}'")
+        cur = dict(self.read(spark).dtypes).get(col)
+        if not self._widen_allowed(cur, new_type):
+            raise ValueError(
+                f"cannot widen column '{col}' from {cur} to {new_type}: "
+                "only lossless widenings are allowed (tinyint->smallint->"
+                "int->bigint, int-or-smaller->double, float->double, "
+                "decimal scale/integral-digit growth); narrowing would "
+                "silently corrupt out-of-range rows"
+            )
+        widened = self._head_widen()
+        widened[phys] = new_type.lower()
+        return self._commit_metadata(
+            "widen_column",
+            {"widened": widened,
+             "type_widened": {"col": col, "from": cur, "to": new_type}},
+        )
 
     def _harvest_ptr_stats(
         self, ptr: dict, cols: Sequence[str]
@@ -2778,13 +3141,13 @@ class VersionedTable:
             if not kept and live:
                 # every file pruned: an empty frame with the table schema
                 # (limit(0) short-circuits before any file is read)
-                full = self._read_live(spark, live)
+                full = self._apply_widen(self._read_live(spark, live), entry)
                 assert full is not None
                 return self._from_physical(
                     full.limit(0).where(F.expr(where)), entry
                 )
             live = kept
-        df = self._read_snapshot(spark, live, entry)
+        df = self._apply_widen(self._read_snapshot(spark, live, entry), entry)
         if df is None:
             raise ValueError(
                 f"version {v} has no live data (every partition deleted); "
@@ -2793,6 +3156,90 @@ class VersionedTable:
         if where is not None:
             df = df.where(F.expr(where))
         return self._from_physical(df, entry)
+
+    def live_files_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The live-pointer relation as a DataFrame: the parquet
+        CHECKPOINT scanned by Spark (distributedly on a filesystem
+        store — at 100 TB the live-file list itself is cluster-scale
+        data, which is why Delta reads checkpoints as a parquet job,
+        and why this table's checkpoints are parquet rows rather than
+        one JSON blob) plus the O(CHECKPOINT_INTERVAL) delta suffix
+        folded as tiny anti-join/union frames. Columns: (partition,
+        pointer_json). Equals the driver-side live map exactly
+        (pinned by test)."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        schema = "partition string, pointer_json string"
+        # nearest checkpoint at or below v (bounded probe: checkpoints
+        # exist at interval marks and at vacuum's oldest-retained)
+        anchor_v, base = None, None
+        u = v
+        while u >= 1:
+            if self._store.exists(self._ckpt_name(u)):
+                anchor_v = u
+                if isinstance(self._store, LocalFSLogStore):
+                    base = (
+                        spark.read.parquet(self._store._p(self._ckpt_name(u)))
+                        .where(F.col("kind") == "ptr")
+                        .select(
+                            F.col("key").alias("partition"),
+                            F.col("payload").alias("pointer_json"),
+                        )
+                    )
+                else:  # object-store double: bytes -> local relation
+                    e = self._read_checkpoint(u)
+                    base = spark.createDataFrame(
+                        [(p, json.dumps(x)) for p, x in e["live"].items()],
+                        schema,
+                    )
+                break
+            raw = json.loads(self._store.read(self._entry_name(u)))
+            if "live" in raw:
+                anchor_v = u
+                base = spark.createDataFrame(
+                    [(p, json.dumps(x)) for p, x in raw["live"].items()],
+                    schema,
+                )
+                break
+            u -= 1
+        assert base is not None and anchor_v is not None
+        appended: set[str] = set()
+        for w in range(anchor_v + 1, v + 1):
+            raw = json.loads(self._store.read(self._entry_name(w)))
+            appended |= set(raw.get("live_append", {}))
+            gone = list(raw.get("live_rm", [])) + list(
+                raw.get("live_set", {})
+            )
+            if gone:
+                base = base.where(~F.col("partition").isin(gone))
+            if raw.get("live_set"):
+                base = base.unionByName(
+                    spark.createDataFrame(
+                        [
+                            (p, json.dumps(x))
+                            for p, x in raw["live_set"].items()
+                        ],
+                        schema,
+                    )
+                )
+        if appended:
+            # pointer-list suffixes need the pre-append value; those
+            # partitions are churn-sized per suffix window, so their
+            # FINAL values come from the (memoized) target entry and
+            # replace the folded rows wholesale
+            final_live = self._read_entry(v)["live"]
+            base = base.where(~F.col("partition").isin(list(appended)))
+            rows = [
+                (p, json.dumps(final_live[p]))
+                for p in sorted(appended)
+                if p in final_live
+            ]
+            if rows:
+                base = base.unionByName(spark.createDataFrame(rows, schema))
+        return base
 
     def read_changes(
         self,
@@ -2866,15 +3313,22 @@ class VersionedTable:
         dropped = {p: ptr for p, ptr in e_from.items() if p not in e_to}
         # both sides read THROUGH their version's tombstones, so a row
         # merge-on-read-deleted before from_version can never reappear
-        # in the diff
-        new = self._read_snapshot(spark, changed, to_entry)
-        old = self._read_snapshot(
-            spark,
-            {
-                **{p: e_from[p] for p in changed if p in e_from},
-                **dropped,
-            },
-            from_entry,
+        # in the diff. BOTH sides cast to the END version's widened
+        # types (a feed across a widen_column would otherwise struct-
+        # compare int against bigint and its unions would mix types).
+        new = self._apply_widen(
+            self._read_snapshot(spark, changed, to_entry), to_entry
+        )
+        old = self._apply_widen(
+            self._read_snapshot(
+                spark,
+                {
+                    **{p: e_from[p] for p in changed if p in e_from},
+                    **dropped,
+                },
+                from_entry,
+            ),
+            to_entry,
         )
         # tombstones ADDED in the window delete rows out of partitions
         # whose pointers never moved; surface them as 'delete' changes.
@@ -2892,7 +3346,9 @@ class VersionedTable:
             unchanged = {
                 p: e for p, e in e_from.items() if e_to.get(p) == e
             }
-            remaining = self._read_snapshot(spark, unchanged, from_entry)
+            remaining = self._apply_widen(
+                self._read_snapshot(spark, unchanged, from_entry), to_entry
+            )
             if remaining is not None:
                 by_cols: dict[tuple, list[dict]] = {}
                 for t in new_key_dv:
@@ -2918,8 +3374,11 @@ class VersionedTable:
             unchanged = {
                 p: e for p, e in e_from.items() if e_to.get(p) == e
             }
-            rem = self._read_snapshot(
-                spark, unchanged, from_entry, with_pos=True
+            rem = self._apply_widen(
+                self._read_snapshot(
+                    spark, unchanged, from_entry, with_pos=True
+                ),
+                to_entry,
             )
             if rem is not None:
                 hit = rem.join(
@@ -3363,9 +3822,16 @@ class VersionedTable:
             if rel not in referenced and os.path.getmtime(full) <= cutoff:
                 shutil.rmtree(full)
                 removed.append(rel)
+        # the oldest retained entry may be a DELTA whose ancestors are
+        # about to disappear: materialize its full state as a parquet
+        # checkpoint FIRST, so reconstruction never needs a vacuumed
+        # entry (write before delete — a crash between leaves both).
+        self._write_checkpoint(keep.start, self._read_entry(keep.start))
         for v in self._list_versions():
             if v < keep.start:
                 self._store.delete(self._entry_name(v))
+                if self._store.exists(self._ckpt_name(v)):
+                    self._store.delete(self._ckpt_name(v))
         # Keep the head pointer fresh so it never references a dropped
         # entry (stale pointer would force the full-list fallback).
         self._advance_checkpoint(head)
@@ -3581,6 +4047,65 @@ SELECT user_id, event_id, event_type AS last_event_type, ts,
        value AS lifetime_value, from_delta,
        (user_id % 4)::BIGINT AS pbucket
 FROM pick WHERE mrk = 1
+"""
+
+
+def versioned_widened_column_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable TYPE-WIDENING exercise (VERDICT r9 item 8): v1
+    commits the base half with ``clicks`` physically INT, v2 WIDENS it
+    to BIGINT as a METADATA-ONLY commit (zero data IO — the widen cost
+    at 100 TB equals the cost here), v3 appends the delta half whose
+    clicks exceed the int32 range (the reason tables widen) — the new
+    files land physically wide while v1's files stay narrow, and the
+    head read casts per the entry's widen map so the snapshot is
+    uniformly BIGINT across both file generations. Time travel to v1
+    (still INT) and rejected narrowings are pinned in
+    tests/test_txlog.py. Oracle = the equivalent final relation."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select("event_id", "user_id")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    table = VersionedTable(
+        os.path.join(scratch_dir("widened_read"), "clicks"),
+        partition_col="pbucket",
+    )
+    base = ev.where(F.col("event_id") <= cut).select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 1000).cast("int").alias("clicks"),
+        F.lit(False).alias("from_delta"),
+        (F.col("user_id") % 4).alias("pbucket"),
+    )
+    table.overwrite(base)
+    table.widen_column(spark, "clicks", "bigint")
+    delta = ev.where(F.col("event_id") > cut).select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 1000 + F.lit(3_000_000_000)).alias("clicks"),
+        F.lit(True).alias("from_delta"),
+        (F.col("user_id") % 4).alias("pbucket"),
+    )
+    table.append(delta)
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_WIDENED_COLUMN_READ_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+)
+SELECT e.event_id, e.user_id,
+       (CASE WHEN e.event_id > c.cut
+             THEN (e.event_id % 1000) + 3000000000
+             ELSE e.event_id % 1000 END)::BIGINT AS clicks,
+       (e.event_id > c.cut) AS from_delta,
+       (e.user_id % 4)::BIGINT AS pbucket
+FROM events e, c
 """
 
 

@@ -261,3 +261,42 @@ def test_pq_training_monotone_error_and_structure(spark):
     assert all(b <= a for a, b in zip(errs, errs[1:])), errs
     assert errs[-1] < errs[0]  # training actually moved the codebooks
     res.unpersist()
+
+
+def test_choose_k_pins_corpus_sizes():
+    """Auto-K contract (VERDICT r9 item 2): the floor holds at the
+    driver correctness scales, the ceiling at sf1."""
+    assert km.choose_k(500) == 8       # sf0.01 embeddings -> floor
+    assert km.choose_k(2000) == 8      # sf0.1 -> still the floor
+    assert km.choose_k(2049) == 9      # first step above the floor
+    assert km.choose_k(4096) == 16
+    assert km.choose_k(20000) == 64    # sf1 -> capped at K_MAX
+
+
+def test_sql_kparam_matches_choose_k():
+    """The kparam CTE arithmetic (least/greatest over the integer
+    ceiling) must equal choose_k for any count — positive // floors
+    in DuckDB, so (n + T - 1) // T is the exact ceiling."""
+    import duckdb
+
+    t = km.TARGET_CLUSTER_SIZE
+    for n in (1, 7, 500, 2000, 2048, 2049, 4096, 20000, 10**6):
+        got = duckdb.sql(
+            f"SELECT least({km.K_MAX}, greatest({km.K_MIN},"
+            f" ({n} + {t - 1}) // {t}))"
+        ).fetchone()[0]
+        assert got == km.choose_k(n), n
+
+
+def test_adaptive_k_trains_wider_on_larger_frame(spark):
+    """A frame above the floor threshold trains choose_k(n) centroids;
+    an explicit k pins it (the fixed-k twin contract)."""
+    n = 2600  # choose_k -> 11
+    qdf = spark.createDataFrame(
+        [(i, [(i * 7 + j) % 50 for j in range(km.DIM)]) for i in range(n)],
+        "vec_id long, q array<long>",
+    ).repartition(8)
+    trained = km.train_kmeans_frame(qdf)
+    assert len(trained) == km.choose_k(n) == 11
+    pinned = km.train_kmeans_frame(qdf, k=8)
+    assert len(pinned) == 8

@@ -195,3 +195,45 @@ def test_binaryfile_glob_prunes_listing(spark, tmp_path):
     # metadata-only projection must not read binary bodies
     plan = bmps.select("path", "length")._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_pool_bmp_features_closed_form():
+    """The byte-walk pooling must equal the closed-form pixel function
+    the oracle restates — per cell, per channel, exact integer sums."""
+    from de_final_project_spark.operators.multimodal import (
+        POOL_GRID,
+        _geom,
+        _make_payload,
+        _pixel,
+        pool_bmp_features,
+    )
+
+    for doc_id in (0, 3, 9, 33, 96):  # image docs: multiples of 3
+        w, h, _, _ = _geom(doc_id)
+        want = [0] * 64
+        for y in range(h):
+            cy = (y * POOL_GRID) // h
+            for x in range(w):
+                cell = cy * POOL_GRID + (x * POOL_GRID) // w
+                r, g, b = _pixel(doc_id, 0, x, y)
+                want[cell * 3 + 0] += r
+                want[cell * 3 + 1] += g
+                want[cell * 3 + 2] += b
+        got = pool_bmp_features(_make_payload(doc_id, "image"))
+        assert got == want, doc_id
+
+
+def test_media_knn_shape(spark):
+    """Every query returns exactly TOP_K ranked neighbors, none of them
+    the query itself, all from the image corpus."""
+    from de_final_project_spark.operators.multimodal import media_knn
+    from de_final_project_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = media_knn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, TOP_K + 1))

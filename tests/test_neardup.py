@@ -236,3 +236,125 @@ def test_dedup_provenance_consistent_with_arms(spark):
             + int(r["minhash_dup"])
             + int(bool(r["semantic_dup"]))
         )
+
+
+class TestIncrementalNearDupIndex:
+    """IncrementalNearDupIndex: the persisted band relation maintained
+    from the docs change feed (VERDICT r9 item 3)."""
+
+    def _bronze(self, spark, tmp_path, rows):
+        from de_final_project_spark.operators.txlog import VersionedTable
+
+        t = VersionedTable(str(tmp_path / "docs"))
+        t.overwrite(spark.createDataFrame(rows, "doc_id long, text string"))
+        return t
+
+    def test_second_batch_signs_only_its_own_docs(self, spark, tmp_path):
+        from de_final_project_spark.operators.neardup import (
+            IncrementalNearDupIndex,
+        )
+
+        rows = [(i, f"alpha beta gamma delta {i}") for i in range(40)]
+        t = self._bronze(spark, tmp_path, rows[:30])
+        idx = IncrementalNearDupIndex(t, str(tmp_path / "idx"))
+        r1 = idx.refresh(spark)
+        assert r1["mode"] == "build" and r1["signed_docs"] == 30
+        t.append(
+            spark.createDataFrame(rows[30:], "doc_id long, text string")
+        )
+        r2 = idx.refresh(spark)
+        # the churn-proportionality contract, measured: 10, never 40
+        assert r2["mode"] == "delta" and r2["signed_docs"] == 10
+        assert idx.refresh(spark)["mode"] == "noop"
+
+    def test_insert_only_verdicts_equal_full_recompute(
+        self, spark, tmp_path
+    ):
+        """Pairs accumulated across three windows == the batch
+        operator run over the final corpus (same threshold, same
+        scores) — incremental maintenance changes cost, not answers."""
+        from de_final_project_spark.operators.neardup import (
+            IncrementalNearDupIndex,
+            JACCARD_THRESHOLD,
+            _band_candidates,
+            _docs_with_shingles,  # noqa: F401 (parity with operator)
+            minhash_signature,
+            lsh_bands,
+            shingle_set,
+        )
+
+        # near-dup clusters: texts repeat with tiny suffix churn
+        rows = [
+            (i, f"the quick brown fox jumps over the lazy dog {i % 4}")
+            for i in range(24)
+        ]
+        t = self._bronze(spark, tmp_path, rows[:10])
+        idx = IncrementalNearDupIndex(t, str(tmp_path / "idx"))
+        idx.refresh(spark)
+        t.append(spark.createDataFrame(rows[10:17], "doc_id long, text string"))
+        idx.refresh(spark)
+        t.append(spark.createDataFrame(rows[17:], "doc_id long, text string"))
+        idx.refresh(spark)
+        got = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in idx.read_verdicts(spark).collect()
+        }
+        # full recompute over the final corpus via the batch pipeline
+        full_docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = full_docs.select(
+            "doc_id", shingle_set(F.col("text")).alias("shingles")
+        ).persist()
+        bands = (
+            sh.select(
+                "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+            )
+            .persist()
+            .select("doc_id", F.explode(lsh_bands(F.col("sig"))).alias("b"))
+            .select("doc_id", "b.band_idx", "b.band_hash")
+        )
+        cands = _band_candidates(bands)
+        sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+        sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+        want = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in cands.join(sh_a, "a_id").join(sh_b, "b_id")
+            .select("a_id", "b_id", F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .collect()
+        }
+        assert got == want
+
+    def test_update_and_delete_maintain_index_exactly(
+        self, spark, tmp_path
+    ):
+        """After MOR update + delete on the docs table, the stored band
+        index equals a from-scratch signing of the live corpus."""
+        from de_final_project_spark.operators.neardup import (
+            IncrementalNearDupIndex,
+        )
+        from pyspark.sql import functions as SF
+
+        rows = [(i, f"lorem ipsum dolor sit amet {i}") for i in range(20)]
+        t = self._bronze(spark, tmp_path, rows)
+        idx = IncrementalNearDupIndex(t, str(tmp_path / "idx"))
+        idx.refresh(spark)
+        t.update_where(
+            spark, "doc_id % 4 = 0",
+            {"text": "concat(text, ' PATCHED')"}, mode="mor",
+        )
+        t.delete_where(spark, "doc_id % 5 = 1", mode="mor")
+        r = idx.refresh(spark)
+        assert r["mode"] == "delta"
+        stored = {
+            (x["doc_id"], x["band_idx"], x["band_hash"])
+            for x in idx.index.read(spark).collect()
+        }
+        fresh = IncrementalNearDupIndex(t, str(tmp_path / "idx2"))
+        fresh.refresh(spark)
+        want = {
+            (x["doc_id"], x["band_idx"], x["band_hash"])
+            for x in fresh.index.read(spark).collect()
+        }
+        assert stored == want

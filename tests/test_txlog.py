@@ -2161,3 +2161,250 @@ class TestAnalyze:
             r["ident"] for r in t.read(spark, where="ident <= 5").collect()
         }
         assert got == set(range(6))
+
+
+class TestTypeWidening:
+    """widen_column: metadata-only lossless type evolution (VERDICT r9
+    item 8) — per-version read casts, time travel across the widen,
+    rejected narrowing, physical-name stability across renames, and a
+    change feed spanning the widen."""
+
+    def _clicks(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, clicks int")
+
+    def test_widen_is_metadata_only_and_uniform_across_generations(
+        self, spark, table_factory
+    ):
+        t = table_factory("w1")
+        t.overwrite(self._clicks(spark, [(1, 10), (2, 20)]))
+        import glob
+        import os as _os
+
+        files_before = sorted(
+            glob.glob(_os.path.join(t.path, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        v = t.widen_column(spark, "clicks", "bigint")
+        files_after = sorted(
+            glob.glob(_os.path.join(t.path, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        assert files_before == files_after  # zero data IO
+        # post-widen append: beyond-int32 values, physically wide files
+        t.append(
+            spark.createDataFrame([(3, 5_000_000_000)],
+                                  "id long, clicks long")
+        )
+        head = t.read(spark)
+        assert dict(head.dtypes)["clicks"] == "bigint"
+        assert {r["id"]: r["clicks"] for r in head.collect()} == {
+            1: 10, 2: 20, 3: 5_000_000_000,
+        }
+        # time travel BEFORE the widen reads the narrow type
+        old = t.read(spark, version=v - 1)
+        assert dict(old.dtypes)["clicks"] == "int"
+        # ...and AT the widen reads wide with the same values
+        at = t.read(spark, version=v)
+        assert dict(at.dtypes)["clicks"] == "bigint"
+        assert {r["clicks"] for r in at.collect()} == {10, 20}
+
+    def test_narrowing_and_lossy_transitions_rejected(
+        self, spark, table_factory
+    ):
+        t = table_factory("w2")
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, 10, 1.5, 7_000_000_000)],
+                "id long, clicks int, ratio float, big long",
+            )
+        )
+        t.widen_column(spark, "clicks", "bigint")
+        for col, bad in [
+            ("clicks", "int"),        # narrowing back
+            ("ratio", "int"),         # lossy cross-family
+            ("big", "double"),        # int64 does not fit a double
+            ("big", "int"),           # narrowing
+            ("clicks", "bigint"),     # no-op
+        ]:
+            with pytest.raises(ValueError, match="widen"):
+                t.widen_column(spark, col, bad)
+        # float -> double is in the lattice
+        t.widen_column(spark, "ratio", "double")
+        assert dict(t.read(spark).dtypes)["ratio"] == "double"
+
+    def test_widen_survives_rename_and_merge(self, spark, table_factory):
+        """State is keyed by physical name: widen, then rename — the
+        new logical name keeps reading wide, and a MERGE through the
+        mapping lands and reads correctly."""
+        t = table_factory("w3")
+        t.overwrite(self._clicks(spark, [(1, 10), (2, 20)]))
+        t.widen_column(spark, "clicks", "bigint")
+        t.rename_column(spark, "clicks", "hits")
+        assert dict(t.read(spark).dtypes)["hits"] == "bigint"
+        t.merge(
+            spark,
+            spark.createDataFrame([(2, 9_000_000_000), (4, 40)],
+                                  "id long, hits long"),
+            ["id"],
+        )
+        got = {r["id"]: r["hits"] for r in t.read(spark).collect()}
+        assert got == {1: 10, 2: 9_000_000_000, 4: 40}
+
+    def test_change_feed_across_widen(self, spark, table_factory):
+        """A feed window spanning the widen: both sides cast to the end
+        version's types, so unchanged rows do NOT appear as updates and
+        the feed column is uniformly wide."""
+        t = table_factory("w4")
+        t.overwrite(self._clicks(spark, [(1, 10), (2, 20)]))
+        v1 = t.latest_version()
+        t.widen_column(spark, "clicks", "bigint")
+        t.append(
+            spark.createDataFrame([(3, 6_000_000_000)],
+                                  "id long, clicks long")
+        )
+        feed = t.read_changes(spark, ["id"], v1)
+        assert dict(feed.dtypes)["clicks"] == "bigint"
+        rows = {(r["id"], r["_change_type"]) for r in feed.collect()}
+        assert rows == {(3, "insert")}  # 1 and 2 unchanged by the widen
+
+    def test_protocol_floor_bumps_on_widen(self, spark, table_factory):
+        t = table_factory("w5")
+        t.overwrite(self._clicks(spark, [(1, 10)]))
+        t.widen_column(spark, "clicks", "bigint")
+        head = t._read_entry(t.latest_version())
+        assert head["protocol"]["min_reader"] == 4
+        # a pre-widening reader must refuse, not misread
+        orig = VersionedTable.READER_VERSION
+        try:
+            VersionedTable.READER_VERSION = 3
+            with pytest.raises(RuntimeError, match="log-protocol"):
+                t.read(spark)
+        finally:
+            VersionedTable.READER_VERSION = orig
+
+    def test_widen_partition_column_rejected(self, spark, table_factory):
+        t = table_factory("w6", partition_col="pb")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        with pytest.raises(ValueError, match="partition"):
+            t.widen_column(spark, "pb", "bigint")
+
+
+class _CountingStore(ConditionalPutLogStore):
+    """Counts read() calls — the instrument for the reconstruction-cost
+    contract."""
+
+    def __init__(self):
+        super().__init__()
+        self.reads = 0
+
+    def read(self, name):
+        self.reads += 1
+        return super().read(name)
+
+
+class TestDeltaLogCodec:
+    """Delta-encoded entries + parquet checkpoints (VERDICT r9 item 1):
+    entry size is O(touched files); snapshot reconstruction reads O(1)
+    checkpoint + O(CHECKPOINT_INTERVAL) suffix entries, never
+    O(history)."""
+
+    def _grow(self, spark, store, n_commits):
+        t = VersionedTable("/x/ignored_delta", log_store=store)
+        mk = lambda rows: spark.createDataFrame(rows, "id long, s string")  # noqa: E731
+        t.overwrite(mk([(0, "base")]))
+        for i in range(1, n_commits):
+            t.append(mk([(i, f"x{i}")]))
+        return t
+
+    def test_snapshot_read_cost_is_checkpoint_plus_suffix(self, spark):
+        from de_final_project_spark.operators.txlog import (
+            CHECKPOINT_INTERVAL,
+        )
+
+        n = 60
+        store = _CountingStore()
+        self._grow(spark, store, n)
+        # COLD handle: no reconstruction memo, same shared store
+        cold = VersionedTable("/x/ignored_delta", log_store=store)
+        store.reads = 0
+        head = cold.latest_version()
+        cold._read_entry(head)
+        cold_reads = store.reads
+        # never O(history): one checkpoint + at most the interval's
+        # worth of suffix entries (+ the head-pointer read)
+        assert cold_reads <= CHECKPOINT_INTERVAL + 3, cold_reads
+        assert cold_reads < n // 2
+        # warm handle: memoized — zero additional entry reads
+        store.reads = 0
+        cold._read_entry(head)
+        assert store.reads == 0
+
+    def test_entry_bytes_track_churn_not_live_files(self, spark):
+        """The metadata-plane scale contract, measured: after 40
+        one-partition commits the LATEST delta entry is no bigger than
+        an early one (the full-map codec grew every entry linearly
+        with live file count)."""
+        store = _CountingStore()
+        t = VersionedTable(
+            "/x/ignored_delta2", log_store=store, partition_col="pb"
+        )
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "id long, s string, pb int"
+        )
+        t.overwrite(mk([(0, "base", 0)]))
+        sizes = {}
+        for i in range(1, 41):
+            t.append(mk([(i, f"x{i}", i % 8)]))
+            sizes[i + 1] = len(store.read(t._entry_name(i + 1)))
+        # 8x more live partitions/files at the end; entry bytes flat
+        # (same one-pointer append), modulo a small txn/protocol drift
+        assert sizes[41] <= sizes[5] * 1.5, (sizes[5], sizes[41])
+
+    def test_history_and_time_travel_reconstruct_every_version(
+        self, spark
+    ):
+        store = _CountingStore()
+        t = self._grow(spark, store, 25)
+        hist = t.history()
+        assert [e["version"] for e in hist] == list(range(1, 26))
+        fresh = VersionedTable("/x/ignored_delta", log_store=store)
+        for v in (1, 7, 13, 24, 25):
+            assert fresh.read(spark, version=v).count() == v
+
+    def test_vacuum_checkpoints_oldest_retained_delta(self, spark):
+        """Vacuum drops the ancestors a delta entry reconstructs from —
+        the checkpoint it writes at the oldest retained version must
+        keep every retained version readable from a cold handle."""
+        store = _CountingStore()
+        t = self._grow(spark, store, 17)  # head 17, no interval mark near
+        t.vacuum(retain_versions=3, retention_seconds=0)
+        cold = VersionedTable("/x/ignored_delta", log_store=store)
+        assert cold.read(spark, version=15).count() == 15
+        assert cold.read(spark, version=17).count() == 17
+        with pytest.raises(FileNotFoundError):
+            cold.read(spark, version=5)
+
+    def test_live_files_df_matches_driver_map(self, spark, tmp_path):
+        """The distributed checkpoint read (parquet scan + folded delta
+        suffix) equals the driver-side reconstruction exactly — on the
+        REAL filesystem store, where the checkpoint is scanned by
+        Spark."""
+        t = VersionedTable(str(tmp_path / "lfd"), partition_col="pb")
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "id long, s string, pb int"
+        )
+        t.overwrite(mk([(i, "a", i % 4) for i in range(8)]))
+        for i in range(1, 14):
+            t.append(mk([(100 + i, f"x{i}", i % 4)]))
+        t.delete_where(spark, "pb = 2")  # rewrites partition 2
+        import json as _json
+
+        got = {
+            (r["partition"], r["pointer_json"])
+            for r in t.live_files_df(spark).collect()
+        }
+        want = {
+            (p, _json.dumps(e))
+            for p, e in t._read_entry(t.latest_version())["live"].items()
+        }
+        assert got == want
