@@ -747,8 +747,15 @@ class VersionedTable:
             self._cache_put(raw["version"], entry)
         if not chain:  # the target itself was the anchor
             self._cache_put(version, state)
-            return copy.deepcopy(state)
-        return copy.deepcopy(self._entry_cache[version])
+            out = copy.deepcopy(state)
+        else:
+            out = copy.deepcopy(self._entry_cache[version])
+        # Re-check on the way OUT as well as on each raw read above: a
+        # memo/cache hit (e.g. the writing handle itself) must not skip
+        # the gate — an under-versioned reader handed a cached entry
+        # would misread exactly like one handed the raw blob.
+        self._check_raw_protocol(out)
+        return out
 
     def history(self) -> list[dict]:
         """All RETAINED commits, oldest first (op, touched partitions,

@@ -1,0 +1,92 @@
+"""Binary (sign-bit) quantization ANN tier — operators/bitq.py.
+
+Pins the three contracts the oracle can't see directly:
+- the PACKED codes really are the per-dimension sign bits (numpy replay),
+- packed-XOR-popcount Hamming == per-dimension sign-mismatch count (the
+  identity the DuckDB oracle relies on),
+- recall@k vs the brute-force truth clears the measured floor at the
+  shipped pool size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from de_final_project_spark.operators import bitq
+from de_final_project_spark.operators.similarity import TOP_K, _bruteforce_topk
+from de_final_project_spark.sources.readers import read_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        read_testdata(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+def _np_codes(vec: list[float]) -> tuple[int, int]:
+    bits = [1 if x >= 0 else 0 for x in vec]
+    pack = lambda half: int("".join(map(str, half)), 2)  # noqa: E731
+    return pack(bits[:32]), pack(bits[32:])
+
+
+def test_bit_codes_match_numpy_replay(emb):
+    rows = bitq.bit_codes(emb).join(emb, "vec_id").limit(20).collect()
+    assert rows
+    for r in rows:
+        lo, hi = _np_codes(list(r.embedding))
+        assert (r.code_lo, r.code_hi) == (lo, hi), f"vec {r.vec_id}"
+
+
+def test_codes_fit_unsigned_32(emb):
+    import pyspark.sql.functions as F
+
+    agg = bitq.bit_codes(emb).agg(
+        F.min("code_lo"), F.max("code_lo"), F.min("code_hi"), F.max("code_hi")
+    ).first()
+    assert min(agg) >= 0 and max(agg) < 2**32
+
+
+def test_hamming_equals_sign_mismatch_count(emb):
+    """The identity the oracle uses: bit_count(xor(codes)) == number of
+    dims where the signs differ."""
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.limit(30).collect()}
+    out = bitq._bitq_topk(emb).collect()
+    checked = 0
+    for r in out:
+        if r.query_id in vecs and r.neighbor_id in vecs:
+            a, b = vecs[r.query_id] >= 0, vecs[r.neighbor_id] >= 0
+            assert r.hamming == int((a != b).sum())
+            checked += 1
+    assert checked > 0
+
+
+def test_recall_floor_at_shipped_pool_size(emb):
+    truth = {
+        (r.query_id, r.neighbor_id) for r in _bruteforce_topk(emb).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in bitq._bitq_topk(emb).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@{TOP_K} {recall} below floor at pool {bitq.CANDIDATES}"
+
+
+def test_output_shape_and_rank_contract(spark, emb):
+    df = bitq.bitq_knn(spark, SF_DIR)
+    assert [f.name for f in df.schema.fields] == [
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "hamming",
+        "cosine_sim",
+    ]
+    rows = df.collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), q

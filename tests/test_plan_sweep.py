@@ -41,6 +41,9 @@ BNLJ_ALLOWED = {
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
     "ivf_knn",  # 8 broadcast centroids
     "knn_bruteforce",  # broadcast query side, streamed corpus
+    # broadcast 10-query code side against the streamed int-code corpus;
+    # the per-pair work is two XOR+popcounts, the float pass is pool-only
+    "bitq_knn",
     "knn_classify",  # composes knn_bruteforce
     "parts_price_band_join",  # literal band table broadcast
     "q11_important_stock",  # HAVING-over-global scalar pin
