@@ -1931,7 +1931,18 @@ class VersionedTable:
         rel, parts, files = self._stage(merged)
         while True:
             head = self.latest_version()
-            head_entry = self._read_entry(head)
+            try:
+                head_entry = self._read_entry(head)
+            except FileNotFoundError as e:
+                # Under the delta codec the head's state reconstructs
+                # through its ancestors — a concurrent vacuum dropping
+                # one mid-walk (before its checkpoint lands) surfaces
+                # HERE, not only on a direct read of the dropped
+                # version. Same serializable answer: conflict, retry.
+                raise ConcurrentWriteError(
+                    f"log entry {e} vacuumed during rebase "
+                    f"(base v{base_version}); re-read and retry"
+                ) from None
             if head != base_version:
                 # Someone committed since we read. Rebase only if every
                 # intervening commit is a MERGE on partitions disjoint
@@ -2312,7 +2323,18 @@ class VersionedTable:
         threads the same per-stream idempotence watermark merge uses."""
         while True:
             head = self.latest_version()
-            head_entry = self._read_entry(head)
+            try:
+                head_entry = self._read_entry(head)
+            except FileNotFoundError as e:
+                # Under the delta codec the head's state reconstructs
+                # through its ancestors — a concurrent vacuum dropping
+                # one mid-walk (before its checkpoint lands) surfaces
+                # HERE, not only on a direct read of the dropped
+                # version. Same serializable answer: conflict, retry.
+                raise ConcurrentWriteError(
+                    f"log entry {e} vacuumed during rebase "
+                    f"(base v{base_version}); re-read and retry"
+                ) from None
             if head != base_version:
                 conflicting = set()
                 for v in range(base_version + 1, head + 1):
@@ -2408,7 +2430,18 @@ class VersionedTable:
         )
         while True:
             head = self.latest_version()
-            head_entry = self._read_entry(head)
+            try:
+                head_entry = self._read_entry(head)
+            except FileNotFoundError as e:
+                # Under the delta codec the head's state reconstructs
+                # through its ancestors — a concurrent vacuum dropping
+                # one mid-walk (before its checkpoint lands) surfaces
+                # HERE, not only on a direct read of the dropped
+                # version. Same serializable answer: conflict, retry.
+                raise ConcurrentWriteError(
+                    f"log entry {e} vacuumed during rebase "
+                    f"(base v{base_version}); re-read and retry"
+                ) from None
             if head != base_version:
                 conflicting = set()
                 for v in range(base_version + 1, head + 1):

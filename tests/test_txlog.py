@@ -2048,27 +2048,33 @@ class TestProtocol:
         t.overwrite(_mk(spark, [(1, "a", 0)]))
         assert "protocol" not in t._read_entry(1)
         # deletion vectors demand reader v2 (ignoring the dv list
-        # resurrects deleted rows)
+        # resurrects deleted rows); the per-feature demand is pinned on
+        # the classifier, while the STAMPED floor is max(feature, 5)
+        # because every v>=2 entry is delta-encoded (codec = reader v5)
         t.delete_where(spark, "id = 1", mode="mor")
-        assert t._read_entry(2)["protocol"] == {
-            "min_reader": 2,
-            "min_writer": 2,
-        }
+        e2 = t._read_entry(2)
+        assert VersionedTable._required_protocol(e2) == 2
+        assert e2["protocol"] == {"min_reader": 5, "min_writer": 5}
         # column mapping demands v3 (ignoring colmap exposes physical
         # names and dropped bytes)
         t2 = table_factory("proto_cm", partition_col="pb")
         t2.overwrite(_mk(spark, [(1, "a", 0)]))
         t2.rename_column(spark, "s", "label")
-        assert t2._read_entry(2)["protocol"]["min_reader"] == 3
+        e2b = t2._read_entry(2)
+        assert VersionedTable._required_protocol(e2b) == 3
+        assert e2b["protocol"]["min_reader"] == 5
 
     def test_protocol_floor_survives_restore(self, spark, table_factory):
         t = table_factory("proto_floor", partition_col="pb")
         t.overwrite(_mk(spark, [(1, "a", 0)]))  # v1, no protocol
-        t.rename_column(spark, "s", "label")  # v2, min_reader 3
+        t.rename_column(spark, "s", "label")  # v2, floor raised
+        before = t._read_entry(2)["protocol"]["min_reader"]
         t.restore(1)  # v3: pre-mapping schema, but the floor stays
         e = t._read_entry(3)
         assert "colmap" not in e
-        assert e["protocol"]["min_reader"] == 3
+        # the property: RESTORE to a pre-feature snapshot never LOWERS
+        # the floor (later history's entries still need it)
+        assert e["protocol"]["min_reader"] >= before
 
     def test_future_reader_version_fails_loudly(self, spark, table_factory):
         t = table_factory("proto_future", partition_col="pb")
