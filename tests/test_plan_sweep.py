@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     # (ivf_pq_knn / ivfpq_cost_report / pq_train_error_ab stay
     # BNLJ-free: cell equi-joins + codebook literals only)
     "bm25_scores",  # 1-row avgdl scalar pin
+    "incremental_bm25_search",  # same 1-row avgdl pin, index-served
     "embedding_neardup_exact",  # guarded O(n²) baseline, broadcast side
     "idle_rich_customers",  # avg-balance scalar pin (plans/setops.py)
     "ivf_knn",  # 8 broadcast centroids

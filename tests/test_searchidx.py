@@ -1,0 +1,127 @@
+"""Incremental posting index (operators/searchidx.py): the maintenance
+paths the driver query (insert-only feed) doesn't exercise — updates
+tombstoning dropped terms, deletes removing a doc's postings and length,
+and served-BM25 equivalence with the batch expression after churn."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_final_project_spark.operators.searchidx import IncrementalPostingIndex
+from de_final_project_spark.operators.txlog import VersionedTable
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "docs"))
+    t.overwrite(
+        _docs(
+            spark,
+            [
+                (1, "spark join hash join"),
+                (2, "hash table scan"),
+                (3, "window agg sort"),
+            ],
+        )
+    )
+    idx = IncrementalPostingIndex(t, str(tmp_path / "idx"))
+    r = idx.refresh(spark)
+    assert r["mode"] == "build" and r["tokenized_docs"] == 3
+    return t, idx
+
+
+def _postings_of(spark, idx, doc_id):
+    return {
+        (r.term, r.tf)
+        for r in idx.postings.read(spark).where(F.col("doc_id") == doc_id).collect()
+    }
+
+
+def test_build_postings_and_lengths(spark, setup):
+    t, idx = setup
+    assert _postings_of(spark, idx, 1) == {("spark", 1), ("join", 2), ("hash", 1)}
+    dls = {r.doc_id: r.dl for r in idx.doclens.read(spark).collect()}
+    assert dls == {1: 4, 2: 3, 3: 3}
+
+
+def test_update_tombstones_dropped_terms(spark, setup):
+    t, idx = setup
+    # doc 1 loses 'spark' and one 'join', gains 'scan'
+    t.merge(spark, _docs(spark, [(1, "join hash scan")]), ["doc_id"])
+    r = idx.refresh(spark)
+    assert r["mode"] == "delta" and r["tokenized_docs"] == 1
+    assert _postings_of(spark, idx, 1) == {("join", 1), ("hash", 1), ("scan", 1)}
+    dls = {r_.doc_id: r_.dl for r_ in idx.doclens.read(spark).collect()}
+    assert dls[1] == 3
+
+
+def test_delete_removes_doc_everywhere(spark, setup):
+    t, idx = setup
+    t.delete_where(spark, "doc_id = 2")
+    r = idx.refresh(spark)
+    assert r["mode"] == "delta"
+    assert _postings_of(spark, idx, 2) == set()
+    assert 2 not in {r_.doc_id for r_ in idx.doclens.read(spark).collect()}
+    # served BM25 no longer surfaces doc 2 for a query it used to match
+    got = {r_.doc_id for r_ in idx.bm25_topk(spark, ("hash",), 10).collect()}
+    assert 2 not in got and 1 in got
+
+
+def test_served_bm25_equals_batch_expression_after_churn(spark, setup):
+    """After an update AND a delete, index-served BM25 equals the batch
+    expression computed fresh over the surviving corpus."""
+    t, idx = setup
+    t.merge(spark, _docs(spark, [(1, "join hash scan")]), ["doc_id"])
+    t.delete_where(spark, "doc_id = 3")
+    idx.refresh(spark)
+
+    from de_final_project_spark.functions.text import tokens
+    from de_final_project_spark.operators.corpusops import BM25_B, BM25_K1
+
+    docs = t.read(spark)
+    n_docs = docs.count()
+    q = ("join", "hash")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    qtf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    want = {
+        (r.doc_id, r.bm25)
+        for r in qtf.join(dfc, "term")
+        .join(dl, "doc_id")
+        .crossJoin(avgdl)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.bm25) for r in idx.bm25_topk(spark, q, 10).collect()
+    }
+    assert got == want
+
+
+def test_noop_and_monotone_txn(spark, setup):
+    t, idx = setup
+    assert idx.refresh(spark)["mode"] == "noop"
+    v = idx.applied_version()
+    t.append(_docs(spark, [(9, "spark spark")]))
+    assert idx.refresh(spark)["mode"] == "delta"
+    assert idx.applied_version() > v
