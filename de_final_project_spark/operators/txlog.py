@@ -2128,6 +2128,217 @@ class VersionedTable:
             if self._try_commit(new_entry):
                 return new_entry["version"]
 
+    # ------------------------------------------- write-audit-publish
+    def stage_wap(self, df: DataFrame, wap_id: str) -> int:
+        """WRITE of write-audit-publish (Iceberg's WAP pattern): land
+        ``df`` as a STAGED commit that normal readers never see — the
+        entry's live map is byte-identical to the head's; the staged
+        pointers ride a side field (``wap``) until :meth:`publish_wap`
+        folds them in or :meth:`discard_wap` abandons them. Data files
+        are written ONCE, into the table's own data dir — publish is a
+        metadata-only pointer fold, so the audit step costs zero data
+        movement at any scale. Constraints/generated columns are
+        enforced at stage time (the earliest point a violation can
+        surface); the audit step is the CALLER's domain validation over
+        :meth:`read_wap`. Returns the staged entry's version — the
+        handle for audit/publish/discard."""
+        if not wap_id or not wap_id.replace("-", "").replace("_", "").isalnum():
+            raise ValueError(f"wap_id must be a slug, got {wap_id!r}")
+        df, _cm = self._prep_write(df)
+        df = self._materialize_generated(df)
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(
+                f"no commits at {self.path}: WAP stages against an "
+                "existing table (overwrite first)"
+            )
+        full = self._read_live(
+            df.sparkSession, self._read_entry(base)["live"]
+        )
+        if full is not None and set(full.columns) != set(df.columns):
+            raise ValueError(
+                "stage_wap requires the exact table schema; table "
+                f"{sorted(full.columns)} vs staged {sorted(df.columns)}"
+            )
+        rel, parts, files = self._stage(df)
+        if not self.partition_col:
+            parts = {_UNPARTITIONED: ""}
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            staged = {
+                p: {
+                    "commit_dir": rel,
+                    "part_dir": parts[p],
+                    "v": head + 1,
+                    **({"files": files[p]} if files else {}),
+                }
+                for p in parts
+            }
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "wap_stage",
+                # live byte-identical to head: invisible to readers,
+                # zero-diff under the delta codec
+                "live": dict(head_entry["live"]),
+                "touched": [],
+                "txn": dict(head_entry.get("txn", {})),
+                "wap": {
+                    "id": wap_id,
+                    "files": staged,
+                    "touched": sorted(parts),
+                },
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
+                **self._meta_fields(),
+                **_cm,
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
+    def _wap_entry(self, staged_version: int, wap_id: str) -> dict:
+        e = self._read_entry(staged_version)
+        if e.get("op") != "wap_stage" or e.get("wap", {}).get("id") != wap_id:
+            raise ValueError(
+                f"v{staged_version} is not a staged WAP commit for "
+                f"{wap_id!r} (op={e.get('op')!r})"
+            )
+        return e
+
+    def read_wap(
+        self, spark: SparkSession, staged_version: int, wap_id: str
+    ) -> DataFrame:
+        """AUDIT read: the snapshot as it would look IF the staged
+        commit published — the stage-time snapshot plus the staged
+        rows. This is what expectations/quality gates run against
+        before anyone else can observe the data."""
+        e = self._wap_entry(staged_version, wap_id)
+        snap = self.read(spark, version=staged_version)
+        # staged files carry no merge-on-read history: read them
+        # through the entry's colmap/widen context but with no dv
+        staged_entry = {k: v for k, v in e.items() if k != "dv"}
+        staged_df = self._apply_widen(
+            self._read_snapshot(spark, e["wap"]["files"], staged_entry),
+            staged_entry,
+        )
+        assert staged_df is not None
+        return snap.unionByName(self._from_physical(staged_df, staged_entry))
+
+    def publish_wap(
+        self, spark: SparkSession, staged_version: int, wap_id: str
+    ) -> int:
+        """PUBLISH: fold the staged pointers into the live map — a
+        metadata-only commit, idempotent via the txn stamp (a retried
+        publish after a crash lands once). Serializable against
+        concurrent history exactly like append's rebase: intervening
+        commits that enumerate their partitions are fine (the staged
+        files are NEW rows no other writer could have read or touched);
+        a snapshot-replacing commit (overwrite/compact/restore)
+        invalidates the audit and conflicts."""
+        e = self._wap_entry(staged_version, wap_id)
+        wap = e["wap"]
+        txn = (f"wap:{wap_id}", staged_version)
+        base = staged_version
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            if head_entry.get("txn", {}).get(txn[0], -1) >= txn[1]:
+                return head  # already published (crash-retry replay)
+            for v in range(base + 1, head + 1):
+                try:
+                    ev = self._read_entry(v)
+                except FileNotFoundError:
+                    raise ConcurrentWriteError(
+                        f"log entry v{v} vacuumed during WAP publish "
+                        f"(staged v{staged_version}); re-stage"
+                    ) from None
+                if (
+                    ev.get("op") == "wap_discard"
+                    and ev.get("wap_discarded", {}).get("id") == wap_id
+                    and ev["wap_discarded"].get("staged") == staged_version
+                ):
+                    raise ValueError(
+                        f"WAP {wap_id!r} (staged v{staged_version}) was "
+                        f"discarded at v{v} — re-stage to publish"
+                    )
+                if ev.get("op") not in (
+                    "merge", "delete", "update", "compact_parts",
+                    "analyze", "append", "delete_rows", "update_rows",
+                    "delete_keys", "wap_stage", "wap_publish",
+                    "wap_discard",
+                ):
+                    raise ConcurrentWriteError(
+                        f"snapshot replaced by a concurrent "
+                        f"'{ev.get('op')}' at v{v}: the audited base is "
+                        "gone — re-stage and re-audit"
+                    )
+            base = head
+            live = dict(head_entry["live"])
+            for p, ptr in wap["files"].items():
+                # stamp the publish version so older key tombstones
+                # never gate these rows (same rule as append)
+                ptr = {**ptr, "v": head + 1}
+                live[p] = _ptrs(live[p]) + [ptr] if p in live else ptr
+            applied = dict(head_entry.get("txn", {}))
+            applied[txn[0]] = txn[1]
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "wap_publish",
+                "live": live,
+                "touched": list(wap["touched"]),
+                "txn": applied,
+                "wap_published": wap_id,
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
+    def discard_wap(
+        self, spark: SparkSession, staged_version: int, wap_id: str
+    ) -> int:
+        """ABANDON a staged commit that failed its audit: a marker
+        commit records the decision (provenance for 'why did this batch
+        never land'); the staged files stay referenced by the stage
+        entry until vacuum retires it, then age out with it."""
+        self._wap_entry(staged_version, wap_id)  # validates the handle
+        while True:
+            head = self.latest_version()
+            head_entry = self._read_entry(head)
+            if head_entry.get("txn", {}).get(f"wap:{wap_id}", -1) >= (
+                staged_version
+            ):
+                raise ValueError(
+                    f"WAP {wap_id!r} (staged v{staged_version}) already "
+                    "published — discard would not unpublish it"
+                )
+            new_entry = {
+                "version": head + 1,
+                "ts": time.time(),
+                "op": "wap_discard",
+                "live": dict(head_entry["live"]),
+                "touched": [],
+                "txn": dict(head_entry.get("txn", {})),
+                "wap_discarded": {"id": wap_id, "staged": staged_version},
+                **(
+                    {"dv": head_entry["dv"]}
+                    if head_entry.get("dv")
+                    else {}
+                ),
+                **self._meta_fields(),
+            }
+            if self._try_commit(new_entry):
+                return new_entry["version"]
+
     # --------------------------------------------------------- deletes
     def merge_into(
         self,
@@ -3853,6 +4064,12 @@ class VersionedTable:
                     referenced.add(ptr["commit_dir"])
             for t in ent.get("dv", []):
                 referenced.add(t["commit_dir"])
+            # staged-but-unpublished WAP files are live-adjacent while
+            # their stage entry is retained: an audit may still be in
+            # flight, and publish must not fold pointers at deleted
+            # files. They age out when the entry does.
+            for ptr in ent.get("wap", {}).get("files", {}).values():
+                referenced.add(ptr["commit_dir"])
         removed = []
         cutoff = time.time() - retention_seconds
         data_root = os.path.join(self.path, "data")
@@ -4817,3 +5034,56 @@ SELECT event_id, user_id, event_type, ts, value,
        user_id % 4 AS pbucket
 FROM events
 """
+
+
+def versioned_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable WRITE-AUDIT-PUBLISH: the second half of events
+    arrives twice — first as a corrupted batch (event_id nulled) that is
+    STAGED, fails its audit, and is DISCARDED without ever being
+    readable; then as the clean batch that is staged, passes the audit,
+    and PUBLISHES as a metadata-only pointer fold. Inline asserts pin
+    the isolation contract at every step (normal reads never see staged
+    rows; discard leaves the table untouched). The final state is
+    exactly the full events table, so the oracle is the plain
+    projection — any leak of the corrupted batch, loss of the clean
+    one, or double-publish flips the hash."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).withColumn("pbucket", F.col("user_id") % 4)
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+    history = ev.where(F.col("event_id") <= cut)
+    batch = ev.where(F.col("event_id") > cut)
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_wap"), "events"),
+        partition_col="pbucket",
+    )
+    table.overwrite(history)
+    n_hist = table.read(spark).count()
+
+    bad = batch.withColumn("event_id", F.lit(None).cast("long"))
+    v_bad = table.stage_wap(bad, "batch-2026-06-01")
+    # staged rows are invisible to every normal read
+    assert table.read(spark).count() == n_hist
+    audit = table.read_wap(spark, v_bad, "batch-2026-06-01")
+    n_null = audit.where(F.col("event_id").isNull()).count()
+    assert n_null > 0  # the audit CAUGHT the corruption
+    table.discard_wap(spark, v_bad, "batch-2026-06-01")
+    assert table.read(spark).count() == n_hist  # discard = untouched
+
+    v_good = table.stage_wap(batch, "batch-2026-06-01-fix")
+    audit = table.read_wap(spark, v_good, "batch-2026-06-01-fix")
+    assert audit.where(F.col("event_id").isNull()).count() == 0
+    table.publish_wap(spark, v_good, "batch-2026-06-01-fix")
+    # idempotent retry (crash-after-commit replay) publishes nothing new
+    v_final = table.publish_wap(spark, v_good, "batch-2026-06-01-fix")
+    assert v_final == table.latest_version()
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_WAP_PUBLISH_SQL = VERSIONED_APPEND_LOAD_SQL
