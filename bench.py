@@ -116,6 +116,16 @@ BENCH_QUERIES_R5 = [
     "media_knn",
     "incremental_neardup_index",
     "versioned_widened_column_read",
+    # round 10 (this session): the 1-bit quantization ANN tier (packed
+    # sign codes + Hamming pool + exact re-rank), the MV roll-up rewrite
+    # (month query answered from the day-grain MV), the incrementally-
+    # maintained inverted index (three change-feed refreshes + an
+    # index-served BM25), and write-audit-publish (stage -> audit ->
+    # discard -> re-stage -> publish, metadata-only fold).
+    "bitq_knn",
+    "mv_rewrite_rollup",
+    "incremental_bm25_search",
+    "versioned_wap_publish",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
