@@ -155,6 +155,137 @@ def bitq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bitq_topk(emb)
 
 
+# ----------------------------------------------------------------------
+# Matryoshka-style truncated-dimension candidate generation.
+# ----------------------------------------------------------------------
+
+# Prefix length for the cheap pass. With MRL-trained embeddings the
+# leading dims carry most of the signal by construction; the testdata
+# embeddings are generic (near-isotropic), so the prefix is a plain
+# projection and recall is bought with prefix length x pool size —
+# measured recall@5 vs brute force (sf0.01): dim 16/pool 100 0.68,
+# 16/200 0.90, 24/200 0.96, 32/100 0.96, 32/200 1.0. Shipped point:
+# 32 of 64 dims (2x less candidate-scan bandwidth), pool 200,
+# recall 1.0 here; MRL-trained vectors move the whole curve up.
+MRL_DIM = 32
+MRL_CANDIDATES = 200
+
+
+def _mrl_topk(emb: DataFrame) -> DataFrame:
+    """Top-k: truncated-prefix cosine ranks a candidate pool, full-dim
+    exact cosine re-ranks it (measured dim/pool recall curve in the
+    constants' comment above)."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("prefix")
+    )
+    corpus = pre.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("prefix").alias("np")
+    )
+    queries = pre.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("prefix").alias("qp")
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qp"), F.col("np")), 6).alias("pre_sim"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        pairs.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= MRL_CANDIDATES)
+        .select("query_id", "neighbor_id", "pre_sim")
+    )
+    qvec = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    rer = (
+        pool.join(F.broadcast(qvec), "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pre_sim",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "pre_sim", "cosine_sim")
+    )
+
+
+def mrl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style ANN: rank candidates on the 32-dim embedding
+    PREFIX (2x less bandwidth than full vectors — the dimension-
+    truncation analog of bitq's bit-truncation), exact full-dim re-rank
+    of the pool. Composes with IVF routing at cluster scale like every
+    candidate-generation tier here."""
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return _mrl_topk(emb)
+
+
+MRL_KNN_SQL = f"""
+WITH s AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS emb,
+         CAST(embedding[1:{MRL_DIM}] AS DOUBLE[]) AS pfx
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, pfx AS qp, emb AS qemb
+  FROM s WHERE vec_id < {N_QUERIES}
+),
+pre AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         round(list_dot_product(q.qp, s.pfx)
+               / (sqrt(list_dot_product(q.qp, q.qp))
+                  * sqrt(list_dot_product(s.pfx, s.pfx))), 6) AS pre_sim,
+         q.qemb, s.emb
+  FROM s, q
+  WHERE s.vec_id <> q.query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pre_sim DESC, neighbor_id ASC)
+              AS crank
+    FROM pre
+  ) WHERE crank <= {MRL_CANDIDATES}
+),
+rer AS (
+  SELECT query_id, neighbor_id, pre_sim,
+         round(list_dot_product(qemb, emb)
+               / (sqrt(list_dot_product(qemb, qemb))
+                  * sqrt(list_dot_product(emb, emb))), 6) AS cosine_sim
+  FROM pool
+)
+SELECT query_id, rank, neighbor_id, pre_sim, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM rer
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 BITQ_KNN_SQL = f"""
 WITH s AS (
   SELECT vec_id,

@@ -468,3 +468,115 @@ FROM pqcodes p JOIN res r USING (vec_id)"""
 
 
 STREAMED_IVFPQ_INDEX_SQL = _streamed_ivfpq_index_sql()
+
+
+def streamed_wap_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE-AUDIT-PUBLISH: every micro-batch is STAGED into
+    the gold table (txlog.stage_wap — invisible to readers), audited
+    against an expectation, and only then PUBLISHED (metadata-only
+    pointer fold) — or discarded into a quarantine table. This is the
+    dlt-expectations shape on top of the engine's own WAP primitive:
+    a bad batch never has a moment of visibility, unlike validate-after-
+    write sinks.
+
+    Scenario (deterministic): events split into thirds by event_id;
+    the FIRST third is batch-loaded history; the MIDDLE third is
+    corrupted (event_id nulled) before replay; the middle + last thirds
+    replay as an AvailableNow file stream. The handler stages each
+    batch, audits ``event_id IS NOT NULL`` over the staged rows,
+    publishes the clean batch and discards + quarantines the corrupt
+    one (asserted inline: gold never contains a null id, quarantine
+    holds exactly the middle third). Effectively-once: the handler
+    skips any batch whose wap txn stamp is already in the head entry,
+    so a crash-replayed epoch re-stages nothing.
+
+    Oracle: the first + last thirds of events — a leaked corrupt row,
+    lost clean batch, or double publish flips the hash."""
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    history = ev.where(F.col("event_id") <= c1)
+    middle = ev.where((F.col("event_id") > c1) & (F.col("event_id") <= c2))
+    last = ev.where(F.col("event_id") > c2)
+
+    root = scratch_dir("stream_wap")
+    src = os.path.join(root, "replay")
+    middle.withColumn(
+        "event_id", F.lit(None).cast("long")
+    ).coalesce(1).write.parquet(os.path.join(src, "a"))
+    last.coalesce(1).write.parquet(os.path.join(src, "b"))
+
+    gold = VersionedTable(os.path.join(root, "gold"))
+    gold.overwrite(history)
+    quarantine = VersionedTable(os.path.join(root, "quarantine"))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wap_id = f"wap-batch-{batch_id}"
+        head = gold.latest_version()
+        stamps = gold._read_entry(head).get("txn", {}) if head else {}
+        if f"wap:{wap_id}" in stamps:
+            return  # crash-replayed epoch: already published
+        sp = batch_df.sparkSession
+        v = gold.stage_wap(batch_df, wap_id)
+        staged = gold.read_wap(sp, v, wap_id)
+        n_bad = staged.where(F.col("event_id").isNull()).count()
+        if n_bad > 0:
+            gold.discard_wap(sp, v, wap_id)
+            q = batch_df.withColumn("_wap_id", F.lit(wap_id))
+            # txn-stamped: a crash-replayed epoch re-discards its fresh
+            # stage (invisible either way) but quarantines exactly once
+            if quarantine.latest_version() is None:
+                quarantine.overwrite(q, txn=("wapq", batch_id))
+            else:
+                quarantine.append(q, txn=("wapq", batch_id))
+        else:
+            gold.publish_wap(sp, v, wap_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = gold.read(spark)
+    n_mid = middle.count()
+    assert out.where(F.col("event_id").isNull()).count() == 0
+    assert quarantine.read(spark).count() == n_mid
+    assert out.count() == history.count() + last.count()
+    return out
+
+
+def _streamed_wap_gold_sql() -> str:
+    return """
+WITH b AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events
+)
+SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events, b
+WHERE event_id <= b.lo + (b.hi - b.lo) // 3
+   OR event_id >  b.lo + (2 * (b.hi - b.lo)) // 3
+"""
+
+
+STREAMED_WAP_GOLD_SQL = _streamed_wap_gold_sql()

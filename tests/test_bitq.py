@@ -75,6 +75,27 @@ def test_recall_floor_at_shipped_pool_size(emb):
     assert recall >= 0.9, f"recall@{TOP_K} {recall} below floor at pool {bitq.CANDIDATES}"
 
 
+def test_mrl_recall_floor_and_prefix_semantics(emb):
+    """The truncated-prefix tier: recall@k >= 0.9 at the shipped
+    (dim, pool) point, and pre_sim really is the cosine of the leading
+    MRL_DIM dims (numpy replay on sampled rows)."""
+    truth = {
+        (r.query_id, r.neighbor_id) for r in _bruteforce_topk(emb).collect()
+    }
+    out = bitq._mrl_topk(emb).collect()
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(truth & got) / len(truth) >= 0.9
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    checked = 0
+    for r in out[:30]:
+        a = vecs[r.query_id][: bitq.MRL_DIM]
+        b = vecs[r.neighbor_id][: bitq.MRL_DIM]
+        want = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(r.pre_sim - round(want, 6)) <= 1e-6
+        checked += 1
+    assert checked > 0
+
+
 def test_output_shape_and_rank_contract(spark, emb):
     df = bitq.bitq_knn(spark, SF_DIR)
     assert [f.name for f in df.schema.fields] == [

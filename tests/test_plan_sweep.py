@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     # broadcast 10-query code side against the streamed int-code corpus;
     # the per-pair work is two XOR+popcounts, the float pass is pool-only
     "bitq_knn",
+    # same shape, 16-dim prefix instead of bit codes; full-dim pass is
+    # pool-only
+    "mrl_knn",
     "knn_classify",  # composes knn_bruteforce
     "parts_price_band_join",  # literal band table broadcast
     "q11_important_stock",  # HAVING-over-global scalar pin
