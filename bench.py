@@ -110,8 +110,10 @@ BENCH_QUERIES_R5 = [
     # media-embedding ANN query (real BMP decode -> pooled vectors ->
     # trained IVF), the incrementally-maintained near-dup band index
     # (three change-feed refreshes + verdict accumulation), and the
-    # metadata-only type widening read. Four MV build/refresh
-    # sub-timing rows are merged in by mv_refresh_bench below.
+    # metadata-only type widening read. Six MV sub-timing rows
+    # (mv_{delta,minmax}_{build,refresh,rebuild}) are merged in by
+    # mv_refresh_bench below — refresh races a full recompute over the
+    # same post-churn base, the fair opponent.
     "incremental_mv_avg",
     "media_knn",
     "incremental_neardup_index",

@@ -1065,11 +1065,28 @@ def mv_refresh_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Bench-only sub-timings (VERDICT r9 item 4): the driver scenarios
     time base construction + every refresh in one number, which hides
     the headline claim — refresh cost tracks CHURN, not table size.
-    This splits them: per strategy, time (a) the initial full BUILD
-    over the whole base, then commit a ~1% MOR update and time (b) the
-    refresh that folds/rescans only that churn. Returns
-    {..._build: sec, ..._refresh: sec}; bench.py reports the four rows
-    under the heavy group. Refresh ≪ build is the pass criterion."""
+    Per strategy: (a) ``_build`` — the initial full build over the
+    whole base; then a ~1% MOR update lands, and (b) ``_refresh`` —
+    the incremental refresh — races (c) ``_rebuild`` — a full
+    recompute of the view over the SAME post-churn state, the
+    alternative a user would otherwise pay. ``_rebuild`` is the fair
+    opponent: both sides read the MOR-updated base (DV anti-join), so
+    the delta isolates incremental-vs-full.
+
+    READ THE NUMBERS HONESTLY: at bench scales REBUILD WINS — a full
+    aggregate of a 10⁵-10⁶-row base is ~1-2 s on 32 cores, while a
+    refresh pays a ~constant floor (measured ~8 s at sf1: the change
+    feed's preimage scan — uniform 1% churn defeats file pruning, every
+    file holds hits — plus merge/commit machinery across two tables).
+    The refresh term is FLAT in base size (sf0.1→sf1: 5.4→8.2 s delta
+    path) where rebuild is linear; the crossover on this box is a
+    ~10⁷-row base, and at the 100 TB design point rebuild is off the
+    table entirely. These rows exist to pin the refresh FLOOR and
+    catch regressions in it, not to stage a win at toy scale.
+    Keys are ``mv_delta_*`` / ``mv_minmax_*`` — deliberately NOT the
+    driver-query names (an earlier draft's ``incremental_mv_refresh``
+    sub-key silently collided with the scenario row of the same
+    name)."""
     import os
     import time as _t
 
@@ -1084,14 +1101,14 @@ def mv_refresh_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for label, aggs in (
         (
-            "incremental_mv",
+            "mv_delta",
             {
                 "cnt": ("count", ""),
                 "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
             },
         ),
         (
-            "incremental_mv_minmax",
+            "mv_minmax",
             {
                 "cnt": ("count", ""),
                 "min_value": ("min", "value"),
@@ -1124,5 +1141,17 @@ def mv_refresh_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         t0 = _t.perf_counter()
         mode = view.refresh(spark)["mode"]
         out[f"{label}_refresh"] = round(_t.perf_counter() - t0, 3)
-        assert mode == ("delta" if label == "incremental_mv" else "rescan")
+        assert mode == ("delta" if label == "mv_delta" else "rescan")
+        # the fair opponent: a FULL recompute over the same post-churn
+        # base (fresh view dir, mode 'full')
+        rebuild = IncrementalAggView(
+            base,
+            os.path.join(root, "mv_rebuild"),
+            keys=["event_id"],
+            group_by=["event_type"],
+            aggs=aggs,
+        )
+        t0 = _t.perf_counter()
+        assert rebuild.refresh(spark)["mode"] == "full"
+        out[f"{label}_rebuild"] = round(_t.perf_counter() - t0, 3)
     return out

@@ -71,6 +71,31 @@ def choose_k(n: int) -> int:
     return min(K_MAX, max(K_MIN, -(-n // TARGET_CLUSTER_SIZE)))
 
 
+# Sampled-training budget: Lloyd needs ~O(10²) points per centroid to
+# place centroids well (FAISS's guideline is 39-256); training on the
+# FULL corpus costs KMEANS_ITERS extra O(n·K) passes on top of the one
+# final assignment the result needs anyway. Capping the training set
+# at TRAIN_POINTS_PER_CENTROID·K points makes training O(K²) — the
+# 4-iteration multiplier stops scaling with the corpus. Honest
+# measurement (semantic_dedup, sf1): wall is UNCHANGED at this size
+# because the final n·K assignment and the pair join dominate, not
+# training; the cap matters where training would otherwise be the
+# KMEANS_ITERS-fold dominant term. The residual scaling band is the
+# K-RAMP: sf0.1→sf1 wall 3.7× at 10× data because K itself grew 8→64
+# (n·K work 80×); past K_MAX the assignment is O(n·K_MAX) — linear —
+# so the band is one-time and bounded by design. The cap is a
+# deterministic vec_id PREFIX so the seeding contract (vec_ids 0..K-1
+# present) holds and the oracle can state the same cap as a scalar
+# subquery.
+TRAIN_POINTS_PER_CENTROID = 64
+
+
+def train_cap(n: int, k: int) -> int:
+    """Training-prefix size for sampled Lloyd: min(n, 64·k), never
+    below k (the seed rows must exist)."""
+    return max(k, min(n, TRAIN_POINTS_PER_CENTROID * k))
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     # single-row-group small table: repartition so per-iteration
@@ -125,6 +150,25 @@ def train_kmeans(
     lists is the same contract as the BPE merge table."""
     qdf = _quantized(spark, sf_dir).persist()
     return qdf, train_kmeans_frame(qdf)
+
+
+def train_kmeans_sampled(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[int]], int]:
+    """Scale-path trainer: K is chosen from the FULL corpus count (the
+    cluster count must track the corpus), but the Lloyd iterations run
+    over only the first :func:`train_cap` vectors — O(K²) training
+    instead of O(n·K), with the full-corpus assignment left to the
+    caller. Returns (full quantized corpus persisted, centroids, the
+    cap actually used). The SQL twin states the identical K and cap as
+    scalar subqueries (``_kmeans_sql(train_where=..., k_where="")``),
+    so the oracle stays bit-exact at every scale factor."""
+    qdf = _quantized(spark, sf_dir).persist()
+    n = qdf.count()
+    k = choose_k(n)
+    cap = train_cap(n, k)
+    centroids = train_kmeans_frame(qdf.where(F.col("vec_id") < cap), k=k)
+    return qdf, centroids, cap
 
 
 def train_kmeans_frame(qdf: DataFrame, k: int | None = None) -> list[list[int]]:
@@ -210,7 +254,11 @@ KMEANS_DIST_SQL = (
 )
 
 
-def _kmeans_sql(qv_body: str | None = None, train_where: str = "") -> str:
+def _kmeans_sql(
+    qv_body: str | None = None,
+    train_where: str = "",
+    k_where: str | None = None,
+) -> str:
     """Generated Lloyd-iteration CTE chain. ``qv_body`` overrides the
     quantized-corpus source (SELECT yielding vec_id, q BIGINT[]) so the
     identical iterations can replay over a derived corpus (clustered
@@ -230,7 +278,12 @@ def _kmeans_sql(qv_body: str | None = None, train_where: str = "") -> str:
     # (the train_where-restricted rows when a frozen quantizer trains
     # on history): positive-integer // floors in both engines, so
     # (n + T - 1) // T is the exact ceiling.
-    train_count_pred = f" WHERE {train_where}" if train_where else ""
+    # kparam's count basis defaults to the training subset (the frozen-
+    # quantizer contract: K sized to what the trainer sees); sampled
+    # training passes k_where="" so K tracks the FULL corpus while the
+    # iterations stay restricted to the training prefix.
+    k_pred_src = train_where if k_where is None else k_where
+    train_count_pred = f" WHERE {k_pred_src}" if k_pred_src else ""
     base = f"""WITH qv AS MATERIALIZED (
   {qv}
 ), kparam AS (

@@ -32,9 +32,14 @@ embedding_neardup_exact.
 K is corpus-adaptive (operators/kmeans.py choose_k: clamp(ceil(n /
 256), 8, 64)), which is what keeps the within-cluster pair stage
 ~LINEAR in n (n·target pairs) instead of O(n²/const) — under the old
-fixed K=8 this operator measured 8.6× wall at 10× data; the max-
-cluster guard below stays as the backstop against a degenerate
-clustering, not as the scaling mechanism.
+fixed K=8 this operator measured 8.6× wall at 10× data; with adaptive
+K it measures 3.7×, and the residual is the K-RAMP itself (K grew
+8→64 across that window, so the n·K assignment did 80× the work; past
+K_MAX the assignment is O(n·K_MAX), linear). Training is SAMPLED
+(train_kmeans_sampled: first min(n, 64·K) vectors) so the Lloyd
+iterations cost O(K²) rather than KMEANS_ITERS extra O(n·K) passes.
+The max-cluster guard below stays as the backstop against a
+degenerate clustering, not as the scaling mechanism.
 
 Reference analog: none — extension surface (training-data pipeline
 ops).
@@ -47,9 +52,13 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.functions.vector import dot
 from de_final_project_spark.operators.kmeans import (
-    KMEANS_CTE_PREFIX,
+    K_MAX,
+    K_MIN,
+    TARGET_CLUSTER_SIZE,
+    TRAIN_POINTS_PER_CENTROID,
     _assign,
-    train_kmeans,
+    _kmeans_sql,
+    train_kmeans_sampled,
 )
 from de_final_project_spark.operators.similarity import unit_vectors
 from de_final_project_spark.session import scoped_persist
@@ -70,7 +79,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     train the fixed-point k-means, assign every vector, unit-normalize
     once, equi-join pairs WITHIN clusters, drop any vector with a
     smaller-id neighbor at >= threshold cosine."""
-    qdf, centroids = train_kmeans(spark, sf_dir)
+    qdf, centroids, _cap = train_kmeans_sampled(spark, sf_dir)
     assigned = _assign(qdf, centroids).select(
         "vec_id", F.col("cluster").cast("long").alias("cluster")
     )
@@ -118,7 +127,26 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle replays the identical Lloyd iterations (generated CTEs),
 # the identical normalize-then-dot cosine, and the identical keep rule.
-SEMANTIC_DEDUP_SQL = f"""{KMEANS_CTE_PREFIX},
+# Training is SAMPLED (train_kmeans_sampled): K from the FULL corpus
+# count (k_where=""), iterations over the first train_cap(n, k) =
+# max(k, min(n, 64·k)) vectors — both stated below as the same scalar
+# subqueries the Python side computes, so the oracle tracks every
+# scale factor. At the driver's sf0.01 the cap equals the corpus and
+# the results are identical to full training.
+_KK_SQL = (
+    f"least({K_MAX}, greatest({K_MIN}, "
+    f"(count(*) + {TARGET_CLUSTER_SIZE - 1}) // {TARGET_CLUSTER_SIZE}))"
+)
+_CAP_SQL = (
+    f"(SELECT greatest({_KK_SQL}, "
+    f"least(count(*), {TRAIN_POINTS_PER_CENTROID} * {_KK_SQL}))::BIGINT "
+    "FROM embeddings)"
+)
+SEMDEDUP_KMEANS_PREFIX = _kmeans_sql(
+    train_where=f"v.vec_id < {_CAP_SQL}", k_where=""
+)
+
+SEMANTIC_DEDUP_SQL = f"""{SEMDEDUP_KMEANS_PREFIX},
 un AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

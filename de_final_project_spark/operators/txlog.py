@@ -2614,6 +2614,7 @@ class VersionedTable:
         add_rel: str | None = None,
         add_parts: dict[str, str] | None = None,
         add_files: dict[str, list[dict]] | None = None,
+        update_cols: list[str] | None = None,
     ) -> int:
         """Commit loop for the merge-on-read DML forms: live pointers
         are NEVER rewritten — the entry gains a positional DV sidecar
@@ -2703,6 +2704,14 @@ class VersionedTable:
                 "touched": touched,
                 "txn": dict(head_entry.get("txn", {})),
                 "dv": dvs,
+                # which columns the UPDATE's assignments touched — the
+                # change feed's O(churn) fast path needs to know the
+                # key columns did NOT move (see _cdf_single_commit_fast)
+                **(
+                    {"dv_update_cols": sorted(update_cols)}
+                    if update_cols is not None
+                    else {}
+                ),
                 **self._meta_fields(),
             }
             if self._try_commit(new_entry):
@@ -2958,6 +2967,7 @@ class VersionedTable:
                 add_rel=add_rel,
                 add_parts=parts,
                 add_files=files,
+                update_cols=list(assignments),
             )
         snapshot = self._read_snapshot(spark, live, entry)
         assert snapshot is not None
@@ -3525,6 +3535,138 @@ class VersionedTable:
         )
         return self._from_physical(out, to_entry, keep=("_change_type",))
 
+    def _cdf_single_commit_fast(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        from_entry: dict,
+        to_entry: dict,
+        include_deletes: bool,
+        include_update_preimages: bool,
+    ) -> DataFrame | None:
+        """O(churn) change feed for a ONE-COMMIT window of the commit
+        forms whose entry names its changed rows exactly — instead of
+        diffing full partition snapshots (O(partition data), the cost
+        that made an IVM refresh measure SLOWER than a full view
+        rebuild at sf0.1/sf1):
+
+        - ``append``: the feed is precisely the suffix files' rows
+          (inserts) — no old-side read at all.
+        - ``update_rows`` (merge-on-read UPDATE): postimages are the
+          suffix files' rows, preimages are the old rows the commit's
+          own positional DV sidecar names — the old partitions are
+          scanned once with row identity and INNER-joined against the
+          O(churn) sidecar, never key-joined against a full new-side
+          read. Applies only when the update's assignment columns
+          (stamped in the entry as ``dv_update_cols``) are disjoint
+          from the feed keys: then pre/postimages pair 1:1 by key and
+          the classification below equals the general diff's. The
+          general path remains the semantics of record for every other
+          shape (multi-commit windows, COW rewrites, key-moving
+          updates, pre-stamp entries).
+
+        Returns None when the fast path does not apply.
+        """
+        if to_entry["version"] != from_entry["version"] + 1:
+            return None
+        op = to_entry.get("op")
+        if op not in ("append", "update_rows"):
+            return None
+        e_from, e_to = from_entry["live"], to_entry["live"]
+        if any(p not in e_to for p in e_from):
+            return None
+        suffix: dict[str, list[dict]] = {}
+        for p, e in e_to.items():
+            if p not in e_from:
+                suffix[p] = _ptrs(e)
+                continue
+            old_p, new_p = _ptrs(e_from[p]), _ptrs(e)
+            if new_p == old_p:
+                continue
+            if (
+                len(new_p) > len(old_p)
+                and new_p[: len(old_p)] == old_p
+            ):
+                suffix[p] = new_p[len(old_p):]
+            else:
+                return None  # a pointer was rewritten: not this shape
+        dv_from = from_entry.get("dv", [])
+        dv_to = to_entry.get("dv", [])
+        if dv_to[: len(dv_from)] != dv_from:
+            return None
+        new_dvs = dv_to[len(dv_from):]
+        if op == "append":
+            if new_dvs or not suffix:
+                return None
+            new_rows = self._apply_widen(
+                self._read_live(spark, suffix), to_entry
+            )
+            if new_rows is None:
+                return None
+            return new_rows.withColumn("_change_type", F.lit("insert"))
+        # ---- update_rows
+        upd_cols = to_entry.get("dv_update_cols")
+        if upd_cols is None or set(keys) & set(upd_cols):
+            return None
+        if not suffix or any("cols" in t for t in new_dvs):
+            return None
+        post = self._apply_widen(self._read_live(spark, suffix), to_entry)
+        pre_snap = self._read_snapshot(
+            spark,
+            {p: e_from[p] for p in suffix if p in e_from},
+            from_entry,
+            with_pos=True,
+        )
+        if post is None or pre_snap is None:
+            return None
+        pre = (
+            self._apply_widen(pre_snap, to_entry)
+            .join(
+                self._read_dv_files(spark, new_dvs),
+                ["__file", "__pos"],
+                "inner",
+            )
+            .drop("__file", "__pos")
+        )
+        cols = post.columns
+        j = post.select(F.struct(*cols).alias("_new_row"), *keys).join(
+            pre.select(F.struct(*cols).alias("_old_row"), *keys),
+            keys,
+            "full",
+        )
+        changed = j.where(
+            F.col("_new_row").isNotNull()
+            & F.col("_old_row").isNotNull()
+            & ~F.col("_new_row").eqNullSafe(F.col("_old_row"))
+        )
+        post_tag = (
+            "update_postimage" if include_update_preimages else "update"
+        )
+        out = changed.select(
+            *[F.col(f"_new_row.{c}").alias(c) for c in cols],
+            F.lit(post_tag).alias("_change_type"),
+        )
+        if include_update_preimages:
+            out = out.unionByName(
+                changed.select(
+                    *[F.col(f"_old_row.{c}").alias(c) for c in cols],
+                    F.lit("update_preimage").alias("_change_type"),
+                )
+            )
+        inserts = j.where(F.col("_old_row").isNull()).select(
+            *[F.col(f"_new_row.{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        out = out.unionByName(inserts)
+        if include_deletes:
+            out = out.unionByName(
+                j.where(F.col("_new_row").isNull()).select(
+                    *[F.col(f"_old_row.{c}").alias(c) for c in cols],
+                    F.lit("delete").alias("_change_type"),
+                )
+            )
+        return out
+
     def _read_changes_physical(
         self,
         spark: SparkSession,
@@ -3559,6 +3701,16 @@ class VersionedTable:
         )
         from_entry = self._read_entry(from_version)
         to_entry = self._read_entry(to_version)
+        fast = self._cdf_single_commit_fast(
+            spark,
+            keys,
+            from_entry,
+            to_entry,
+            include_deletes,
+            include_update_preimages,
+        )
+        if fast is not None:
+            return fast
         e_from, e_to = from_entry["live"], to_entry["live"]
         changed = {p: ptr for p, ptr in e_to.items() if e_from.get(p) != ptr}
         dropped = {p: ptr for p, ptr in e_from.items() if p not in e_to}

@@ -300,3 +300,39 @@ def test_adaptive_k_trains_wider_on_larger_frame(spark):
     assert len(trained) == km.choose_k(n) == 11
     pinned = km.train_kmeans_frame(qdf, k=8)
     assert len(pinned) == 8
+
+
+def test_train_cap_formula_and_sql_mirror():
+    """train_cap = max(k, min(n, 64*k)) — and the semdedup oracle's
+    scalar-subquery cap computes the identical number in DuckDB."""
+    import duckdb
+
+    from de_final_project_spark.operators.semdedup import _CAP_SQL
+
+    for n in (500, 2000, 4096, 20000, 10**6):
+        k = km.choose_k(n)
+        want = max(k, min(n, km.TRAIN_POINTS_PER_CENTROID * k))
+        assert km.train_cap(n, k) == want
+        got = duckdb.sql(
+            "WITH embeddings AS (SELECT * FROM range(%d) t(vec_id)) "
+            "SELECT %s" % (n, _CAP_SQL)
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+
+
+def test_sampled_trainer_matches_prefix_trained_centroids(spark):
+    """train_kmeans_sampled == choose_k on the FULL count + Lloyd over
+    the deterministic prefix — pinned against the frame trainer."""
+    import de_final_project_spark.operators.kmeans as kmod
+
+    qdf, centroids, cap = kmod.train_kmeans_sampled(
+        spark, "/root/testdata/sf0.001"
+    )
+    n = qdf.count()
+    k = kmod.choose_k(n)
+    assert len(centroids) == k
+    assert cap == kmod.train_cap(n, k)
+    from pyspark.sql import functions as F
+
+    want = kmod.train_kmeans_frame(qdf.where(F.col("vec_id") < cap), k=k)
+    assert centroids == want

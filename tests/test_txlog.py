@@ -2419,3 +2419,105 @@ class TestDeltaLogCodec:
             for p, e in t._read_entry(t.latest_version())["live"].items()
         }
         assert got == want
+
+
+class TestCdfFastPath:
+    """The O(churn) single-commit change-feed fast path
+    (_cdf_single_commit_fast) must be row-identical to the general
+    snapshot-diff path on every shape it accepts — and must decline the
+    shapes it can't prove."""
+
+    def _base(self, spark, table_factory):
+        t = table_factory("cdf_fast", partition_col="pb")
+        t.overwrite(
+            _mk(spark, [(i, f"s{i}", i % 3) for i in range(30)])
+        )
+        return t
+
+    def _both(self, spark, t, frm, to, **kw):
+        fast = t.read_changes(spark, ["id"], frm, to, **kw)
+        orig = t._cdf_single_commit_fast
+        t._cdf_single_commit_fast = lambda *a, **k: None
+        try:
+            gen = t.read_changes(spark, ["id"], frm, to, **kw)
+        finally:
+            t._cdf_single_commit_fast = orig
+        canon = lambda df: sorted(  # noqa: E731
+            (r["id"], r["s"], r["pb"], r["_change_type"])
+            for r in df.collect()
+        )
+        return canon(fast), canon(gen)
+
+    def test_mor_update_matches_general(self, spark, table_factory):
+        t = self._base(spark, table_factory)
+        t.update_where(
+            spark, "id % 7 = 0", {"s": F.concat(F.col("s"), F.lit("!"))},
+            mode="mor",
+        )
+        for kw in (
+            {"include_deletes": True, "include_update_preimages": True},
+            {"include_deletes": False, "include_update_preimages": False},
+        ):
+            fast, gen = self._both(spark, t, 1, 2, **kw)
+            assert fast == gen and fast  # non-empty and identical
+        # the fast path really engaged (entry carries the stamp and
+        # keys are disjoint from the assignment columns)
+        e = t._read_entry(2)
+        assert e["dv_update_cols"] == ["s"]
+
+    def test_identity_rewrite_excluded(self, spark, table_factory):
+        """An assignment that rewrites a row to its identical self must
+        not surface in the feed (the general path's struct-compare
+        contract)."""
+        t = self._base(spark, table_factory)
+        t.update_where(spark, "id % 7 = 0", {"s": F.col("s")}, mode="mor")
+        fast, gen = self._both(
+            spark, t, 1, 2,
+            include_deletes=True, include_update_preimages=True,
+        )
+        assert fast == gen == []
+
+    def test_append_matches_general(self, spark, table_factory):
+        t = self._base(spark, table_factory)
+        t.append(_mk(spark, [(100, "new", 0), (101, "new2", 5)]))
+        fast, gen = self._both(spark, t, 1, 2)
+        assert fast == gen
+        assert {r[0] for r in fast} == {100, 101}
+
+    def test_key_moving_update_declines(self, spark, table_factory):
+        """An update whose assignments touch the feed key must fall
+        back to the general path (pairing by key would be unsound)."""
+        t = self._base(spark, table_factory)
+        t.update_where(
+            spark, "id = 3", {"id": F.col("id") + 1000}, mode="mor"
+        )
+        assert (
+            t._cdf_single_commit_fast(
+                spark, ["id"], t._read_entry(1), t._read_entry(2),
+                True, True,
+            )
+            is None
+        )
+        # and the general path still serves the window
+        feed = t.read_changes(
+            spark, ["id"], 1, 2,
+            include_deletes=True, include_update_preimages=True,
+        )
+        assert feed.count() > 0
+
+    def test_multi_commit_window_declines(self, spark, table_factory):
+        t = self._base(spark, table_factory)
+        t.update_where(spark, "id = 1", {"s": F.lit("x")}, mode="mor")
+        t.update_where(spark, "id = 2", {"s": F.lit("y")}, mode="mor")
+        assert (
+            t._cdf_single_commit_fast(
+                spark, ["id"], t._read_entry(1), t._read_entry(3),
+                True, True,
+            )
+            is None
+        )
+        fast, gen = self._both(
+            spark, t, 1, 3,
+            include_deletes=True, include_update_preimages=True,
+        )
+        assert fast == gen and len(fast) == 4

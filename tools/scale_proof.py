@@ -45,6 +45,14 @@ def main() -> int:
     spark = get_spark("scale-proof")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill without a temp_directory — the
+    # K=64 quantizer oracles at sf1 OOM without out-of-core execution.
+    con.execute("SET temp_directory='/tmp/duckdb_spill_scale_proof'")
+    con.execute("SET memory_limit='48GB'")
+    # Peak memory in DuckDB's blocking operators scales with thread
+    # count; the wide-list Lloyd cross-joins at sf1 exceeded RAM+spill
+    # at 32 threads. This is a correctness gate, not a DuckDB race.
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
