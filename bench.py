@@ -128,6 +128,11 @@ BENCH_QUERIES_R5 = [
     "mv_rewrite_rollup",
     "incremental_bm25_search",
     "versioned_wap_publish",
+    # ...and the session's second half: the Matryoshka-prefix tier, the
+    # selectivity-scaled filtered ANN, and the multi-table catalog txn.
+    "mrl_knn",
+    "filtered_ann_knn",
+    "catalog_consistent_rollup",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
@@ -162,6 +167,8 @@ BENCH_QUERIES_STREAMING = [
     # round 9 (second session): the streamed materialized view (four
     # commits folded per version window through the change-feed source).
     "streamed_mv_refresh",
+    # round 10: per-micro-batch write-audit-publish with quarantine.
+    "streamed_wap_gold",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the
