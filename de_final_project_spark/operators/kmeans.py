@@ -21,13 +21,21 @@ partitioning — the same discipline as the fixed-point PageRank
 - distances are exact int64: ``Σ_d (64*q_d - C_d)²``; argmin ties
   break to the smallest cluster id.
 
-Scale shape: per iteration, one broadcast of K×64 centroid literals
-into a narrow assignment projection (whole-stage codegen, no shuffle),
-then one explode + hash aggregate for the per-(cluster, dim) sums —
-the classic map-side-combined word-count shuffle, O(K·dim) final rows.
-The K×64 centroid state is a control-plane scalar set (same class as
-the BPE argmax and watermark probes). Empty clusters keep their
-previous centroid.
+Scale shape: per iteration, the K×64 centroid state travels as a
+broadcast-joined centroid RELATION — a single-row build side holding
+``array<struct<j, c>>``, attached to every vector by a broadcast HASH
+join on a constant bucket key (the streamed-side key is
+``pmod(vec_id, 1)``, non-foldable, so Catalyst keeps a genuine
+equi-join instead of folding the condition to true and degenerating to
+a nested loop). The argmin is one ``array_min(transform(...))``
+higher-order expression over that runtime array — the expression TREE
+is O(1) regardless of K, so K scales to 10³–10⁴ cells (the 100 TB
+design point, K ~ n/10⁴) with no analyzer blowup; per-row work is the
+inherent O(K·dim) coarse scan. Then one explode + hash aggregate for
+the per-(cluster, dim) sums — the classic map-side-combined
+word-count shuffle, O(K·dim) final rows. The centroid state is a
+control-plane scalar set (same class as the BPE argmax and watermark
+probes). Empty clusters keep their previous centroid.
 
 K is CORPUS-ADAPTIVE: ``K = clamp(ceil(n / TARGET_CLUSTER_SIZE),
 K_MIN, K_MAX)`` from one cheap count, so expected cluster size — and
@@ -37,11 +45,13 @@ bounded as the corpus grows (the fixed K=8 of earlier rounds measured
 n²/K = n·target). The SQL twin computes the identical K from the
 identical count inside the generated CTE chain (``kparam``), so the
 oracle stays bit-exact at EVERY scale factor without regenerating SQL
-per corpus. K_MAX bounds the centroid literal expression the
-assignment projection compiles; at production scale (K ~ n/10⁴ in the
-tens of thousands) the literal broadcast would hand over to a
-broadcast-joined centroid RELATION — same math, one more join — which
-K_MAX makes an explicit design seam rather than a silent cliff.
+per corpus. K_MAX bounds only DRIVER-side state now (the
+per-iteration K×64 sums collect and the ~2 MB broadcast payload at
+K=4096), NOT the expression tree — through round 10 it was 64 because
+centroids were inlined as literal expression trees; the relation join
+removed that ceiling, so every clustering consumer (IVF cells,
+SemDeDup cluster sizes, filtered-ANN probe caps) scales with the
+corpus instead of flooring at n/64.
 
 Reference analog: none — the reference has no ML-adjacent surface;
 this completes the ANN/clustering family (IVF cells, PQ codebooks,
@@ -57,7 +67,8 @@ from de_final_project_spark.sources.readers import read_testdata
 
 K_CLUSTERS = 8  # the FLOOR: chosen K never drops below this
 K_MIN = K_CLUSTERS
-K_MAX = 64           # literal-expression ceiling (see module docstring)
+K_MAX = 4096         # driver-state bound, NOT an expression ceiling
+                     # (table-backed centroids — see module docstring)
 TARGET_CLUSTER_SIZE = 256
 KMEANS_ITERS = 4
 DIM = 64
@@ -109,35 +120,103 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist_expr(centroid: list[int]):
-    """Exact int64 squared distance from 64*q to the centroid literal."""
-    lit = F.array(*[F.lit(int(c)) for c in centroid])
+# ----------------------------------------------------------------------
+# Table-backed centroid state (round 11): the centroids ride as DATA in
+# a broadcast-joined single-row relation, not as literal expression
+# trees — the expression tree stays O(1) as K grows to 10³–10⁴.
+# ----------------------------------------------------------------------
+
+CENT_KEY = "_ck"
+CENT_COL = "_cents"
+_CENT_SCHEMA = (
+    f"{CENT_KEY} bigint, "
+    f"{CENT_COL} array<struct<j: bigint, c: array<bigint>>>"
+)
+
+
+def centroid_relation(spark: SparkSession, centroids: list[list[int]]) -> DataFrame:
+    """One-row DataFrame carrying the full centroid state as
+    ``array<struct<j, c>>`` plus a constant join key — K×DIM longs,
+    control-plane sized (≈2 MB at K_MAX)."""
+    rows = [(j, [int(v) for v in c]) for j, c in enumerate(centroids)]
+    return spark.createDataFrame([(0, rows)], _CENT_SCHEMA)
+
+
+def with_centroids(
+    df: DataFrame, centroids: list[list[int]], key_col: str = "vec_id"
+) -> DataFrame:
+    """Attach the centroid relation to every row via a broadcast HASH
+    join on a constant bucket key. The streamed-side key is
+    ``pmod(key_col, 1)`` — always 0, but NON-foldable (it references a
+    real column), so Catalyst plans BroadcastHashJoin rather than
+    folding the condition to true and degenerating to a nested loop."""
+    cdf = centroid_relation(df.sparkSession, centroids)
+    return (
+        df.withColumn(
+            CENT_KEY, F.pmod(F.col(key_col), F.lit(1)).cast("bigint")
+        )
+        .join(F.broadcast(cdf), CENT_KEY)
+        .drop(CENT_KEY)
+    )
+
+
+def dist_to(c):
+    """Exact int64 squared distance from 64*q to a centroid COLUMN (an
+    ``array<bigint>`` expression — typically a lambda variable's ``c``
+    field or an ``element_at`` over the attached relation)."""
     return F.aggregate(
         F.zip_with(
-            F.col("q"), lit, lambda a, b: (a * SCALE - b) * (a * SCALE - b)
+            F.col("q"), c, lambda a, b: (a * SCALE - b) * (a * SCALE - b)
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def _best(centroids: list[list[int]]):
-    """(dist, cluster) of the nearest centroid, ties to smallest id:
-    array_min over structs compares lexicographically — one narrow
-    projection, no shuffle."""
+def best_cell():
+    """(dist, cluster) struct of the nearest centroid over the attached
+    ``_cents`` relation, ties to smallest id: array_min over structs
+    compares lexicographically — one O(1)-sized expression evaluating
+    the O(K·dim) scan at runtime, no shuffle. Requires
+    :func:`with_centroids` upstream (columns ``q`` and ``_cents``)."""
     return F.array_min(
-        F.array(
-            *[
-                F.struct(_dist_expr(c).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(centroids)
-            ]
+        F.transform(
+            F.col(CENT_COL),
+            lambda s: F.struct(dist_to(s["c"]).alias("d"), s["j"].alias("j")),
         )
     )
 
 
+def cells_by_dist():
+    """All K (dist, cell) structs sorted ascending (ties to smallest
+    id) — the probe-ranking twin of :func:`best_cell`; slice the first
+    nprobe for an IVF probe list."""
+    return F.array_sort(
+        F.transform(
+            F.col(CENT_COL),
+            lambda s: F.struct(dist_to(s["c"]).alias("d"), s["j"].alias("j")),
+        )
+    )
+
+
+def centroid_of(j_col):
+    """The centroid vector (array<bigint>) for a cell-id COLUMN, read
+    out of the attached ``_cents`` relation (positions are 1-based and
+    the relation is ordered by j at construction)."""
+    return F.element_at(F.col(CENT_COL), j_col.cast("int") + 1)["c"]
+
+
+def assign_cells(qdf: DataFrame, centroids: list[list[int]], out: str = "cell") -> DataFrame:
+    """(vec_id, <out>): nearest trained cell per quantized vector —
+    the standard IVF corpus-assignment shape."""
+    return with_centroids(qdf, centroids).select(
+        "vec_id", best_cell()["j"].alias(out)
+    )
+
+
 def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    return qdf.select(
-        "vec_id", "q", _best(centroids)["j"].alias("cluster")
+    return with_centroids(qdf, centroids).select(
+        "vec_id", "q", best_cell()["j"].alias("cluster")
     )
 
 
@@ -237,11 +316,17 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and its exact squared grid distance. The oracle replays the
     identical integer iterations as generated CTEs."""
     qdf, centroids = train_kmeans(spark, sf_dir)
-    best = _best(centroids)
-    return qdf.select(
-        "vec_id",
-        best["j"].cast("long").alias("cluster"),
-        best["d"].alias("sq_dist"),
+    # two-step select: the argmin struct lands in a named column first,
+    # so Catalyst's CollapseProject keeps it evaluated ONCE (it only
+    # inlines cheap expressions into multi-reference consumers).
+    return (
+        with_centroids(qdf, centroids)
+        .select("vec_id", best_cell().alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b")["j"].cast("long").alias("cluster"),
+            F.col("_b")["d"].alias("sq_dist"),
+        )
     )
 
 

@@ -30,7 +30,10 @@ raising K trades recall for cost). The exact baseline twin is
 embedding_neardup_exact.
 
 K is corpus-adaptive (operators/kmeans.py choose_k: clamp(ceil(n /
-256), 8, 64)), which is what keeps the within-cluster pair stage
+256), K_MIN, K_MAX) — since round 11 K_MAX is 4096 because centroids
+are table-backed, so TARGET_CLUSTER_SIZE is the binding constraint at
+every realistic corpus), which is what keeps the within-cluster pair
+stage
 ~LINEAR in n (n·target pairs) instead of O(n²/const) — under the old
 fixed K=8 this operator measured 8.6× wall at 10× data; with adaptive
 K it measures 3.7×, and the residual is the K-RAMP itself (K grew

@@ -476,24 +476,15 @@ def _ivf_trained_candidates(
     trained-cell IVF, pre-ranking (see _ivf_seed_candidates)."""
     from de_final_project_spark.operators import kmeans as km
 
-    best = km._best(centroids)
-    cells = qdf.select("vec_id", best["j"].alias("cell"))
+    cells = km.assign_cells(qdf, centroids)
     corpus = emb.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
     )
-    pairs = F.array_sort(
-        F.array(
-            *[
-                F.struct(km._dist_expr(c).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(centroids)
-            ]
-        )
-    )
     probes = (
-        qdf.where(F.col("vec_id") < N_QUERIES)
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(pairs, 1, nprobe)).alias("p"),
+            F.explode(F.slice(km.cells_by_dist(), 1, nprobe)).alias("p"),
         )
         .select("query_id", F.col("p")["j"].alias("cell"))
     )
@@ -624,18 +615,9 @@ def filtered_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf, centroids = km.train_kmeans(spark, sf_dir)
     emb = read_testdata(spark, sf_dir, "embeddings")
     keep = emb.where(F.expr(FILTERED_ANN_PREDICATE))
-    best = km._best(centroids)
-    cells = qdf.select("vec_id", best["j"].alias("cell"))
+    cells = km.assign_cells(qdf, centroids)
     corpus = keep.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
-    )
-    pairs = F.array_sort(
-        F.array(
-            *[
-                F.struct(km._dist_expr(c).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(centroids)
-            ]
-        )
     )
     # Selectivity-scaled probe budget (the standard filtered-ANN move:
     # a 1/s-selective filter thins every cell by ~s, so probing
@@ -648,10 +630,10 @@ def filtered_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(centroids), -(-N_PROBE * n_total // max(1, n_kept))  # ceil
     )
     probes = (
-        qdf.where(F.col("vec_id") < N_QUERIES)
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(pairs, 1, nprobe_f)).alias("p"),
+            F.explode(F.slice(km.cells_by_dist(), 1, nprobe_f)).alias("p"),
         )
         .select("query_id", F.col("p")["j"].alias("cell"))
     )
@@ -1576,12 +1558,6 @@ def _pq_residual_codebook(
     return cb
 
 
-def _centroid_array_lit(centroids: list[list[int]]):
-    return F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
-    )
-
-
 def _int_sqdist(a, b):
     """Exact int64 squared distance between two array<long> columns."""
     return F.aggregate(
@@ -1593,18 +1569,23 @@ def _int_sqdist(a, b):
 
 def _residual_frame(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """(vec_id, cell, r): each vector's trained cell and its integer
-    residual r = SCALE*q - centroid[cell] — one narrow codegen
-    projection, no shuffle (K x DIM centroid literals)."""
+    residual r = SCALE*q - centroid[cell] — broadcast-joined centroid
+    relation, argmin evaluated once into a named column, then the
+    winning centroid read back out of the relation by cell id. No
+    shuffle; the intermediate carries ``_cents`` through one project,
+    which costs the same O(K·dim) per row as the argmin scan itself."""
     from de_final_project_spark.operators import kmeans as km
 
-    cell = km._best(centroids)["j"].cast("long")
-    cent = _centroid_array_lit(centroids)
-    return qdf.select(
+    staged = km.with_centroids(qdf, centroids).select(
+        "vec_id", "q", km.CENT_COL, km.best_cell().alias("_b")
+    )
+    cell = F.col("_b")["j"]
+    return staged.select(
         "vec_id",
-        cell.alias("cell"),
+        cell.cast("long").alias("cell"),
         F.zip_with(
             F.col("q"),
-            F.element_at(cent, cell.cast("int") + 1),
+            km.centroid_of(cell),
             lambda a, b: a * km.SCALE - b,
         ).alias("r"),
     )
@@ -1661,28 +1642,20 @@ def _ivfpq_candidates(
 
     if codes is None:
         codes = _pq_encode_residuals(_residual_frame(qdf, centroids), cb)
-    pairs = F.array_sort(
-        F.array(
-            *[
-                F.struct(km._dist_expr(c).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(centroids)
-            ]
-        )
-    )
-    cent = _centroid_array_lit(centroids)
     probes = (
-        qdf.where(F.col("vec_id") < N_QUERIES)
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("_qq"),
-            F.explode(F.slice(pairs, 1, nprobe)).alias("p"),
+            km.CENT_COL,
+            F.explode(F.slice(km.cells_by_dist(), 1, nprobe)).alias("p"),
         )
         .select(
             "query_id",
             F.col("p")["j"].cast("long").alias("cell"),
             F.zip_with(
                 F.col("_qq"),
-                F.element_at(cent, F.col("p")["j"].cast("int") + 1),
+                km.centroid_of(F.col("p")["j"]),
                 lambda a, b: a * km.SCALE - b,
             ).alias("qr"),
         )

@@ -301,7 +301,7 @@ def streamed_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.floor(x * km.SCALE).cast("long"),
             ).alias("q"),
         )
-        return q.select("vec_id", km._best(centroids)["j"].alias("cell"))
+        return km.assign_cells(q, centroids)
 
     stream_merge_into(
         stream,

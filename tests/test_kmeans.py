@@ -270,7 +270,8 @@ def test_choose_k_pins_corpus_sizes():
     assert km.choose_k(2000) == 8      # sf0.1 -> still the floor
     assert km.choose_k(2049) == 9      # first step above the floor
     assert km.choose_k(4096) == 16
-    assert km.choose_k(20000) == 64    # sf1 -> capped at K_MAX
+    assert km.choose_k(20000) == 79    # sf1 -> uncapped past the old 64
+    assert km.choose_k(256 * km.K_MAX + 1) == km.K_MAX  # driver-state cap
 
 
 def test_sql_kparam_matches_choose_k():
@@ -336,3 +337,29 @@ def test_sampled_trainer_matches_prefix_trained_centroids(spark):
 
     want = kmod.train_kmeans_frame(qdf.where(F.col("vec_id") < cap), k=k)
     assert centroids == want
+
+def test_k_past_old_64_ceiling_trains_and_assigns(spark):
+    """Round-11 regression pin for the table-backed centroid relation:
+    K ABOVE the old literal-expression ceiling (64) must train, assign
+    every vector to a valid cell, and agree with a driver-side Python
+    replay of the exact integer argmin on a sample — the property the
+    literal-tree design could never reach."""
+    k = 96
+    n = 1200
+    qdf = spark.createDataFrame(
+        [(i, [(i * 13 + j * 5) % 80 for j in range(km.DIM)]) for i in range(n)],
+        "vec_id long, q array<long>",
+    ).repartition(8)
+    trained = km.train_kmeans_frame(qdf, k=k)
+    assert len(trained) == k
+    assigned = {r["vec_id"]: r["cluster"] for r in km._assign(qdf, trained).collect()}
+    assert len(assigned) == n
+    assert all(0 <= c < k for c in assigned.values())
+    # exact Python twin on a sample (ties to the smallest cluster id)
+    for i in (0, 7, 311, 999):
+        q = [(i * 13 + j * 5) % 80 for j in range(km.DIM)]
+        best = min(
+            (sum((qi * km.SCALE - ci) ** 2 for qi, ci in zip(q, c)), j)
+            for j, c in enumerate(trained)
+        )
+        assert assigned[i] == best[1], i

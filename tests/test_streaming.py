@@ -227,9 +227,7 @@ def test_streamed_ivf_index_matches_frozen_assignment(spark):
     )
     want = {
         (r["vec_id"], int(r["cell"]))
-        for r in qdf.select(
-            "vec_id", km._best(centroids)["j"].alias("cell")
-        ).collect()
+        for r in km.assign_cells(qdf, centroids).collect()
     }
     assert got == want and len(got) == qdf.count()
 
