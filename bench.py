@@ -133,6 +133,13 @@ BENCH_QUERIES_R5 = [
     "mrl_knn",
     "filtered_ann_knn",
     "catalog_consistent_rollup",
+    # round 11: the IVF x 1-bit composed tier (probe cells, Hamming-scan
+    # only probed cells' codes, exact re-rank) and the all-modality
+    # media ANN (image/audio/video pooled into one gated index). The
+    # carried incremental_neardup_index / incremental_bm25_search rows
+    # now measure the BUCKET-PARTITIONED index layouts.
+    "ivf_bitq_knn",
+    "media_knn_multimodal",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
@@ -190,6 +197,49 @@ def _calibration_sec(spark) -> float:
     return round(best, 3)
 
 
+def _calibration_streaming_sec(spark) -> float:
+    """Streaming-shaped probe (best of 3): a FIXED two-micro-batch
+    AvailableNow replay (two 1-file parquet batches -> grouped count ->
+    noop sink, fresh checkpoint per rep). The CPU probe above does not
+    predict the streaming rows' drift — micro-batch trigger scheduling
+    taxes a different machine path than codegen'd CPU work (the r10
+    bisect reproduced a +75% 'regression' from the same code on a
+    different box epoch) — so streaming deltas normalize against THIS
+    row (VERDICT r10 item 6)."""
+    import shutil
+
+    from de_final_project_spark.session import scratch_dir
+
+    root = scratch_dir("bench_cal_stream")
+    src = os.path.join(root, "src")
+    spark.range(1_000).selectExpr("id", "id % 7 AS k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.range(1_000, 2_000).selectExpr("id", "id % 7 AS k").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    best = float("inf")
+    for i in range(3):
+        ckpt = os.path.join(root, f"ckpt{i}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("id bigint, k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("k")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _load_fingerprint() -> dict:
     """Machine-state snapshot recorded into the bench JSON."""
     out: dict = {"loadavg": list(os.getloadavg())}
@@ -208,6 +258,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     calibration = _calibration_sec(spark)
+    calibration_streaming = _calibration_streaming_sec(spark)
 
     # Warm the JVM/codegen paths once with the smallest query so the
     # first measured query doesn't pay session startup.
@@ -353,6 +404,7 @@ def main() -> None:
                     "before": fp_before,
                     "after": _load_fingerprint(),
                     "calibration_sec": calibration,
+                    "calibration_streaming_sec": calibration_streaming,
                 },
             }
         )

@@ -332,3 +332,160 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+# ----------------------------------------------------------------------
+# IVF x 1-bit composition: the cluster-scale form (round 11).
+# ----------------------------------------------------------------------
+
+# Pool size for the CELL-RESTRICTED Hamming scan. The probed cells hold
+# ~nprobe/K of the corpus, so the pool competes over fewer candidates
+# than the flat tier's; recall vs the flat tier is pinned by test.
+IVF_BITQ_CANDIDATES = 200
+
+
+def ivf_bitq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed query the flat tiers point at: IVF-probe the
+    trained cells, Hamming-scan ONLY the probed cells' 1-bit codes for
+    a candidate pool, exact-cosine re-rank the pool. This is where the
+    32x bandwidth cut actually matters at 100 TB: the scan fraction is
+    nprobe/K of the corpus AND each scanned candidate is 8 bytes of
+    code instead of 256 bytes of floats — the two reductions compose
+    multiplicatively. Every join is an equi-join (cell, query_id); the
+    only broadcast sides are the N_QUERIES-sized probe and query-code
+    relations. Recall is bounded by the IVF-exact tier's (same probed
+    cells, coarser in-cell ranking) and pinned against both it and the
+    flat bitq tier in tests/test_bitq.py.
+
+    Oracle: composes the trained-IVF CTE prefix (identical Lloyd
+    iterations and probe ranking) with the sign-dot Hamming identity —
+    the same cross-check discipline as bitq_knn."""
+    from pyspark.sql import Window
+
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import N_PROBE
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cells = km.assign_cells(qdf, centroids)
+    codes = bit_codes(emb)
+    corpus = codes.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("code_lo").alias("n_lo"),
+        F.col("code_hi").alias("n_hi"),
+    )
+    probes = (
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(km.cells_by_dist(), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+    )
+    qcodes = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qcodes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _hamming(
+                F.col("q_lo"), F.col("n_lo"), F.col("q_hi"), F.col("n_hi")
+            ).alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        pairs.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= IVF_BITQ_CANDIDATES)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qvec = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    rer = (
+        pool.join(F.broadcast(qvec), "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "hamming", "cosine_sim")
+    )
+
+
+def _ivf_bitq_sql() -> str:
+    from de_final_project_spark.operators.similarity import _ivf_trained_cte
+
+    return f"""{_ivf_trained_cte()},
+ncode AS (
+  SELECT neighbor_id, cell, v,
+         list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END)
+           AS nsgn
+  FROM corpus
+),
+qcode AS (
+  SELECT query_id, qv,
+         list_transform(qv, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END)
+           AS qsgn
+  FROM qe
+),
+ham AS (
+  SELECT p.query_id, n.neighbor_id,
+         CAST(({DIM} - list_dot_product(q.qsgn, n.nsgn)) / 2 AS BIGINT)
+           AS hamming,
+         q.qv AS qemb, n.v AS emb
+  FROM probes p
+  JOIN ncode n USING (cell)
+  JOIN qcode q ON q.query_id = p.query_id
+  WHERE n.neighbor_id <> p.query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, neighbor_id ASC)
+              AS crank
+    FROM ham
+  ) WHERE crank <= {IVF_BITQ_CANDIDATES}
+),
+rer AS (
+  SELECT query_id, neighbor_id, hamming,
+         round(list_dot_product(qemb, emb)
+               / (sqrt(list_dot_product(qemb, qemb))
+                  * sqrt(list_dot_product(emb, emb))), 6) AS cosine_sim
+  FROM pool
+)
+SELECT query_id, rank, neighbor_id, hamming, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM rer
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+IVF_BITQ_KNN_SQL = _ivf_bitq_sql()

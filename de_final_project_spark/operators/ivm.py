@@ -51,7 +51,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_final_project_spark.operators.txlog import VersionedTable
+from de_final_project_spark.operators.txlog import EmptyChangeFeed, VersionedTable
 
 _APP_ID = "ivm"
 _N = "_ivm_n"  # hidden: live-row count per group (group liveness)
@@ -237,7 +237,7 @@ class IncrementalAggView:
                 include_deletes=True,
                 include_update_preimages=True,
             )
-        except ValueError:
+        except EmptyChangeFeed:
             # metadata-only commits between the versions: nothing to
             # fold. The watermark intentionally stays put — the next
             # real change re-diffs from the same (cheap) endpoints.
@@ -509,7 +509,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                     include_deletes=True,
                     include_update_preimages=True,
                 )
-            except ValueError:
+            except EmptyChangeFeed:
                 f_feed = None
             if f_feed is not None:
                 terms.append(
@@ -524,7 +524,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                     include_deletes=True,
                     include_update_preimages=True,
                 )
-            except ValueError:
+            except EmptyChangeFeed:
                 d_feed = None
             if d_feed is not None:
                 # the OLD fact snapshot; the join to the dim feed is

@@ -106,9 +106,16 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
     return width, height, sum_r, sum_g, sum_b
 
 
-def encode_wav(n_samples: int, rate: int = AUDIO_RATE) -> bytes:
-    """Minimal PCM-16 mono RIFF/WAVE file (silent samples)."""
-    data = b"\x00\x00" * n_samples
+def encode_wav(n_samples: int, rate: int = AUDIO_RATE, seed: int = 0) -> bytes:
+    """Minimal PCM-16 mono RIFF/WAVE file. Samples are a deterministic
+    closed-form wave of the seed (``((31·seed + 7·i) mod 4096) − 2048``)
+    so audio carries per-doc signal the envelope pooling can index
+    (seed 0 and earlier rounds' encodings were silent; byte LENGTH is
+    unchanged, so size/duration oracles are unaffected)."""
+    data = b"".join(
+        struct.pack("<h", ((31 * seed + 7 * i) % 4096) - 2048)
+        for i in range(n_samples)
+    )
     out = bytearray()
     out += b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     out += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
@@ -165,7 +172,7 @@ def decode_vid(payload: bytes) -> list[bytes]:
 def _make_payload(doc_id: int, media_type: str) -> bytes:
     width, height, n_frames, n_samples = _geom(doc_id)
     if media_type == "audio":
-        return encode_wav(n_samples)
+        return encode_wav(n_samples, seed=doc_id)
     if media_type == "image":
         px = [[_pixel(doc_id, 0, x, y) for x in range(width)] for y in range(height)]
         return encode_bmp(width, height, px)
@@ -569,3 +576,299 @@ def _media_knn_sql() -> str:
 
 
 MEDIA_KNN_SQL = _media_knn_sql()
+
+
+# ----------------------------------------------------------------------
+# All-modality media ANN (round 11, VERDICT r10 item 5): audio and video
+# features join the image tier in ONE index with a modality column.
+# ----------------------------------------------------------------------
+
+# Disjoint (or modality-gated) dimension layout inside the shared
+# POOL_DIM=64 space: images use dims 0..47 (4x4 grid x 3 channels),
+# videos use dims 0..47 as frame-major 2x2 grids (f*12 + cell*3 + ch,
+# up to 4 frames), audio uses dims 48..63 (16 envelope buckets of
+# abs-sample sums). Candidates are modality-gated at the join, so the
+# shared range between image and video never produces a cross-modal
+# match; one k-means over the union still partitions fine (modalities
+# occupy different regions of the space).
+AUDIO_BUCKETS = 16
+AUDIO_POOL_BASE = 48
+VID_POOL_GRID = 2
+VID_POOL_FRAMES = 4
+
+
+def pool_wav_features(payload: bytes, buckets: int = AUDIO_BUCKETS) -> list[int]:
+    """Envelope pooling over the REAL byte walk: parse the RIFF chunk
+    list, read int16-LE PCM samples, and sum |sample| into ``buckets``
+    equal time buckets (bucket of sample i = (i*buckets)//n) at dims
+    AUDIO_POOL_BASE..AUDIO_POOL_BASE+buckets-1. Exact int64."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, data_off, n_bytes, block_align = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            _, _, _, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_off, n_bytes = pos + 8, clen
+        pos += 8 + clen + (clen & 1)
+    if data_off is None or block_align is None:
+        raise ValueError("missing fmt/data chunk")
+    n = n_bytes // block_align
+    feats = [0] * POOL_DIM
+    for i in range(n):
+        (v,) = struct.unpack_from("<h", payload, data_off + i * block_align)
+        feats[AUDIO_POOL_BASE + (i * buckets) // n] += abs(v)
+    return feats
+
+
+def pool_vid_features(payload: bytes) -> list[int]:
+    """Frame-major spatial pooling over the REAL container walk: split
+    the VID0 payload into BMP frames, byte-walk each frame's pixel grid
+    (offset/stride/bottom-up/BGR) into a 2x2 grid x 3 channel sum at
+    dims f*12 + (cy*2+cx)*3 + ch, first VID_POOL_FRAMES frames."""
+    frames = decode_vid(payload)
+    feats = [0] * POOL_DIM
+    for f, fr in enumerate(frames[:VID_POOL_FRAMES]):
+        w, h, *_ = decode_bmp(fr)
+        (offset,) = struct.unpack_from("<I", fr, 10)
+        stride = (3 * w + 3) // 4 * 4
+        for y in range(h):
+            base = offset + (h - 1 - y) * stride
+            cy = (y * VID_POOL_GRID) // h
+            for x in range(w):
+                b, g, r = fr[base + 3 * x: base + 3 * x + 3]
+                cell = cy * VID_POOL_GRID + (x * VID_POOL_GRID) // w
+                d = f * (VID_POOL_GRID * VID_POOL_GRID * 3) + cell * 3
+                feats[d + 0] += r
+                feats[d + 1] += g
+                feats[d + 2] += b
+    return feats
+
+
+def pool_media_features(doc_id: int, media_type: str, payload: bytes) -> list[int]:
+    """Dispatch to the per-modality REAL-decode pooling."""
+    if media_type == "image":
+        return pool_bmp_features(payload)
+    if media_type == "audio":
+        return pool_wav_features(payload)
+    return pool_vid_features(payload)
+
+
+def all_media_feature_vectors(media: DataFrame) -> DataFrame:
+    """(vec_id, media_type, q): pooled integer vectors for EVERY media
+    item — vec_id = doc_id (every doc has a payload, so ids stay
+    contiguous for the k-means seeding contract), one Arrow-batched
+    decode pass."""
+    import pandas as pd
+
+    def pool(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "vec_id": [int(i) for i in pdf["doc_id"]],
+                "media_type": list(pdf["media_type"]),
+                "q": [
+                    pool_media_features(int(i), mt, bytes(p))
+                    for i, mt, p in zip(
+                        pdf["doc_id"], pdf["media_type"], pdf["payload"]
+                    )
+                ],
+            })
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        pool, schema="vec_id long, media_type string, q array<long>"
+    )
+
+
+def media_knn_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality media similarity over ONE index: synthesize the
+    full media corpus (image/audio/video round-robin), decode + pool
+    every payload into the shared 64-dim integer space (one Arrow
+    pass), train ONE corpus-adaptive k-means over the union, and serve
+    trained-cell IVF top-k where candidates are gated to the QUERY's
+    OWN modality — the modality is part of the equi-join key
+    (cell, mkey), so the gate is a join-key restriction, not a
+    post-filter. Queries are the first N_QUERIES doc_ids, which the
+    round-robin layout makes a mixed-modality probe set. Output keeps
+    the modality column so a reader sees which tier answered.
+
+    Scale shape: decode is Arrow batches; index and serve are the swept
+    IVF plan (broadcast centroid relation, cell+modality equi-joins).
+    The oracle replays pooling closed-form per modality (pixels and
+    samples are functions of doc_id), the identical Lloyd chain, and
+    the identical gated ranking."""
+    from pyspark.sql import Window
+
+    from de_final_project_spark.functions.vector import cosine
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from de_final_project_spark.session import scoped_persist
+
+    media = synthesize_media(spark, sf_dir)
+    feats = scoped_persist(
+        all_media_feature_vectors(media).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "media_knn_multimodal",
+    )
+    qdf = feats.select("vec_id", "q")
+    centroids = km.train_kmeans_frame(qdf)
+    cells = km.assign_cells(qdf, centroids)
+    emb = feats.select(
+        "vec_id",
+        "media_type",
+        F.col("q").cast("array<double>").alias("embedding"),
+    )
+    corpus = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.pmod(F.col("vec_id"), F.lit(3)).alias("mkey"),
+        F.col("media_type").alias("modality"),
+        "embedding",
+    )
+    probes = (
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(km.cells_by_dist(), 1, N_PROBE)
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p")["j"].alias("cell"),
+            F.pmod(F.col("query_id"), F.lit(3)).alias("mkey"),
+        )
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), ["cell", "mkey"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "modality",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "modality", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def _media_knn_multimodal_sql() -> str:
+    from de_final_project_spark.operators.kmeans import (
+        KMEANS_DIST_SQL,
+        KMEANS_ITERS,
+        _kmeans_sql,
+    )
+    from de_final_project_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    # Closed-form replay of the three per-modality poolings (pixels and
+    # samples are functions of doc_id; the bounded ranges mirror the
+    # geometry caps). vec_id = doc_id; the 64-dim grid left-joins the
+    # union of live sums so untouched dims are exact zeros.
+    qv_body = f"""SELECT g.doc_id AS vec_id,
+         list(coalesce(ds.s, 0) ORDER BY gd.d) AS q
+  FROM (SELECT doc_id FROM documents) g
+  CROSS JOIN range({POOL_DIM}) gd(d)
+  LEFT JOIN (
+    SELECT b.doc_id,
+           (((y * {POOL_GRID}) // b.h) * {POOL_GRID}
+            + ((x * {POOL_GRID}) // b.w)) * 3 + ch AS d,
+           sum(CASE ch WHEN 0 THEN (b.doc_id + x + 2 * y) % 256
+                       WHEN 1 THEN (b.doc_id + 2 * x + y) % 256
+                       ELSE (b.doc_id + x + y) % 256 END)::BIGINT AS s
+    FROM (SELECT doc_id, 5 + doc_id % 12 AS w, 5 + (doc_id * 3) % 12 AS h
+          FROM documents WHERE doc_id % 3 = 0) b,
+         range(16) tx(x), range(16) ty(y), range(3) tc(ch)
+    WHERE x < b.w AND y < b.h
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT a.doc_id, {AUDIO_POOL_BASE} + (i * {AUDIO_BUCKETS}) // a.ns AS d,
+           sum(abs(((31 * a.doc_id + 7 * i) % 4096) - 2048))::BIGINT AS s
+    FROM (SELECT doc_id, 400 + doc_id % 800 AS ns
+          FROM documents WHERE doc_id % 3 = 1) a,
+         range(1200) ti(i)
+    WHERE i < a.ns
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT b.doc_id,
+           f * {VID_POOL_GRID * VID_POOL_GRID * 3}
+           + (((y * {VID_POOL_GRID}) // b.h) * {VID_POOL_GRID}
+              + ((x * {VID_POOL_GRID}) // b.w)) * 3 + ch AS d,
+           sum(CASE ch WHEN 0 THEN (b.doc_id + f + x + 2 * y) % 256
+                       WHEN 1 THEN (b.doc_id + f + 2 * x + y) % 256
+                       ELSE (b.doc_id + f + x + y) % 256 END)::BIGINT AS s
+    FROM (SELECT doc_id, 5 + doc_id % 12 AS w, 5 + (doc_id * 3) % 12 AS h,
+                 2 + doc_id % 3 AS nf
+          FROM documents WHERE doc_id % 3 = 2) b,
+         range({VID_POOL_FRAMES}) tf(f), range(16) tx(x), range(16) ty(y),
+         range(3) tc(ch)
+    WHERE f < least(b.nf, {VID_POOL_FRAMES}) AND x < b.w AND y < b.h
+    GROUP BY 1, 2
+  ) ds ON ds.doc_id = g.doc_id AND ds.d = gd.d
+  GROUP BY g.doc_id"""
+    cos = (
+        "round(list_dot_product(q.qv2, n.v)"
+        " / (sqrt(list_dot_product(q.qv2, q.qv2))"
+        "    * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""{_kmeans_sql(qv_body)},
+mcorpus AS (
+  SELECT f.vec_id AS neighbor_id, f.cluster AS cell,
+         f.vec_id % 3 AS mkey,
+         CASE f.vec_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         list_transform(v.q, x -> x::DOUBLE) AS v
+  FROM final_assign f JOIN qv v USING (vec_id)
+),
+mprobes AS (
+  SELECT query_id, cl AS cell, query_id % 3 AS mkey FROM (
+    SELECT qq.vec_id AS query_id, c.cl,
+           row_number() OVER (PARTITION BY qq.vec_id
+                              ORDER BY {KMEANS_DIST_SQL} ASC, c.cl ASC) AS pr
+    FROM (SELECT vec_id, q FROM qv WHERE vec_id < {N_QUERIES}) qq
+    CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE pr <= {N_PROBE}
+),
+mqe AS (
+  SELECT vec_id AS query_id, list_transform(q, x -> x::DOUBLE) AS qv2
+  FROM qv WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, modality, rank, neighbor_id, cosine_sim FROM (
+  SELECT p.query_id, n.modality, n.neighbor_id,
+         {cos} AS cosine_sim,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {cos} DESC, n.neighbor_id ASC) AS rank
+  FROM mprobes p
+  JOIN mcorpus n ON n.cell = p.cell AND n.mkey = p.mkey
+  JOIN mqe q ON q.query_id = p.query_id
+  WHERE n.neighbor_id <> p.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
+MEDIA_KNN_MULTIMODAL_SQL = _media_knn_multimodal_sql()

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from de_final_project_spark.operators.txlog import EmptyChangeFeed
 from de_final_project_spark.sources.readers import read_testdata
 
 SHINGLE_K = 3
@@ -802,6 +803,17 @@ SELECT (SELECT count(*) FROM mh) AS n_minhash,
 
 _NDIDX_APP = "ndidx"
 
+# Band-index bucket count: the partition key is a pure function of
+# band_hash (which is part of the merge key, so rows never move
+# partitions). Fixed for the life of an index.
+N_BAND_BUCKETS = 64
+
+
+def _hbucket_col():
+    return F.pmod(
+        F.crc32(F.col("band_hash").cast("binary")), F.lit(N_BAND_BUCKETS)
+    ).cast("long")
+
 
 class IncrementalNearDupIndex:
     """A PERSISTED MinHash band index maintained from a documents
@@ -819,6 +831,21 @@ class IncrementalNearDupIndex:
     probes, O(candidates) verification text reads. The corpus is
     re-read only for candidate OLD doc texts (left-semi restricted).
 
+    The stored band relation is PARTITIONED by ``hbucket =
+    crc32(band_hash) % N_BAND_BUCKETS``: a batch's probe join reads
+    only the buckets its own band hashes map to (lossless — a
+    band-hash match implies an equal bucket), and the MERGE rewrites
+    only touched buckets, so refresh SCAN volume is O(touched
+    buckets), not O(index) (VERDICT r10 item 3). To keep the bucket a
+    pure function of the merge key (the table invariant that lets rows
+    never move partitions), the key is the full band row (doc_id,
+    band_idx, band_hash); updates retire their old rows via tombstone
+    marker rows (NULL ``sv``) built from the stored index, and the
+    ``sv`` payload column records the commit version that signed the
+    row (refresh provenance). Insert-only batches skip the tombstone
+    pass entirely — the only refresh step that reads the index outside
+    the batch's own buckets.
+
     Verdict semantics are EMISSION-TIME: a pair is recorded when its
     later doc arrives. Under insert-only feeds the accumulated verdicts
     equal a full-corpus recompute exactly (each pair is found once —
@@ -833,7 +860,9 @@ class IncrementalNearDupIndex:
         from de_final_project_spark.operators.txlog import VersionedTable
 
         self.docs = docs
-        self.index = VersionedTable(os.path.join(root, "band_index"))
+        self.index = VersionedTable(
+            os.path.join(root, "band_index"), partition_col="hbucket"
+        )
         self.verdicts = VersionedTable(os.path.join(root, "verdicts"))
 
     def _applied(self, table) -> int | None:
@@ -861,7 +890,7 @@ class IncrementalNearDupIndex:
             "doc_id",
             F.col("b.band_idx").cast("long").alias("band_idx"),
             F.col("b.band_hash").alias("band_hash"),
-        )
+        ).withColumn("hbucket", _hbucket_col())
         return sh, bands
 
     def _verify(
@@ -925,7 +954,9 @@ class IncrementalNearDupIndex:
                     include_deletes=True,
                     include_update_preimages=True,
                 )
-            except ValueError:
+            except EmptyChangeFeed:
+                # metadata-only window: watermark stays put (ivm.py's
+                # stance); real misuse ValueErrors now propagate.
                 return {"mode": "noop", "from": applied, "to": base_v,
                         "signed_docs": 0, "n_candidates": 0}
             mode = "delta"
@@ -957,9 +988,19 @@ class IncrementalNearDupIndex:
         )
         cands = within
         if have_index:
-            stored = self.index.read(spark).join(
-                removed_ids, "doc_id", "left_anti"
+            # bucket-pruned probe: only partitions the BATCH's band
+            # hashes map to are listed/opened — lossless, because a
+            # band-hash match implies an equal bucket. The bucket list
+            # is bounded by N_BAND_BUCKETS (control-plane collect).
+            bks = sorted(
+                {r[0] for r in new_bands.select("hbucket").distinct().collect()}
             )
+            stored = self.index.read(
+                spark,
+                where="hbucket IN (%s)" % ", ".join(str(b) for b in bks)
+                if bks
+                else "hbucket IS NULL",
+            ).join(removed_ids, "doc_id", "left_anti")
             probe = (
                 new_bands.select(
                     F.col("doc_id").alias("new_id"), "band_idx",
@@ -984,32 +1025,41 @@ class IncrementalNearDupIndex:
                 self.verdicts.overwrite(verdict, txn=(_NDIDX_APP, base_v))
             else:
                 self.verdicts.append(verdict, txn=(_NDIDX_APP, base_v))
-        # ---- band-index merge: upsert new docs' rows, drop removed
+        # ---- band-index merge: full-row key, bucket-partitioned.
+        # New rows carry sv=base_v (signed-at provenance); stale rows of
+        # updated/removed docs become NULL-sv tombstones built FROM the
+        # stored index (they inherit their real hbucket, so the merge
+        # touches exactly the right partitions). Insert-only batches
+        # skip the tombstone scan — the one refresh step that would
+        # read outside the batch's own buckets.
+        new_rows = new_bands.withColumn("sv", F.lit(base_v).cast("long"))
         if not have_index:
-            self.index.overwrite(new_bands, txn=(_NDIDX_APP, base_v))
+            self.index.overwrite(new_rows, txn=(_NDIDX_APP, base_v))
         else:
-            grid = spark.range(LSH_BANDS).select(
-                F.col("id").alias("band_idx")
-            )
-            # merge_into requires source columns == table columns, so
-            # the delete marker is a NULL band_hash (real band rows
-            # always carry an md5 digest)
-            gone = removed_ids.join(
-                new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
-            ).crossJoin(grid).select(
-                "doc_id",
-                "band_idx",
-                F.lit(None).cast("string").alias("band_hash"),
-            )
-            src = new_bands.unionByName(gone)
+            src = new_rows
+            if removed_ids.limit(1).count() > 0:
+                tomb = (
+                    self.index.read(spark)
+                    .join(removed_ids, "doc_id", "left_semi")
+                    .join(
+                        new_bands,
+                        ["doc_id", "band_idx", "band_hash"],
+                        "left_anti",
+                    )
+                    .select(
+                        "doc_id", "band_idx", "band_hash", "hbucket",
+                        F.lit(None).cast("long").alias("sv"),
+                    )
+                )
+                src = src.unionByName(tomb)
             self.index.merge_into(
                 spark,
-                src.select("doc_id", "band_idx", "band_hash"),
-                on=["doc_id", "band_idx"],
-                matched_update={"band_hash": "s.band_hash"},
-                matched_update_condition="s.band_hash IS NOT NULL",
-                matched_delete_condition="s.band_hash IS NULL",
-                insert_condition="s.band_hash IS NOT NULL",
+                src,
+                on=["doc_id", "band_idx", "band_hash"],
+                matched_update={"sv": "s.sv"},
+                matched_update_condition="s.sv IS NOT NULL",
+                matched_delete_condition="s.sv IS NULL",
+                insert_condition="s.sv IS NOT NULL",
                 txn=(_NDIDX_APP, base_v),
             )
         for df in (new_docs, new_bands, cands, sh_new):

@@ -7,10 +7,18 @@ maintained from the documents table's change feed (the ivm.py
 subscription pattern; ``IncrementalNearDupIndex`` is the dedup-tier
 precedent, the streamed IVF index the vector-tier one):
 
-- ``postings``: (doc_id, term, tf) for EVERY term — a real inverted
-  index, not a query-term cache, so any query is servable without
-  touching document text again.
-- ``doclens``: (doc_id, dl) — the BM25 length normalizer.
+- ``postings``: (doc_id, term, tf, tbucket) for EVERY term — a real
+  inverted index, not a query-term cache, so any query is servable
+  without touching document text again. The table is PARTITIONED by
+  ``tbucket = crc32(term) % N_TERM_BUCKETS`` — a pure function of the
+  merge key, so rows never move partitions — which is what turns
+  "O(churn) compute" into "O(touched buckets) scan": a refresh's MERGE
+  rewrites only the buckets its batch's terms hash to, and a query
+  reads only its own terms' buckets (``prune_report``-pinned by test).
+  crc32 is computed identically by Spark (F.crc32) and the driver
+  (zlib.crc32), so bucket lists for a Python query tuple need no job.
+- ``doclens``: (doc_id, dl) — the BM25 length normalizer (read as an
+  aggregate at serve time; unpartitioned, its reads are corpus-global).
 
 Each refresh tokenizes ONLY the feed's documents (churn-proportional,
 asserted by the driver query), merges their postings in (update/delete
@@ -38,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_final_project_spark.functions.text import tokens
+from de_final_project_spark.operators.txlog import EmptyChangeFeed
 from de_final_project_spark.operators.corpusops import (
     BM25_B,
     BM25_K1,
@@ -48,13 +57,34 @@ from de_final_project_spark.sources.readers import read_testdata
 
 _BMIDX_APP = "bm25idx"
 
+# Bucket count: sized so a realistic query (a handful of terms) prunes
+# to a small fraction, while a batch's MERGE still touches enough
+# buckets to parallelize. Must never change for a live index (bucket is
+# part of the physical layout).
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(term: str) -> int:
+    """Driver-side twin of the Spark-side bucket expression."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % N_TERM_BUCKETS
+
+
+def _tbucket_col():
+    return F.pmod(
+        F.crc32(F.col("term").cast("binary")), F.lit(N_TERM_BUCKETS)
+    ).cast("long")
+
 
 class IncrementalPostingIndex:
     def __init__(self, docs, root: str):
         from de_final_project_spark.operators.txlog import VersionedTable
 
         self.docs = docs
-        self.postings = VersionedTable(os.path.join(root, "postings"))
+        self.postings = VersionedTable(
+            os.path.join(root, "postings"), partition_col="tbucket"
+        )
         self.doclens = VersionedTable(os.path.join(root, "doclens"))
 
     def applied_version(self) -> int | None:
@@ -71,6 +101,7 @@ class IncrementalPostingIndex:
             toks.select("doc_id", F.explode("toks").alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("tbucket", _tbucket_col())
         )
         dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
         return post, dl
@@ -98,7 +129,12 @@ class IncrementalPostingIndex:
                     include_deletes=True,
                     include_update_preimages=True,
                 )
-            except ValueError:
+            except EmptyChangeFeed:
+                # metadata-only commits in the window: the applied
+                # watermark intentionally stays put (same stance as
+                # ivm.py) — the next real change re-diffs from the same
+                # cheap endpoints. Other ValueErrors (schema misuse)
+                # now propagate instead of masquerading as no-ops.
                 return {"mode": "noop", "from": applied, "to": base_v,
                         "tokenized_docs": 0}
             mode = "delta"
@@ -116,20 +152,31 @@ class IncrementalPostingIndex:
             self.postings.overwrite(new_post, txn=(_BMIDX_APP, base_v))
             self.doclens.overwrite(new_dl, txn=(_BMIDX_APP, base_v))
         else:
-            # tombstone markers: the stored (doc_id, term) rows of
-            # removed/updated docs that the new batch does NOT re-assert
-            # — built by joins against the stored index, no driver lists
-            stale = (
-                self.postings.read(spark)
-                .join(removed_ids, "doc_id", "left_semi")
-                .join(new_post, ["doc_id", "term"], "left_anti")
-                .select(
-                    "doc_id", "term", F.lit(None).cast("long").alias("tf")
+            src = new_post
+            # Insert-only batches (the common append corpus) skip the
+            # tombstone pass entirely — it is the only step that reads
+            # the stored index during a refresh, so an append refresh
+            # scans NO index data beyond the buckets its MERGE touches.
+            has_removed = removed_ids.limit(1).count() > 0
+            if has_removed:
+                # tombstone markers: the stored (doc_id, term) rows of
+                # removed/updated docs that the new batch does NOT
+                # re-assert — built by joins against the stored index,
+                # no driver lists. tbucket rides along from the stored
+                # row (it is a pure function of term, so it matches).
+                stale = (
+                    self.postings.read(spark)
+                    .join(removed_ids, "doc_id", "left_semi")
+                    .join(new_post, ["doc_id", "term"], "left_anti")
+                    .select(
+                        "doc_id", "term",
+                        F.lit(None).cast("long").alias("tf"), "tbucket",
+                    )
                 )
-            )
+                src = new_post.unionByName(stale)
             self.postings.merge_into(
                 spark,
-                new_post.unionByName(stale),
+                src,
                 on=["doc_id", "term"],
                 matched_update={"tf": "s.tf"},
                 matched_update_condition="s.tf IS NOT NULL",
@@ -137,12 +184,17 @@ class IncrementalPostingIndex:
                 insert_condition="s.tf IS NOT NULL",
                 txn=(_BMIDX_APP, base_v),
             )
-            gone = (
-                self.doclens.read(spark)
-                .join(removed_ids, "doc_id", "left_semi")
-                .join(new_dl, ["doc_id"], "left_anti")
-                .select("doc_id", F.lit(None).cast("long").alias("dl"))
-            )
+            if has_removed:
+                gone = (
+                    self.doclens.read(spark)
+                    .join(removed_ids, "doc_id", "left_semi")
+                    .join(new_dl, ["doc_id"], "left_anti")
+                    .select("doc_id", F.lit(None).cast("long").alias("dl"))
+                )
+            else:
+                gone = new_dl.limit(0).select(
+                    "doc_id", F.lit(None).cast("long").alias("dl")
+                )
             self.doclens.merge_into(
                 spark,
                 new_dl.unionByName(gone),
@@ -167,7 +219,14 @@ class IncrementalPostingIndex:
         """Okapi BM25 top-k from the STORED index — document text is
         never read. Identical expression to corpusops.bm25_scores, so
         index-served answers equal the batch recompute exactly."""
-        post = self.postings.read(spark)
+        # bucket-pruned read: only the query terms' partitions are
+        # listed/opened (file skipping from log metadata) — at index
+        # scale this is the difference between touching ~|q| buckets
+        # and scanning the whole posting relation.
+        bks = sorted({term_bucket(str(t)) for t in query})
+        post = self.postings.read(
+            spark, where=f"tbucket IN ({', '.join(str(b) for b in bks)})"
+        )
         dls = self.doclens.read(spark)
         n_docs = dls.count()
         qtf = post.where(

@@ -347,6 +347,15 @@ class ConstraintViolationError(ValueError):
     constraint. Raised BEFORE any log commit — the table is unchanged."""
 
 
+class EmptyChangeFeed(ValueError):
+    """A change-feed window where no live pointer moved and no
+    tombstone landed — metadata-only commits between the endpoints.
+    Subclasses ValueError for compatibility, but consumers should catch
+    THIS type: a broad ``except ValueError`` around read_changes also
+    swallows genuine misuse errors (dropped-column references, schema
+    mismatches) as silent no-ops (ADVICE r10)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed a conflicting (overlapping-partition or
     snapshot-replacing) change between this writer's read and its
@@ -3551,7 +3560,16 @@ class VersionedTable:
         rebuild at sf0.1/sf1):
 
         - ``append``: the feed is precisely the suffix files' rows
-          (inserts) — no old-side read at all.
+          (inserts) — no old-side read at all. ASSUMES the feed keys
+          are unique in the table: an append that re-introduces an
+          already-live key is tagged 'insert' here, where the general
+          snapshot-diff path (which key-joins against the old
+          snapshot) would tag the same-partition duplicate an
+          'update'. Checking would cost the old-side read this path
+          exists to avoid, so producers that cannot guarantee key
+          uniqueness must MERGE, not append (every current consumer —
+          ivm, searchidx, neardup — feeds from unique-keyed bronze
+          tables; ADVICE r10).
         - ``update_rows`` (merge-on-read UPDATE): postimages are the
           suffix files' rows, preimages are the old rows the commit's
           own positional DV sidecar names — the old partitions are
@@ -3793,7 +3811,7 @@ class VersionedTable:
                     hit if dv_gone is None else dv_gone.unionByName(hit)
                 )
         if new is None and old is None and dv_gone is None:
-            raise ValueError(
+            raise EmptyChangeFeed(
                 f"versions {from_version} and {to_version} share every "
                 "live partition — empty change feed"
             )
@@ -4327,7 +4345,7 @@ class ChangeFeedConsumer:
                     v,
                     include_deletes=self.include_deletes,
                 )
-            except ValueError:
+            except EmptyChangeFeed:
                 batch = None  # no live pointer changed: empty batch
             if batch is not None:
                 process(batch, v)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from de_final_project_spark.operators import bitq
 from de_final_project_spark.operators.similarity import TOP_K, _bruteforce_topk
@@ -111,3 +112,47 @@ def test_output_shape_and_rank_contract(spark, emb):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, TOP_K + 1)), q
+
+
+def test_ivf_bitq_composition_recall_and_cell_contract(spark, emb):
+    """Round-11 composed tier: (a) results only come from the query's
+    probed cells (the inverted-list contract), (b) recall@k vs brute
+    force clears a floor, and (c) recall is within reach of the FLAT
+    bitq tier (the composition trades a bounded recall delta for an
+    nprobe/K scan fraction)."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import N_PROBE
+
+    out = bitq.ivf_bitq_knn(spark, SF_DIR).cache()
+    truth = {
+        (r.query_id, r.neighbor_id) for r in _bruteforce_topk(emb).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    recall = len(truth & got) / len(truth)
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in bitq.bitq_knn(spark, SF_DIR).collect()
+    }
+    flat_recall = len(truth & flat) / len(truth)
+    assert recall >= 0.7, f"composed recall@{TOP_K} {recall}"
+    assert recall >= flat_recall - 0.25, (recall, flat_recall)
+    # cell contract: every returned neighbor sits in a probed cell
+    qdf, centroids = km.train_kmeans(spark, SF_DIR)
+    cell_of = {
+        r.vec_id: r.cell for r in km.assign_cells(qdf, centroids).collect()
+    }
+    probed = {
+        (r.query_id, r.cell)
+        for r in km.with_centroids(
+            qdf.where(F.col("vec_id") < 10), centroids
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(km.cells_by_dist(), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+        .collect()
+    }
+    for q, n in got:
+        assert (q, cell_of[n]) in probed, (q, n)
+    out.unpersist()

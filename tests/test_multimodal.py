@@ -237,3 +237,69 @@ def test_media_knn_shape(spark):
     assert set(by_q) == set(range(N_QUERIES))
     for q, rs in by_q.items():
         assert sorted(r["rank"] for r in rs) == list(range(1, TOP_K + 1))
+
+
+def test_wav_envelope_pooling_matches_closed_form():
+    """pool_wav_features must equal the closed-form per-bucket abs-sum
+    of the generator wave — the property the multimodal ANN oracle
+    restates in SQL."""
+    from de_final_project_spark.operators.multimodal import (
+        AUDIO_BUCKETS,
+        AUDIO_POOL_BASE,
+        POOL_DIM,
+        pool_wav_features,
+    )
+
+    doc_id = 7
+    _, _, _, ns = _geom(doc_id)
+    got = pool_wav_features(encode_wav(ns, seed=doc_id))
+    want = [0] * POOL_DIM
+    for i in range(ns):
+        want[AUDIO_POOL_BASE + (i * AUDIO_BUCKETS) // ns] += abs(
+            ((31 * doc_id + 7 * i) % 4096) - 2048
+        )
+    assert got == want
+    assert all(v == 0 for v in got[:AUDIO_POOL_BASE])
+
+
+def test_vid_pooling_matches_closed_form():
+    from de_final_project_spark.operators.multimodal import (
+        POOL_DIM,
+        VID_POOL_FRAMES,
+        VID_POOL_GRID,
+        _make_payload,
+        pool_vid_features,
+    )
+
+    doc_id = 11  # doc_id % 3 == 2 -> video
+    w, h, nf, _ = _geom(doc_id)
+    got = pool_vid_features(_make_payload(doc_id, "video"))
+    want = [0] * POOL_DIM
+    for f in range(min(nf, VID_POOL_FRAMES)):
+        for y in range(h):
+            for x in range(w):
+                r, g, b = _pixel(doc_id, f, x, y)
+                cell = ((y * VID_POOL_GRID) // h) * VID_POOL_GRID + (
+                    (x * VID_POOL_GRID) // w
+                )
+                d = f * (VID_POOL_GRID * VID_POOL_GRID * 3) + cell * 3
+                want[d] += r
+                want[d + 1] += g
+                want[d + 2] += b
+    assert got == want
+
+
+def test_multimodal_knn_gates_by_modality(spark):
+    """Every result row's neighbor shares the query's modality — the
+    join-key gate, not a post-filter, so this pins the semantics."""
+    from de_final_project_spark.operators.multimodal import (
+        media_knn_multimodal,
+    )
+
+    out = media_knn_multimodal(spark, SF_DIR).collect()
+    assert len(out) > 0
+    mt = {0: "image", 1: "audio", 2: "video"}
+    for r in out:
+        assert r.modality == mt[r.query_id % 3]
+        assert r.neighbor_id % 3 == r.query_id % 3
+        assert 1 <= r.rank <= 5

@@ -358,3 +358,52 @@ class TestIncrementalNearDupIndex:
             for x in fresh.index.read(spark).collect()
         }
         assert stored == want
+
+
+def test_band_index_buckets_prune_probe_and_merge(spark, tmp_path):
+    """Round-11 scale pin for the incremental band index: the stored
+    relation is partitioned by crc32(band_hash) bucket, so a small
+    batch's refresh (probe + merge) touches only the buckets its own
+    band hashes map to, and accumulated verdicts stay equal to the
+    batch recompute."""
+    from de_final_project_spark.operators.neardup import (
+        IncrementalNearDupIndex,
+        LSH_BANDS,
+        _hbucket_col,
+    )
+    from de_final_project_spark.operators.txlog import VersionedTable
+
+    from de_final_project_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    bronze = VersionedTable(str(tmp_path / "docs"))
+    history = docs.where(F.col("doc_id") % 10 < 9)
+    batch = docs.where(F.col("doc_id") % 10 == 9).limit(1)
+    bronze.overwrite(history)
+    idx = IncrementalNearDupIndex(bronze, str(tmp_path / "nd"))
+    idx.refresh(spark)
+    e0 = idx.index._read_entry(idx.index.latest_version())["live"]
+    assert len(e0) > LSH_BANDS  # history spreads well past one batch's reach
+    bronze.append(batch)
+    r = idx.refresh(spark)
+    assert r["signed_docs"] == 1
+    e1 = idx.index._read_entry(idx.index.latest_version())["live"]
+    changed = {p for p in e1 if e0.get(p) != e1[p]} | {
+        p for p in e0 if p not in e1
+    }
+    # a 1-doc batch has at most LSH_BANDS distinct band hashes -> its
+    # merge rewrote a strict subset of the stored buckets
+    assert 0 < len(changed) <= LSH_BANDS < len(e0)
+    # the probe predicate for those buckets prunes the stored relation
+    rep = idx.index.prune_report(
+        "hbucket IN (%s)" % ", ".join(sorted(changed))
+    )
+    assert rep["partitions_scanned"] == len(changed)
+    assert rep["partitions_total"] == len(e1)
+    # row-level sanity: every stored row's bucket matches its hash
+    bad = (
+        idx.index.read(spark)
+        .where(F.col("hbucket") != _hbucket_col())
+        .count()
+    )
+    assert bad == 0
