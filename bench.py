@@ -140,6 +140,10 @@ BENCH_QUERIES_R5 = [
     # now measure the BUCKET-PARTITIONED index layouts.
     "ivf_bitq_knn",
     "media_knn_multimodal",
+    # ...and the session's second half: the IVF x Matryoshka-prefix
+    # composition (probe cells, prefix-cosine scan inside them, exact
+    # re-rank — the dimension-truncation analog of ivf_bitq_knn).
+    "ivf_mrl_knn",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

@@ -489,3 +489,153 @@ WHERE rank <= {TOP_K}
 
 
 IVF_BITQ_KNN_SQL = _ivf_bitq_sql()
+
+# ----------------------------------------------------------------------
+# IVF x Matryoshka-prefix composition: the cluster-scale form of the
+# dimension-truncation tier (round 11, mirrors the IVF x 1-bit shape).
+# ----------------------------------------------------------------------
+
+IVF_MRL_CANDIDATES = 200
+
+
+def ivf_mrl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe the trained cells, rank candidates INSIDE the probed
+    cells on the MRL_DIM-dim embedding prefix, exact full-dim re-rank of
+    the pool. The two scan reductions compose multiplicatively: the
+    probe restricts the scan to ~nprobe/K of the corpus, and each
+    scanned candidate reads MRL_DIM/DIM of the vector bytes (half, at
+    the shipped 32-of-64 point; MRL-trained embeddings push the usable
+    prefix shorter). All joins are equi-joins on (cell, query_id); only
+    the N_QUERIES-sized probe/query relations broadcast. Recall is
+    bounded by ivf_knn_trained's (same probed cells, prefix-coarsened
+    in-cell ranking) and pinned against it and the flat mrl tier in
+    tests/test_bitq.py.
+
+    Oracle: the trained-IVF CTE prefix (identical Lloyd iterations and
+    probe ranking) with list-slice prefix cosine — same cross-check
+    discipline as ivf_bitq_knn."""
+    from pyspark.sql import Window
+
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import N_PROBE
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cells = km.assign_cells(qdf, centroids)
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("prefix")
+    )
+    corpus = pre.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("prefix").alias("np"),
+    )
+    probes = (
+        km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(km.cells_by_dist(), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+    )
+    qpre = pre.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("prefix").alias("qp")
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qpre), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qp"), F.col("np")), 6).alias("pre_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        pairs.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= IVF_MRL_CANDIDATES)
+        .select("query_id", "neighbor_id", "pre_sim")
+    )
+    qvec = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    rer = (
+        pool.join(F.broadcast(qvec), "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pre_sim",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "pre_sim", "cosine_sim")
+    )
+
+
+def _ivf_mrl_sql() -> str:
+    from de_final_project_spark.operators.similarity import _ivf_trained_cte
+
+    return f"""{_ivf_trained_cte()},
+npre AS (
+  SELECT neighbor_id, cell, v,
+         CAST(v[1:{MRL_DIM}] AS DOUBLE[]) AS np
+  FROM corpus
+),
+qpre AS (
+  SELECT query_id, qv,
+         CAST(qv[1:{MRL_DIM}] AS DOUBLE[]) AS qp
+  FROM qe
+),
+pre AS (
+  SELECT p.query_id, n.neighbor_id,
+         round(list_dot_product(q.qp, n.np)
+               / (sqrt(list_dot_product(q.qp, q.qp))
+                  * sqrt(list_dot_product(n.np, n.np))), 6) AS pre_sim,
+         q.qv AS qemb, n.v AS emb
+  FROM probes p
+  JOIN npre n USING (cell)
+  JOIN qpre q ON q.query_id = p.query_id
+  WHERE n.neighbor_id <> p.query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pre_sim DESC, neighbor_id ASC)
+              AS crank
+    FROM pre
+  ) WHERE crank <= {IVF_MRL_CANDIDATES}
+),
+rer AS (
+  SELECT query_id, neighbor_id, pre_sim,
+         round(list_dot_product(qemb, emb)
+               / (sqrt(list_dot_product(qemb, qemb))
+                  * sqrt(list_dot_product(emb, emb))), 6) AS cosine_sim
+  FROM pool
+)
+SELECT query_id, rank, neighbor_id, pre_sim, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM rer
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+IVF_MRL_KNN_SQL = _ivf_mrl_sql()

@@ -40,7 +40,7 @@ Semantics and their limits, stated plainly:
 
 Reference parity: the reference pipeline updates its warehouse tables
 one ``to_sql`` at a time with no cross-table boundary at all
-(src/load_lambda.py) — a reader mid-run sees facts without their
+(src/warehousing_lambda.py) — a reader mid-run sees facts without their
 dimensions. This module is the Spark-first repair of that gap.
 """
 

@@ -1973,32 +1973,83 @@ SELECT query_id, neighbor_id FROM (
 
 
 def _ann_recall_ivfpq_sql() -> str:
+    """One SHARED quantizer chain for all three recall variants.
+
+    The prior form nested a complete Lloyd chain (and, twice, the PQ
+    codebook training) inside each variant's subquery, so DuckDB
+    executed three independent k-means chains plus brute-force truth
+    in a single statement — which exceeded an 80 GB spill disk at sf1
+    (SCALE_PROOF r10, the one non-ok row). The variants share
+    emb_rel/qv/nprobe, so the chain is hoisted once to the top-level
+    WITH (MATERIALIZED where re-referenced) and each variant reduces
+    to a small select over the shared corpus/probes/qe/adc relations —
+    value-identical (the chain is deterministic on the same input),
+    still one statement, ~3x less oracle work at every sf."""
     cte, qv_body = _clustered_sql_parts()
-    variants = [
-        ("ivf_exact", _ivf_trained_sql("clustered", qv_body)),
-        ("ivfpq_adc", _ivfpq_adc_sql(qv_body)),
-        ("ivfpq_rerank", _ivfpq_rerank_sql("clustered", qv_body)),
-    ]
-    variant_ctes = ",\n".join(
-        f"v_{m} AS (SELECT query_id, neighbor_id FROM ({sql}))"
-        for m, sql in variants
+    prefix = _ivfpq_cte("clustered", qv_body)
+    assert prefix.startswith("WITH ")
+    shared = "WITH " + cte + ",\n" + prefix[len("WITH "):]
+    cos = (
+        "round(list_dot_product(q.qv, n.v)"
+        " / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(n.v, n.v))), 6)"
     )
+    variant_ctes = f"""v_ivf_exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, n.neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos} DESC, n.neighbor_id ASC) AS rank
+    FROM probes p
+    JOIN corpus n USING (cell)
+    JOIN qe q USING (query_id)
+    WHERE n.neighbor_id <> p.query_id
+  ) WHERE rank <= {TOP_K}
+),
+v_ivfpq_adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {TOP_K}
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id ASC) AS prk
+    FROM adc
+  ) WHERE prk <= {RERANK_TOP}
+),
+v_ivfpq_rerank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos} DESC, p.neighbor_id ASC) AS rank
+    FROM pool p
+    JOIN corpus n ON n.neighbor_id = p.neighbor_id
+    JOIN qe q USING (query_id)
+  ) WHERE rank <= {TOP_K}
+)"""
+    methods = ["ivf_exact", "ivfpq_adc", "ivfpq_rerank"]
     hit_ctes = ",\n".join(
         f"""h_{m} AS (
   SELECT query_id, count(*) AS n_hits
   FROM truth JOIN v_{m} USING (query_id, neighbor_id) GROUP BY 1
 )"""
-        for m, _ in variants
+        for m in methods
     )
     selects = "\nUNION ALL\n".join(
         f"""SELECT '{m}' AS method, kq.query_id, kq.k,
        coalesce(h.n_hits, 0) AS n_hits,
        round(coalesce(h.n_hits, 0) / CAST(kq.k AS DOUBLE), 6) AS recall_at_k
 FROM kq LEFT JOIN h_{m} h USING (query_id)"""
-        for m, _ in variants
+        for m in methods
     )
     return f"""
-WITH {cte},
+{shared},
 truth AS (
   SELECT query_id, neighbor_id FROM ({_knn_bruteforce_sql("clustered")})
 ),

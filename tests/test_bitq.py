@@ -156,3 +156,44 @@ def test_ivf_bitq_composition_recall_and_cell_contract(spark, emb):
     for q, n in got:
         assert (q, cell_of[n]) in probed, (q, n)
     out.unpersist()
+
+
+def test_ivf_mrl_composition_recall_and_cell_contract(spark, emb):
+    """Round-11 composed MRL tier: same three pins as the 1-bit
+    composition — probed-cell containment, a recall floor vs brute
+    force, and a bounded recall delta vs the FLAT mrl tier."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.similarity import N_PROBE
+
+    out = bitq.ivf_mrl_knn(spark, SF_DIR).cache()
+    truth = {
+        (r.query_id, r.neighbor_id) for r in _bruteforce_topk(emb).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    recall = len(truth & got) / len(truth)
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in bitq.mrl_knn(spark, SF_DIR).collect()
+    }
+    flat_recall = len(truth & flat) / len(truth)
+    assert recall >= 0.7, f"composed recall@{TOP_K} {recall}"
+    assert recall >= flat_recall - 0.25, (recall, flat_recall)
+    qdf, centroids = km.train_kmeans(spark, SF_DIR)
+    cell_of = {
+        r.vec_id: r.cell for r in km.assign_cells(qdf, centroids).collect()
+    }
+    probed = {
+        (r.query_id, r.cell)
+        for r in km.with_centroids(
+            qdf.where(F.col("vec_id") < 10), centroids
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(km.cells_by_dist(), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+        .collect()
+    }
+    for q, n in got:
+        assert (q, cell_of[n]) in probed, (q, n)
+    out.unpersist()
