@@ -142,8 +142,17 @@ BENCH_QUERIES_R5 = [
     "media_knn_multimodal",
     # ...and the session's second half: the IVF x Matryoshka-prefix
     # composition (probe cells, prefix-cosine scan inside them, exact
-    # re-rank — the dimension-truncation analog of ivf_bitq_knn).
+    # re-rank — the dimension-truncation analog of ivf_bitq_knn) and
+    # media near-dup (SemDeDup blocking over pooled media features).
     "ivf_mrl_knn",
+    "media_neardup",
+    # ...and the table-maintenance lifecycle (fragment -> OPTIMIZE with
+    # clustered rewrite -> VACUUM) as a priced row.
+    "versioned_compacted_read",
+    # ...and the incrementally-maintained SemDeDup (frozen quantizer,
+    # cluster-pruned index probes, two-direction keep rule) — the
+    # steady-state semantic tier beside the near-dup/BM25 indexes.
+    "incremental_semdedup",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a
@@ -180,6 +189,9 @@ BENCH_QUERIES_STREAMING = [
     "streamed_mv_refresh",
     # round 10: per-micro-batch write-audit-publish with quarantine.
     "streamed_wap_gold",
+    # round 11: dedup-on-ingest — each micro-batch lands as a bronze
+    # commit and the incremental band index refreshes behind it.
+    "streamed_neardup_index",
 ]
 # ...and the bucketed-write path is MEASURED against its shuffled twin
 # (same join+agg; broadcast disabled for both so the delta isolates the

@@ -774,23 +774,13 @@ def media_knn_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_knn_multimodal_sql() -> str:
-    from de_final_project_spark.operators.kmeans import (
-        KMEANS_DIST_SQL,
-        KMEANS_ITERS,
-        _kmeans_sql,
-    )
-    from de_final_project_spark.operators.similarity import (
-        N_PROBE,
-        N_QUERIES,
-        TOP_K,
-    )
-
-    # Closed-form replay of the three per-modality poolings (pixels and
-    # samples are functions of doc_id; the bounded ranges mirror the
-    # geometry caps). vec_id = doc_id; the 64-dim grid left-joins the
-    # union of live sums so untouched dims are exact zeros.
-    qv_body = f"""SELECT g.doc_id AS vec_id,
+def _media_pool_qv_body() -> str:
+    """Closed-form replay of the three per-modality poolings (pixels
+    and samples are functions of doc_id; the bounded ranges mirror the
+    geometry caps). vec_id = doc_id; the 64-dim grid left-joins the
+    union of live sums so untouched dims are exact zeros. Shared by the
+    multimodal-kNN and media-near-dup oracles."""
+    return f"""SELECT g.doc_id AS vec_id,
          list(coalesce(ds.s, 0) ORDER BY gd.d) AS q
   FROM (SELECT doc_id FROM documents) g
   CROSS JOIN range({POOL_DIM}) gd(d)
@@ -831,20 +821,41 @@ def _media_knn_multimodal_sql() -> str:
     GROUP BY 1, 2
   ) ds ON ds.doc_id = g.doc_id AND ds.d = gd.d
   GROUP BY g.doc_id"""
-    cos = (
-        "round(list_dot_product(q.qv2, n.v)"
-        " / (sqrt(list_dot_product(q.qv2, q.qv2))"
-        "    * sqrt(list_dot_product(n.v, n.v))), 6)"
-    )
-    return f"""{_kmeans_sql(qv_body)},
-mcorpus AS (
+
+
+# mcorpus: pooled vectors + trained cell + modality gate key — the
+# relation both media oracles serve from (appended after the generated
+# k-means chain, which binds final_assign/qv).
+_MEDIA_MCORPUS_CTE = """mcorpus AS (
   SELECT f.vec_id AS neighbor_id, f.cluster AS cell,
          f.vec_id % 3 AS mkey,
          CASE f.vec_id % 3 WHEN 0 THEN 'image'
                            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
          list_transform(v.q, x -> x::DOUBLE) AS v
   FROM final_assign f JOIN qv v USING (vec_id)
-),
+)"""
+
+
+def _media_knn_multimodal_sql() -> str:
+    from de_final_project_spark.operators.kmeans import (
+        KMEANS_DIST_SQL,
+        KMEANS_ITERS,
+        _kmeans_sql,
+    )
+    from de_final_project_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    qv_body = _media_pool_qv_body()
+    cos = (
+        "round(list_dot_product(q.qv2, n.v)"
+        " / (sqrt(list_dot_product(q.qv2, q.qv2))"
+        "    * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""{_kmeans_sql(qv_body)},
+{_MEDIA_MCORPUS_CTE},
 mprobes AS (
   SELECT query_id, cl AS cell, query_id % 3 AS mkey FROM (
     SELECT qq.vec_id AS query_id, c.cl,
@@ -872,3 +883,101 @@ SELECT query_id, modality, rank, neighbor_id, cosine_sim FROM (
 
 
 MEDIA_KNN_MULTIMODAL_SQL = _media_knn_multimodal_sql()
+
+
+# ----------------------------------------------------------------------
+# Media near-duplicate detection (round 11): the dedup tier applied to
+# the pooled-feature space, all three modalities in one pass.
+# ----------------------------------------------------------------------
+
+# Rounded-cosine floor for a near-dup verdict. The synthetic poolings
+# put exact and near-exact feature repeats (same geometry class, pixel
+# pattern shifted along the doc_id cycle) at >= 0.9999 for image/video;
+# the audio envelope pooling has no such repeats at this corpus size,
+# so its verdict set is legitimately empty — the per-modality gate still
+# runs, which is what the check signs.
+MEDIA_NEARDUP_THRESHOLD = 0.9999
+
+
+def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over media: decode + pool every payload
+    into the shared 64-dim integer space (one Arrow pass), train ONE
+    corpus-adaptive k-means over the union, then emit (a_id < b_id)
+    pairs whose exact pooled-feature cosine clears the threshold —
+    candidates generated ONLY within a (trained cell, modality) block,
+    the SemDeDup blocking applied to media (semdedup.py's
+    cluster-then-prune, with the modality gate a join-key column).
+
+    Scale shape: the pair stage is a self-equi-join on (cell, mkey) —
+    block sizes are bounded by the adaptive-K TARGET_CLUSTER_SIZE, so
+    pair work grows as n·cluster_size, never n²; a 100 TB media corpus
+    dedups in bounded blocks exactly like the text SemDeDup tier. The
+    oracle replays pooling closed-form, the identical Lloyd chain, and
+    the identical block-restricted pair scan."""
+    from de_final_project_spark.functions.vector import cosine
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.session import scoped_persist
+
+    media = synthesize_media(spark, sf_dir)
+    feats = scoped_persist(
+        all_media_feature_vectors(media).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "media_neardup",
+    )
+    qdf = feats.select("vec_id", "q")
+    centroids = km.train_kmeans_frame(qdf)
+    cells = km.assign_cells(qdf, centroids)
+    side = feats.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.col("media_type").alias("modality"),
+        F.col("q").cast("array<double>").alias("v"),
+    )
+    a = side.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        "modality",
+        F.col("v").alias("va"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("b_id"),
+        "cell",
+        "modality",
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, ["cell", "modality"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "modality",
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= MEDIA_NEARDUP_THRESHOLD)
+    )
+
+
+def _media_neardup_sql() -> str:
+    from de_final_project_spark.operators.kmeans import _kmeans_sql
+
+    cos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        "    * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""{_kmeans_sql(_media_pool_qv_body())},
+{_MEDIA_MCORPUS_CTE}
+SELECT modality, a_id, b_id, cosine_sim FROM (
+  SELECT x.modality, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+         {cos} AS cosine_sim
+  FROM mcorpus x
+  JOIN mcorpus y
+    ON x.cell = y.cell AND x.mkey = y.mkey
+   AND x.neighbor_id < y.neighbor_id
+) WHERE cosine_sim >= {MEDIA_NEARDUP_THRESHOLD}
+"""
+
+
+MEDIA_NEARDUP_SQL = _media_neardup_sql()

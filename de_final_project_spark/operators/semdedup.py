@@ -193,3 +193,341 @@ SELECT cluster, count(*) AS size,
        sum(CASE WHEN kept THEN 0 ELSE 1 END) / count(*) AS drop_share
 FROM verdict GROUP BY cluster
 """
+
+
+# ----------------------------------------------------------------------
+# Incrementally-maintained SemDeDup (round 11): the steady-state form —
+# a frozen quantizer, a persisted cluster index, and per-batch verdicts
+# from the change feed; the ivm.py subscription pattern applied to the
+# semantic tier (incremental near-dup / BM25 are the sibling indexes).
+# ----------------------------------------------------------------------
+
+_SD_APP = "_semdedup_idx"
+
+
+class IncrementalSemDedup:
+    """SemDeDup maintained from an embeddings table's change feed.
+
+    Build: train the sampled fixed-point k-means ONCE on the build
+    corpus and FREEZE the centroids (an index's cluster ids must stay
+    stable while data streams in — the same frozen-quantizer contract
+    as streaming/pipeline.py streamed_ivf_index); assign, normalize,
+    judge all within-cluster pairs, persist three relations (centroids,
+    the cluster-partitioned (vec_id, cluster, u) index, and per-vector
+    verdicts), each commit txn-stamped so a crashed refresh replays as
+    a no-op.
+
+    Refresh: assign ONLY the feed's vectors to frozen cells, read the
+    stored index pruned to the TOUCHED clusters (partition pruning —
+    scan volume tracks churn, not corpus), then judge BOTH directions
+    of the keep rule:
+
+    - a new vector is DROPPED iff some same-cluster vector with a
+      smaller vec_id (stored or in-batch) scores >= threshold;
+    - a STORED vector FLIPS to dropped iff some NEW same-cluster vector
+      with a smaller vec_id scores >= threshold (late small-id arrivals
+      revoke earlier keeps — without this path the incremental verdicts
+      would depend on arrival order).
+
+    Because every (a < b) same-cluster pair is judged exactly when the
+    LATER of the two arrives, the accumulated verdicts equal the batch
+    recompute over the full corpus under the SAME frozen centroids, for
+    ANY insert order and any batch boundaries (pinned by
+    tests/test_semdedup_incremental.py, including an out-of-order
+    arrival that exercises the flip). The feed must be INSERT-only:
+    embeddings are immutable corpus rows here; an update/delete means
+    re-embedding, which invalidates frozen-centroid geometry — refresh
+    raises and the caller rebuilds (the honest contract, stated loudly,
+    like the quarantine path's).
+
+    Cost per refresh: O(batch) assignment against the broadcast
+    centroid relation, O(batch · cluster_size) pair work both
+    directions (cluster_size bounded by the adaptive-K target), index
+    reads pruned to touched clusters. Reference analog: none —
+    extension surface."""
+
+    def __init__(self, emb: "VersionedTable", root: str):
+        import os
+
+        from de_final_project_spark.operators.txlog import VersionedTable
+
+        self.emb = emb
+        self.index = VersionedTable(
+            os.path.join(root, "sd_index"), partition_col="cluster"
+        )
+        self.verdicts = VersionedTable(os.path.join(root, "sd_verdicts"))
+        self.cents = VersionedTable(os.path.join(root, "sd_centroids"))
+
+    def applied_version(self) -> int | None:
+        head = self.index.latest_version()
+        if head is None:
+            return None
+        return self.index._read_entry(head).get("txn", {}).get(_SD_APP)
+
+    @staticmethod
+    def _quantize(emb_df: DataFrame) -> DataFrame:
+        from de_final_project_spark.operators.kmeans import SCALE
+
+        return emb_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * SCALE).cast("long"),
+            ).alias("q"),
+        )
+
+    def _frozen(self, spark: SparkSession) -> list[list[int]]:
+        rows = self.cents.read(spark).orderBy("j").collect()
+        return [[int(v) for v in r["c"]] for r in rows]
+
+    def _guard(self, spark: SparkSession, sizes: DataFrame) -> None:
+        limit = int(
+            spark.conf.get(MAX_CLUSTER_CONF, str(DEFAULT_MAX_CLUSTER))
+        )
+        worst = sizes.agg(F.max("count")).first()[0]
+        if worst and worst > limit:
+            raise ValueError(
+                f"incremental semdedup: largest touched cluster has "
+                f"{worst:,} vectors, over the {limit:,} bound — raise K "
+                f"(rebuild) or {MAX_CLUSTER_CONF}."
+            )
+
+    @staticmethod
+    def _dropped(a: DataFrame, b: DataFrame) -> DataFrame:
+        """b-side ids with a smaller-id a-side neighbor >= threshold;
+        both frames carry (vec_id, cluster, u)."""
+        return (
+            a.select(
+                F.col("vec_id").alias("a_id"), "cluster",
+                F.col("u").alias("u_a"),
+            )
+            .join(
+                b.select(
+                    F.col("vec_id").alias("b_id"), "cluster",
+                    F.col("u").alias("u_b"),
+                ),
+                "cluster",
+            )
+            .where(F.col("a_id") < F.col("b_id"))
+            .where(
+                F.round(dot(F.col("u_a"), F.col("u_b")), 6)
+                >= SEMDEDUP_COSINE_THRESHOLD
+            )
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+
+    def refresh(self, spark: SparkSession) -> dict:
+        from de_final_project_spark.operators.kmeans import (
+            _assign,
+            assign_cells,
+            choose_k,
+            train_cap,
+            train_kmeans_frame,
+        )
+        from de_final_project_spark.operators.txlog import EmptyChangeFeed
+
+        base_v = self.emb.latest_version()
+        if base_v is None:
+            raise FileNotFoundError(f"no commits at {self.emb.path}")
+        applied = self.applied_version()
+        if applied is not None and applied >= base_v:
+            return {"mode": "noop", "from": applied, "to": applied,
+                    "assigned": 0, "flipped": 0}
+        if applied is None:
+            full = self.emb.read(spark, version=base_v)
+            qdf = self._quantize(full).persist()
+            n = qdf.count()
+            k = choose_k(n)
+            cap = train_cap(n, k)
+            centroids = train_kmeans_frame(
+                qdf.where(F.col("vec_id") < cap), k=k
+            )
+            self.cents.overwrite(
+                spark.createDataFrame(
+                    [(j, [int(v) for v in c]) for j, c in enumerate(centroids)],
+                    "j bigint, c array<bigint>",
+                ),
+                txn=(_SD_APP, base_v),
+            )
+            rows = (
+                _assign(qdf, centroids)
+                .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+                .join(unit_vectors(full), "vec_id")
+                .persist()
+            )
+            self._guard(spark, rows.groupBy("cluster").count())
+            dropped = self._dropped(rows, rows).withColumn(
+                "_d", F.lit(True)
+            )
+            verdict = rows.join(dropped, "vec_id", "left").select(
+                "vec_id", "cluster", F.col("_d").isNull().alias("kept")
+            )
+            self.verdicts.overwrite(verdict, txn=(_SD_APP, base_v))
+            self.index.overwrite(
+                rows.select("vec_id", "cluster", "u"), txn=(_SD_APP, base_v)
+            )
+            out = {"mode": "build", "from": None, "to": base_v,
+                   "assigned": n, "flipped": 0}
+            qdf.unpersist()
+            rows.unpersist()
+            return out
+        try:
+            # full feed (deletes + preimages) so a non-insert change is
+            # SEEN and refused rather than silently skipped
+            feed = self.emb.read_changes(
+                spark, ["vec_id"], applied, base_v,
+                include_deletes=True,
+                include_update_preimages=True,
+            )
+        except EmptyChangeFeed:
+            return {"mode": "noop", "from": applied, "to": base_v,
+                    "assigned": 0, "flipped": 0}
+        if feed.where(F.col("_change_type") != "insert").limit(1).count():
+            raise ValueError(
+                "incremental semdedup requires an INSERT-only feed: an "
+                "updated/deleted embedding invalidates frozen-centroid "
+                "geometry — rebuild the index."
+            )
+        new = feed.select("vec_id", "embedding")
+        centroids = self._frozen(spark)
+        newrows = (
+            assign_cells(self._quantize(new), centroids, out="cluster")
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+            .join(unit_vectors(new), "vec_id")
+            .persist()
+        )
+        assigned = newrows.count()
+        touched = sorted(
+            {r[0] for r in newrows.select("cluster").distinct().collect()}
+        )
+        stored = self.index.read(
+            spark,
+            where="cluster IN (%s)" % ", ".join(str(c) for c in touched)
+            if touched
+            else "cluster IS NULL",
+        ).persist()
+        self._guard(
+            spark,
+            stored.unionByName(newrows.select("vec_id", "cluster", "u"))
+            .groupBy("cluster")
+            .count(),
+        )
+        # new verdicts: judged against stored ∪ batch smaller ids
+        dropped_new = self._dropped(
+            stored.unionByName(newrows.select("vec_id", "cluster", "u")),
+            newrows,
+        ).withColumn("_d", F.lit(True))
+        new_verdicts = newrows.join(dropped_new, "vec_id", "left").select(
+            "vec_id", "cluster", F.col("_d").isNull().alias("kept")
+        )
+        # flips: stored vectors revoked by smaller-id NEW arrivals
+        flip_ids = self._dropped(newrows, stored)
+        flips = (
+            stored.join(flip_ids, "vec_id", "left_semi")
+            .select("vec_id", "cluster", F.lit(False).alias("kept"))
+        )
+        n_flips = flips.count()
+        self.verdicts.merge(
+            spark,
+            new_verdicts.unionByName(flips),
+            ["vec_id"],
+            txn=(_SD_APP, base_v),
+        )
+        self.index.append(
+            newrows.select("vec_id", "cluster", "u"), txn=(_SD_APP, base_v)
+        )
+        out = {"mode": "delta", "from": applied, "to": base_v,
+               "assigned": assigned, "flipped": n_flips}
+        newrows.unpersist()
+        stored.unpersist()
+        return out
+
+    def read_verdicts(self, spark: SparkSession) -> DataFrame:
+        return self.verdicts.read(spark)
+
+
+def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable incrementally-maintained SemDeDup: embeddings
+    arrive as THREE commits (the low half by vec_id, then two quarter
+    batches), the quantizer trains frozen on the FIRST commit (sampled,
+    adaptive K — the frozen contract sizes K to what the trainer sees),
+    and each refresh judges only its batch against the stored
+    cluster-pruned index. Inline asserts pin churn proportionality
+    (each refresh assigns exactly its batch) and the no-op replay. The
+    oracle replays the identical history-restricted sampled training
+    (train_where/k_where scalar subqueries) with full-corpus assignment
+    and the identical keep rule — accumulated incremental verdicts
+    equal that batch recompute EXACTLY (each a<b pair judged when its
+    later member arrives; contiguous splits here, out-of-order arrival
+    pinned in tests)."""
+    import os
+
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = (lo + hi) // 2
+    q3 = (cut + hi) // 2
+    root = scratch_dir("sdidx")
+    bronze = VersionedTable(os.path.join(root, "embeddings"))
+    history = emb.where(F.col("vec_id") <= cut)
+    batch_a = emb.where((F.col("vec_id") > cut) & (F.col("vec_id") <= q3))
+    batch_b = emb.where(F.col("vec_id") > q3)
+    n_hist, n_a, n_b = history.count(), batch_a.count(), batch_b.count()
+    bronze.overwrite(history)
+    idx = IncrementalSemDedup(bronze, root)
+    r1 = idx.refresh(spark)
+    assert (r1["mode"], r1["assigned"]) == ("build", n_hist), r1
+    bronze.append(batch_a)
+    r2 = idx.refresh(spark)
+    assert (r2["mode"], r2["assigned"]) == ("delta", n_a), r2
+    bronze.append(batch_b)
+    r3 = idx.refresh(spark)
+    assert (r3["mode"], r3["assigned"]) == ("delta", n_b), r3
+    assert idx.refresh(spark)["mode"] == "noop"
+    return idx.read_verdicts(spark)
+
+
+# Oracle: frozen-on-history sampled training. K sizes to the HISTORY
+# count (k_where — the frozen contract), iterations run over the first
+# train_cap(n_hist, K) vectors (history ids are the contiguous low
+# half, so the prefix is a plain vec_id bound), final assignment covers
+# the full corpus; the verdict tail is the batch operator's.
+_SD_CUT = "(SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+_KK_HIST = (
+    f"least({K_MAX}, greatest({K_MIN}, "
+    f"(count(*) + {TARGET_CLUSTER_SIZE - 1}) // {TARGET_CLUSTER_SIZE}))"
+)
+_CAP_HIST = (
+    f"(SELECT greatest({_KK_HIST}, "
+    f"least(count(*), {TRAIN_POINTS_PER_CENTROID} * {_KK_HIST}))::BIGINT "
+    f"FROM embeddings WHERE vec_id <= {_SD_CUT})"
+)
+
+INCREMENTAL_SEMDEDUP_SQL = f"""{_kmeans_sql(
+    train_where=f"v.vec_id < {_CAP_HIST}",
+    k_where=f"v.vec_id <= {_SD_CUT}",
+)},
+un AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+uu AS (SELECT vec_id, list_transform(v, x -> x / nn) AS u FROM un),
+cl AS (
+  SELECT f.vec_id, f.cluster, uu.u
+  FROM final_assign f JOIN uu USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.u, b.u), 6) >= {SEMDEDUP_COSINE_THRESHOLD}
+)
+SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS kept
+FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""

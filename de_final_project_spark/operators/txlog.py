@@ -5206,6 +5206,70 @@ FROM events
 """
 
 
+def versioned_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable OPTIMIZE + VACUUM lifecycle (round 11): events
+    land as FOUR commits (overwrite + three appends), fragmenting every
+    partition's pointer list; ``compact(cluster_by=)`` rewrites the
+    live set into one commit (every partition folds back to a single
+    scan — asserted — with rows sorted so parquet footers index the
+    leading column); the pre-compact version stays time-travelable
+    across the compaction (asserted: OPTIMIZE is just an overwrite,
+    old snapshots intact); then ``vacuum(retain_versions=1,
+    retention_seconds=0)`` deletes the now-unreferenced fragmented
+    commit dirs (asserted non-empty) and drops the old log entries, so
+    the pre-compact version now raises cleanly (asserted) while the
+    head read is byte-identical. The oracle is the plain full-events
+    projection: compaction and vacuum are LAYOUT/LIFECYCLE ops — any
+    row they lose, duplicate, or corrupt flips the hash.
+
+    At 100 TB this is the maintenance loop every log-structured table
+    needs (Delta OPTIMIZE/VACUUM, Iceberg rewrite_data_files +
+    expire_snapshots): merges and appends fragment partitions into
+    many small scans, compaction restores full row groups and one
+    pointer per partition, vacuum bounds storage. The reference
+    rewrites whole parquet prefixes per run (src/process_lambda.py:
+    449-474) and keeps every byte forever — no maintenance surface."""
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).withColumn("pbucket", F.col("user_id") % 4)
+    table = VersionedTable(
+        os.path.join(scratch_dir("versioned_compact"), "events"),
+        partition_col="pbucket",
+    )
+    table.overwrite(ev.where(F.col("event_id") % 4 == 0))
+    for k in (1, 2, 3):
+        table.append(ev.where(F.col("event_id") % 4 == k))
+    v_frag = table.latest_version()
+    frag_live = table._read_entry(v_frag)["live"]
+    assert any(len(_ptrs(e)) > 1 for e in frag_live.values())
+    n_total = table.read(spark).count()
+    v_c = table.compact(spark, cluster_by=["event_type"])
+    live_c = table._read_entry(v_c)["live"]
+    assert all(len(_ptrs(e)) == 1 for e in live_c.values())
+    # pre-compact snapshot still time-travelable until vacuum
+    assert table.read(spark, version=v_frag).count() == n_total
+    removed = table.vacuum(retain_versions=1, retention_seconds=0.0)
+    assert removed, "vacuum deleted no fragmented commit dirs"
+    gone = False
+    try:
+        table.read(spark, version=v_frag).count()
+    except AssertionError:
+        raise
+    except Exception:
+        gone = True  # vacuumed version raises cleanly — the documented trade
+    assert gone
+    assert table.read(spark).count() == n_total
+    return table.read(spark).withColumn(
+        "pbucket", F.col("pbucket").cast("long")
+    )
+
+
+VERSIONED_COMPACTED_READ_SQL = VERSIONED_APPEND_LOAD_SQL
+
+
 def versioned_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable WRITE-AUDIT-PUBLISH: the second half of events
     arrives twice — first as a corrupted batch (event_id nulled) that is

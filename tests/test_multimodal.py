@@ -303,3 +303,36 @@ def test_multimodal_knn_gates_by_modality(spark):
         assert r.modality == mt[r.query_id % 3]
         assert r.neighbor_id % 3 == r.query_id % 3
         assert 1 <= r.rank <= 5
+
+
+def test_media_neardup_block_containment_and_threshold(spark):
+    """Round-11 media near-dup: every emitted pair (a) sits inside one
+    (trained cell, modality) block — the SemDeDup blocking contract —
+    and (b) clears the rounded-cosine threshold; image/video both
+    surface pairs at this corpus (audio legitimately has none at this
+    size), and no pair crosses modalities."""
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.multimodal import (
+        MEDIA_NEARDUP_THRESHOLD,
+        all_media_feature_vectors,
+        media_neardup,
+        synthesize_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = media_neardup(spark, sf).collect()
+    assert rows, "no near-dup pairs at all"
+    mods = {r["modality"] for r in rows}
+    assert "image" in mods and "video" in mods
+    assert all(r["cosine_sim"] >= MEDIA_NEARDUP_THRESHOLD for r in rows)
+    assert all(r["a_id"] < r["b_id"] for r in rows)
+    feats = all_media_feature_vectors(synthesize_media(spark, sf))
+    qdf = feats.select("vec_id", "q")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in km.assign_cells(qdf, km.train_kmeans_frame(qdf)).collect()
+    }
+    mod_of = {r["vec_id"]: r["media_type"] for r in feats.collect()}
+    for r in rows:
+        assert cells[r["a_id"]] == cells[r["b_id"]], r
+        assert mod_of[r["a_id"]] == mod_of[r["b_id"]] == r["modality"], r

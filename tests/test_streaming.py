@@ -335,3 +335,28 @@ def test_streamed_ivfpq_index_serves_query_path_with_recall_parity(spark):
     truth.unpersist()
     qdf.unpersist()
     emb.unpersist()
+
+
+def test_streamed_neardup_index_equals_batch_recompute(spark):
+    """Dedup-on-ingest: the verdicts accumulated across the streamed
+    three-batch replay must equal the full-corpus batch MinHash-LSH
+    recompute EXACTLY (insert-only feeds; each pair emitted once, when
+    its later doc arrives) — streaming maintenance changes cost, not
+    answers."""
+    from de_final_project_spark.operators.neardup import (
+        neardup_pairs_minhash,
+    )
+    from de_final_project_spark.streaming.pipeline import (
+        streamed_neardup_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in streamed_neardup_index(spark, sf).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in neardup_pairs_minhash(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
