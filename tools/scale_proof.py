@@ -48,11 +48,20 @@ def main() -> int:
     # An in-memory DuckDB cannot spill without a temp_directory — the
     # K=64 quantizer oracles at sf1 OOM without out-of-core execution.
     con.execute("SET temp_directory='/tmp/duckdb_spill_scale_proof'")
-    con.execute("SET memory_limit='48GB'")
+    # Env-overridable (round 11): the ivfpq recall oracle's peak sits
+    # between 48 GB (measured: >60 GB spill, then ENOSPC) and the box's
+    # RAM — raising the limit trades spill I/O for memory when the box
+    # is otherwise idle.
+    con.execute(
+        "SET memory_limit='%s'"
+        % os.environ.get("SCALE_PROOF_DUCK_MEM", "48GB")
+    )
     # Peak memory in DuckDB's blocking operators scales with thread
     # count; the wide-list Lloyd cross-joins at sf1 exceeded RAM+spill
     # at 32 threads. This is a correctness gate, not a DuckDB race.
-    con.execute("SET threads=8")
+    con.execute(
+        "SET threads=%d" % int(os.environ.get("SCALE_PROOF_DUCK_THREADS", "8"))
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
