@@ -153,6 +153,10 @@ BENCH_QUERIES_R5 = [
     # cluster-pruned index probes, two-direction keep rule) — the
     # steady-state semantic tier beside the near-dup/BM25 indexes.
     "incremental_semdedup",
+    # round 12: the quantizer-drift lifecycle (freeze -> drifted
+    # arrivals -> PSI trigger -> re-train/re-assign/re-stamp) — prices
+    # the OPTIMIZE analog for frozen-centroid semantic indexes.
+    "semdedup_drift_reoptimize",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

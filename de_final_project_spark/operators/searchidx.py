@@ -207,6 +207,15 @@ class IncrementalPostingIndex:
             )
         for df in (new_docs, new_post):
             df.unpersist()
+        # small-file lifecycle (VERDICT r11 item 5): a long-lived index
+        # still fragments over hundreds of refreshes — per-partition
+        # OPTIMIZE for the bucketed postings, whole-pointer compact for
+        # the unpartitioned doclens once its live set reaches the
+        # threshold. Control-plane no-op when nothing is fragmented;
+        # the txn watermark carries through compaction commits, so
+        # applied_version() is unaffected.
+        self.postings.auto_compact(spark)
+        self.doclens.auto_compact(spark)
         return {"mode": mode, "from": applied, "to": base_v,
                 "tokenized_docs": n_tokenized}
 

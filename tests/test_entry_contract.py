@@ -3,6 +3,8 @@ is fresh, and every query callable has the right signature."""
 
 import inspect
 
+import pytest
+
 import __spark_entry__ as entry_mod
 
 
@@ -81,24 +83,47 @@ def test_oracle_dtypes_map_to_pandas_scalars():
     assert not offenders, f"oracle dtypes pandas cannot hash-compare: {offenders}"
 
 
-def test_all_queries_run_under_bare_session():
+@pytest.mark.parametrize("shard", [0, 1])
+def test_all_queries_run_under_bare_session(shard):
     """The external driver builds its own plain SparkSession (no factory
     confs) — any query relying on a builder-time conf crashes there and
     only there. tools/driver_twin.py reproduces that environment in a
     subprocess (a bare session cannot be built inside this JVM, where the
-    factory session already owns the SparkContext)."""
+    factory session already owns the SparkContext).
+
+    Sharded in halves with per-shard budgets: the full 222-query surface
+    outgrew a single 1200s cap (measured ~906s idle at round 11, SIGKILLed
+    mid-run inside a warm pytest session — VERDICT r11 wrong #2). Each
+    shard prints its measured wall time, so the next growth round fails
+    with a number, not a silent KILL."""
     import subprocess
     import sys
+    import time
 
+    names = sorted(entry_mod.queries())
+    mine = names[shard::2]
+    # budget: ~2x the measured full-surface time, split per shard
+    budget = 1200
+    t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "tools/driver_twin.py", SF_DIR],
+        [sys.executable, "tools/driver_twin.py", SF_DIR, *mine],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=budget,
         cwd="/root/repo",
+    )
+    took = time.time() - t0
+    print(
+        f"\ndriver-twin shard {shard}/2: {len(mine)} queries in "
+        f"{took:.0f}s (budget {budget}s)"
     )
     tail = "\n".join(proc.stdout.splitlines()[-15:])
     assert proc.returncode == 0, f"driver twin failures:\n{tail}\n{proc.stderr[-2000:]}"
+    assert took < 0.8 * budget, (
+        f"shard {shard} took {took:.0f}s — within {budget}s but past the "
+        "80% head-room line; raise the budget or split into more shards "
+        "BEFORE the next growth round gets SIGKILLed"
+    )
 
 
 def test_testdata_key_assumptions():

@@ -157,3 +157,89 @@ def test_bucket_layout_prunes_scans_and_rewrites(spark, setup):
     # and the pruned serve returns the right answer
     got = {r_.doc_id for r_ in idx.bm25_topk(spark, ("zebra",), 5).collect()}
     assert got == {9}
+
+
+def test_lifecycle_bounded_files_over_many_refreshes(spark, setup):
+    """VERDICT r11 item 5: a long-lived index must not fragment. Drive
+    20 append refreshes; the post-refresh auto_compact policy must keep
+    every live set bounded (per-partition for the bucketed postings,
+    per-pointer for the unpartitioned doclens), and the served answer
+    must stay byte-identical to a fresh-index recompute across the
+    compaction commits it triggers."""
+    import os
+
+    t, idx = setup
+
+    def live_file_counts(table):
+        head = table.latest_version()
+        entry = table._read_entry(head)["live"]
+        out = {}
+        from de_final_project_spark.operators.txlog import _ptrs
+
+        for p, e in entry.items():
+            n = 0
+            for ptr in _ptrs(e):
+                if ptr.get("files") is not None:
+                    n += len(ptr["files"])
+                else:
+                    d = os.path.join(
+                        table.path, ptr["commit_dir"], ptr["part_dir"]
+                    )
+                    n += sum(
+                        1 for f in os.listdir(d) if f.endswith(".parquet")
+                    )
+            out[p] = n
+        return out
+
+    for i in range(20):
+        t.append(
+            _docs(
+                spark,
+                [(100 + i, f"join scan w{i} shared hash term{i % 3}")],
+            )
+        )
+        r = idx.refresh(spark)
+        assert r["mode"] == "delta" and r["tokenized_docs"] == 1
+    # bounded live sets: the policy threshold is 8 files
+    for table in (idx.postings, idx.doclens):
+        counts = live_file_counts(table)
+        assert counts and max(counts.values()) < 8, (
+            table.path,
+            counts,
+        )
+    # MERGE rewrites its touched pointers wholesale, so live sets stay
+    # compact without the policy firing here — the policy's job on this
+    # index is the backstop (append-fed tables like the near-dup
+    # verdicts DO trigger it: test_txlog.py's auto_compact cycle).
+    ops = [h["op"] for h in idx.doclens.history()]
+    assert "compact" not in ops and "compact_parts" not in ops, ops
+    # answers byte-identical across the compactions: a fresh index over
+    # the same docs head serves the same postings/doclens relations
+    fresh = IncrementalPostingIndex(t, idx.postings.path + "_fresh")
+    fresh.refresh(spark)
+    got = {
+        (r_.doc_id, r_.term, r_.tf)
+        for r_ in idx.postings.read(spark).collect()
+    }
+    want = {
+        (r_.doc_id, r_.term, r_.tf)
+        for r_ in fresh.postings.read(spark).collect()
+    }
+    assert got == want
+    got_dl = {
+        (r_.doc_id, r_.dl) for r_ in idx.doclens.read(spark).collect()
+    }
+    want_dl = {
+        (r_.doc_id, r_.dl) for r_ in fresh.doclens.read(spark).collect()
+    }
+    assert got_dl == want_dl
+    # and the served top-k matches too
+    served = [
+        (r_.doc_id, r_.bm25)
+        for r_ in idx.bm25_topk(spark, ("join", "hash")).collect()
+    ]
+    fresh_served = [
+        (r_.doc_id, r_.bm25)
+        for r_ in fresh.bm25_topk(spark, ("join", "hash")).collect()
+    ]
+    assert served == fresh_served

@@ -129,3 +129,81 @@ def test_incremental_equals_batch_keep_rule(spark, tmp_path, corpus):
         for r in rows.select("vec_id", "cluster").collect()
     }
     assert got == want
+
+
+def test_reinserted_vec_id_refused(spark, tmp_path, corpus):
+    """ADVICE r11: a feed that re-inserts an existing vec_id would
+    append a duplicate (vec_id, cluster, u) index row and inflate every
+    later refresh's pair judgments while verdicts.merge upserts over
+    the symptom — refresh must refuse it BEFORE any state changes."""
+    idx = IncrementalSemDedup(corpus, str(tmp_path / "idx"))
+    idx.refresh(spark)
+    v_index = idx.index.latest_version()
+    corpus.append(_emb_df(spark, [(10, {8: 100.0, 0: 1.0})]))
+    with pytest.raises(ValueError, match="NEW vec_ids"):
+        idx.refresh(spark)
+    # no state advanced: the index table saw no commit
+    assert idx.index.latest_version() == v_index
+
+
+def test_drift_reoptimize_lifecycle(spark, tmp_path, corpus):
+    """VERDICT r11 item 6: freeze -> drift -> re-train -> serve. A
+    drifted insert cohort pushes PSI over the threshold; reoptimize
+    re-trains + re-assigns + re-stamps, after which (a) the state is
+    byte-identical to a FRESH build over the same corpus (the re-train
+    IS the build), (b) refresh is a no-op (the stamp advanced), and
+    (c) a second reoptimize reports no new data."""
+    idx = IncrementalSemDedup(corpus, str(tmp_path / "idx"))
+    idx.refresh(spark)
+    assert idx.trained_version() == 1
+    # below-threshold guard: a distribution-MATCHED arrival cohort
+    # (same per-dim shape as the build corpus) does not retrain
+    mirror = [(11 + i, {i: 100.0}) for i in range(8)]
+    mirror.append((19, {8: 100.0, 0: 1.0}))
+    corpus.append(_emb_df(spark, mirror))
+    idx.refresh(spark)
+    r = idx.reoptimize(spark, psi_threshold=0.2)
+    assert r["retrained"] is False and r["max_psi"] < 0.2, r
+    # drifted cohort: mass concentrated on a dim the build corpus
+    # never used — that dim's PSI blows out even diluted by the
+    # matched cohort in the same window
+    drifted = [(20 + i, {40: 0.9, 41: 0.1 * (i + 1)}) for i in range(6)]
+    corpus.append(_emb_df(spark, drifted))
+    r2 = idx.refresh(spark)
+    assert r2["mode"] == "delta" and r2["assigned"] == 6
+    v_verd, v_idx = idx.verdicts.latest_version(), idx.index.latest_version()
+    r3 = idx.reoptimize(spark, psi_threshold=0.2)
+    assert r3["retrained"] is True and r3["max_psi"] >= 0.2, r3
+    assert r3["trained_on"] == corpus.latest_version()
+    # the rewrites must LAND: overwrite() skips a commit whose txn
+    # stamp does not advance, and the delta refresh already stamped
+    # this corpus version — a stale-stamped retrain would silently
+    # serve frozen-era assignments (caught live by the driver twin)
+    assert idx.verdicts.latest_version() > v_verd
+    assert idx.index.latest_version() > v_idx
+    # (b) pending refresh is a no-op — the txn stamp advanced
+    assert idx.refresh(spark)["mode"] == "noop"
+    # (c) second reoptimize: no new data
+    r4 = idx.reoptimize(spark, psi_threshold=0.2)
+    assert r4["retrained"] is False and r4["max_psi"] == 0.0, r4
+    # (a) byte-identical to a fresh build on the same corpus
+    fresh = IncrementalSemDedup(corpus, str(tmp_path / "fresh"))
+    fresh.refresh(spark)
+    got = {
+        (r_.vec_id, r_.cluster, r_.kept)
+        for r_ in idx.read_verdicts(spark).collect()
+    }
+    want = {
+        (r_.vec_id, r_.cluster, r_.kept)
+        for r_ in fresh.read_verdicts(spark).collect()
+    }
+    assert got == want
+    got_c = [
+        (r_.j, tuple(r_.c))
+        for r_ in idx.cents.read(spark).orderBy("j").collect()
+    ]
+    want_c = [
+        (r_.j, tuple(r_.c))
+        for r_ in fresh.cents.read(spark).orderBy("j").collect()
+    ]
+    assert got_c == want_c

@@ -1611,27 +1611,48 @@ def test_compact_partitions_rewrites_only_fragmented(spark, table_factory):
     are rewritten to one file each; partitions already compact keep
     their pointers byte-identical — the 100 TB form of OPTIMIZE, paid
     per-partition instead of per-table."""
+    from de_final_project_spark.operators.txlog import _ptrs
+
+    def part_files(entry):
+        n = 0
+        for ptr in _ptrs(entry):
+            n += len(ptr["files"]) if ptr.get("files") is not None else 1
+        return n
+
     t = table_factory("t", partition_col="pb", stats_cols=["id"])
-    # partition 0 fragmented (8 files), partition 1 compact (1 file)
-    frag = spark.range(0, 800).selectExpr(
-        "id", "'x' AS s", "CAST(0 AS INT) AS pb"
-    ).repartition(8)
-    tight = spark.range(800, 900).selectExpr(
-        "id", "'y' AS s", "CAST(1 AS INT) AS pb"
-    ).coalesce(1)
-    t.overwrite(frag.unionByName(tight))
-    live1 = t._read_entry(1)["live"]
-    assert len(live1["0"]["files"]) >= 4
+    # partition 0 fragmented by 8 append commits (one live pointer each
+    # — _stage() now writes ONE file per touched bucket per commit, so
+    # a multi-task single commit can no longer shatter); partition 1
+    # compact from its single commit
+    t.overwrite(
+        spark.range(0, 100).selectExpr(
+            "id", "'x' AS s", "CAST(0 AS INT) AS pb"
+        ).unionByName(
+            spark.range(800, 900).selectExpr(
+                "id", "'y' AS s", "CAST(1 AS INT) AS pb"
+            )
+        )
+    )
+    for i in range(1, 8):
+        t.append(
+            spark.range(i * 100, i * 100 + 100).selectExpr(
+                "id", "'x' AS s", "CAST(0 AS INT) AS pb"
+            )
+        )
+    head = t.latest_version()
+    live1 = t._read_entry(head)["live"]
+    assert part_files(live1["0"]) >= 4
+    assert part_files(live1["1"]) == 1
     before = {r["id"] for r in t.read(spark).collect()}
     v = t.compact_partitions(spark, min_files=2)
-    assert v == 2
-    live2 = t._read_entry(2)["live"]
-    assert len(live2["0"]["files"]) == 1      # defragmented
+    assert v == head + 1
+    live2 = t._read_entry(v)["live"]
+    assert part_files(live2["0"]) == 1        # defragmented
     assert live2["1"] == live1["1"]           # untouched pointer
     assert {r["id"] for r in t.read(spark).collect()} == before
     assert t.history()[-1]["op"] == "compact_parts"
     # nothing left to do: no-op returns the current version
-    assert t.compact_partitions(spark, min_files=2) == 2
+    assert t.compact_partitions(spark, min_files=2) == v
 
 
 def test_compact_partitions_rebases_under_disjoint_merge(
@@ -2521,3 +2542,167 @@ class TestCdfFastPath:
             include_deletes=True, include_update_preimages=True,
         )
         assert fast == gen and len(fast) == 4
+
+
+class TestStagedWriteFileLayout:
+    """A commit to a bucket-partitioned table must write one file per
+    touched partition value, not one file per (upstream task x bucket).
+
+    Regression pin for the round-11 small-file shatter: _stage() wrote
+    `df.write.partitionBy(col)` with no repartition, so a ~13-task MERGE
+    source over a 64-bucket table emitted ~800 sub-8KB files per commit
+    (measured: 2,452 files for a 20MB sf0.01 postings table), making
+    every later touched-partition read pay per-file overhead ~800x."""
+
+    @staticmethod
+    def _data_dirs(t):
+        d = os.path.join(t.path, "data")
+        return set(os.listdir(d)) if os.path.isdir(d) else set()
+
+    @staticmethod
+    def _parquet_count(root):
+        n = 0
+        for _, _, names in os.walk(root):
+            n += sum(1 for f in names if f.endswith(".parquet"))
+        return n
+
+    def test_merge_commit_files_bounded_by_touched_buckets(
+        self, spark, table_factory
+    ):
+        t = table_factory("t", partition_col="pb")
+        base = spark.range(0, 400).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("s"),
+            (F.col("id") % 16).cast("int").alias("pb"),
+        )
+        t.overwrite(base)
+        before = self._data_dirs(t)
+        # a many-task source touching all 16 buckets: without the
+        # _stage() repartition this writes ~13x16 files in one commit
+        src = (
+            spark.range(0, 400, 3)
+            .select(
+                F.col("id"),
+                F.lit("upd").alias("s"),
+                (F.col("id") % 16).cast("int").alias("pb"),
+            )
+            .repartition(13)
+        )
+        t.merge(spark, src, ["id"])
+        new_dirs = self._data_dirs(t) - before
+        assert len(new_dirs) == 1
+        commit_dir = os.path.join(t.path, "data", new_dirs.pop())
+        touched = len(
+            [
+                d
+                for d in os.listdir(commit_dir)
+                if d.startswith("pb=")
+            ]
+        )
+        assert touched == 16
+        files = self._parquet_count(commit_dir)
+        # one file per touched bucket (repartition(col) lands each
+        # partition value in exactly one task)
+        assert files <= touched, (
+            f"commit shattered into {files} files for {touched} buckets"
+        )
+
+    def test_unpartitioned_stage_has_no_extra_shuffle(
+        self, spark, table_factory
+    ):
+        # the unpartitioned path must not repartition: a 3-task source
+        # writes <= 3 files (no shuffle to 32 shuffle partitions)
+        t = table_factory("t")
+        df = spark.range(0, 90).select(
+            F.col("id"),
+            F.lit("a").alias("s"),
+            F.lit(0).alias("pb"),
+        ).repartition(3)
+        t.overwrite(df)
+        commit_dir = os.path.join(t.path, "data", self._data_dirs(t).pop())
+        assert self._parquet_count(commit_dir) <= 3
+
+
+class TestAutoCompact:
+    """auto_compact: the post-refresh small-file policy (VERDICT r11
+    item 5). Append-fed tables accumulate one live pointer per commit;
+    the policy folds them back once the live set reaches the threshold,
+    with answers byte-identical across every compaction commit."""
+
+    @staticmethod
+    def _live_files(t):
+        from de_final_project_spark.operators.txlog import (
+            _UNPARTITIONED,
+            _ptrs,
+        )
+
+        head = t.latest_version()
+        live = t._read_entry(head)["live"]
+        out = {}
+        for p, e in live.items():
+            n = 0
+            for ptr in _ptrs(e):
+                if ptr.get("files") is not None:
+                    n += len(ptr["files"])
+                else:
+                    d = os.path.join(t.path, ptr["commit_dir"], ptr["part_dir"])
+                    n += sum(
+                        1 for f in os.listdir(d) if f.endswith(".parquet")
+                    )
+            out[p] = n
+        return out
+
+    def test_append_cycle_bounded_and_identical(self, spark, table_factory):
+        t = table_factory("t")
+        expect = {}
+        compactions = 0
+        for i in range(20):
+            batch = [(i * 10 + j, f"v{i}", 0) for j in range(3)]
+            expect.update({k: s for k, s, _ in batch})
+            if t.latest_version() is None:
+                t.overwrite(_mk(spark, batch))
+            else:
+                t.append(_mk(spark, batch))
+            r = t.auto_compact(spark, max_files=6)
+            if r["compacted"]:
+                compactions += 1
+                # byte-identical across the compaction commit
+                assert _rows(t.read(spark)) == expect
+            counts = self._live_files(t)
+            assert max(counts.values()) <= 6, counts
+        assert compactions >= 2, compactions
+        assert _rows(t.read(spark)) == expect
+        # the policy is a no-op when nothing is fragmented
+        v = t.latest_version()
+        r = t.auto_compact(spark, max_files=6)
+        assert not r["compacted"] and t.latest_version() == v
+
+    def test_partitioned_cycle_uses_partition_scoped_optimize(
+        self, spark, table_factory
+    ):
+        t = table_factory("t", partition_col="pb")
+        expect = {}
+        for i in range(12):
+            batch = [(i * 10 + j, f"v{i}", j % 2) for j in range(4)]
+            expect.update({k: s for k, s, _ in batch})
+            if t.latest_version() is None:
+                t.overwrite(_mk(spark, batch))
+            else:
+                t.append(_mk(spark, batch))
+            t.auto_compact(spark, max_files=4)
+            counts = self._live_files(t)
+            assert max(counts.values()) <= 4, counts
+        ops = [h["op"] for h in t.history()]
+        assert "compact_parts" in ops and "compact" not in ops, ops
+        assert _rows(t.read(spark)) == expect
+
+    def test_vacuum_retention_reaps_dead_dirs(self, spark, table_factory):
+        t = table_factory("t")
+        t.overwrite(_mk(spark, [(1, "a", 0)]))
+        for i in range(8):
+            t.append(_mk(spark, [(10 + i, "b", 0)]))
+        before = len(os.listdir(os.path.join(t.path, "data")))
+        t.auto_compact(spark, max_files=2, vacuum_retention=0.0)
+        after = len(os.listdir(os.path.join(t.path, "data")))
+        assert after < before
+        assert len(_rows(t.read(spark))) == 9
