@@ -157,6 +157,14 @@ BENCH_QUERIES_R5 = [
     # arrivals -> PSI trigger -> re-train/re-assign/re-stamp) — prices
     # the OPTIMIZE analog for frozen-centroid semantic indexes.
     "semdedup_drift_reoptimize",
+    # ...and its IVF-tier sibling: drift repair for the cell-
+    # partitioned versioned ANN index (freeze -> frozen-cell serve ->
+    # PSI trigger -> full re-train/re-assign rewrite).
+    "ivf_drift_reoptimize",
+    # ...and the erasure path: trained-IVF top-k served through an
+    # equality-tombstone delete (zero data rewrite, cell-pruned probe
+    # through the tombstone anti-join).
+    "ivf_knn_deleted",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

@@ -518,61 +518,12 @@ class IncrementalSemDedup:
 
     @staticmethod
     def _psi_max(ref: DataFrame, cand: DataFrame) -> float:
-        """Max per-dimension Population Stability Index between two
-        embedding frames (vec_id, embedding) — the drift trigger metric,
-        same fixed [-1, 1) grid / add-one smoothing as
-        similarity.embedding_drift_report. One scan per cohort into a
-        (dim, bin) hash aggregate; the 64 x PSI_BINS counts are
-        control-plane-sized, so the PSI arithmetic runs driver-side."""
-        import math
+        """Delegates to the shared drift trigger
+        (:func:`de_final_project_spark.operators.similarity.psi_max`) —
+        one scalar used by every frozen-quantizer index's reoptimize."""
+        from de_final_project_spark.operators.similarity import psi_max
 
-        from de_final_project_spark.operators.similarity import PSI_BINS
-
-        def binned(df, tag):
-            return df.select(
-                F.lit(tag).alias("cohort"),
-                F.posexplode(
-                    F.col("embedding").cast("array<double>")
-                ).alias("dim", "x"),
-            ).select(
-                "cohort",
-                "dim",
-                F.least(
-                    F.lit(PSI_BINS - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("x") + 1.0) * (PSI_BINS / 2.0)
-                        ).cast("int"),
-                    ),
-                ).alias("bin"),
-            )
-
-        counts = (
-            binned(ref, "r")
-            .unionByName(binned(cand, "c"))
-            .groupBy("dim", "bin", "cohort")
-            .count()
-            .collect()
-        )
-        grid: dict[int, dict[str, list[int]]] = {}
-        for r in counts:
-            d = grid.setdefault(
-                r["dim"],
-                {"r": [0] * PSI_BINS, "c": [0] * PSI_BINS},
-            )
-            d[r["cohort"]][r["bin"]] = r["count"]
-        worst = 0.0
-        for d in grid.values():
-            t_r = sum(d["r"]) + PSI_BINS
-            t_c = sum(d["c"]) + PSI_BINS
-            psi = sum(
-                ((cr + 1) / t_r - (cc + 1) / t_c)
-                * math.log(((cr + 1) / t_r) / ((cc + 1) / t_c))
-                for cr, cc in zip(d["r"], d["c"])
-            )
-            worst = max(worst, psi)
-        return worst
+        return psi_max(ref, cand)
 
     def reoptimize(
         self, spark: SparkSession, psi_threshold: float = 0.2
@@ -817,4 +768,121 @@ dropped AS (
 )
 SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS kept
 FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+def ivf_drift_reoptimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-tier sibling of :func:`semdedup_drift_reoptimize` —
+    drift repair for the cell-partitioned versioned ANN index (the
+    second frozen-quantizer surface VERDICT r11 item 6 names). The
+    lifecycle the streamed IVF index lacks a repair for:
+
+    1. FREEZE: train the coarse quantizer on the raw low half (K sized
+       to history — the frozen contract) and commit the full history
+       assignment into a cell-partitioned VersionedTable.
+    2. SERVE DRIFT: the high half arrives remapped x -> (x+1)/2 (mass
+       shifts into the upper PSI bins); each arrival is assigned to its
+       nearest FROZEN cell and MERGEd — touching only those cells'
+       partitions, the churn-proportional path.
+    3. TRIGGER: max per-dim PSI between the trained-era corpus and the
+       arrivals crosses the threshold (measured, asserted >= 0.2 — real
+       distribution shift, not a forced flag).
+    4. REPAIR: re-train sampled centroids on the full drifted corpus
+       (adaptive K over the full count), re-assign every vector, and
+       overwrite the index — the one commit shape a cell relabeling
+       requires (cell ids are quantizer-relative; an in-place merge
+       would mix two geometries). The overwrite is UNSTAMPED because
+       the frozen-serve merge already carries this corpus version's
+       stamp and a non-advancing stamp is silently dropped as a replay
+       (the semdedup stamp-skip lesson); the txn map carries forward.
+
+    Oracle: the re-train invariant — the served index must equal
+    full-corpus sampled training over the identically-drifted corpus
+    (same generated Lloyd CTEs, final_assign tail)."""
+    import os
+
+    from de_final_project_spark.operators.kmeans import (
+        assign_cells,
+        choose_k,
+        train_cap,
+        train_kmeans_frame,
+    )
+    from de_final_project_spark.operators.similarity import psi_max
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+
+    app = "_ivf_drift"
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = (lo + hi) // 2
+    history = emb.where(F.col("vec_id") <= cut).persist()
+    drifted = (
+        emb.where(F.col("vec_id") > cut)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x + F.lit(1.0)) / F.lit(2.0)
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    root = scratch_dir("ivfdrift")
+    corpus = VersionedTable(os.path.join(root, "embeddings"))
+    corpus.overwrite(history)
+    index = VersionedTable(os.path.join(root, "ivf_index"), partition_col="cell")
+
+    def quantize(df):
+        from de_final_project_spark.operators.kmeans import SCALE
+
+        return df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * SCALE).cast("long"),
+            ).alias("q"),
+        )
+
+    # 1. freeze on history
+    q_hist = quantize(history).persist()
+    cents_h = train_kmeans_frame(q_hist)
+    index.overwrite(
+        assign_cells(q_hist, cents_h, out="cell"),
+        txn=(app, corpus.latest_version()),
+    )
+    n_hist = index.read(spark).count()
+    assert n_hist == history.count()
+    # 2. drifted arrivals served under the FROZEN cells
+    corpus.append(drifted)
+    index.merge(
+        spark,
+        assign_cells(quantize(drifted), cents_h, out="cell"),
+        ["vec_id"],
+        txn=(app, corpus.latest_version()),
+    )
+    n_all = index.read(spark).count()
+    assert n_all == n_hist + drifted.count()
+    # 3. the drift trigger — measured on the real cohorts
+    psi = psi_max(history, drifted)
+    assert psi >= 0.2, psi
+    # 4. repair: re-train on the full drifted corpus, re-assign, rewrite
+    q_full = quantize(corpus.read(spark)).persist()
+    n = q_full.count()
+    k = choose_k(n)
+    cents_full = train_kmeans_frame(
+        q_full.where(F.col("vec_id") < train_cap(n, k)), k=k
+    )
+    v_before = index.latest_version()
+    index.overwrite(assign_cells(q_full, cents_full, out="cell"))
+    assert index.latest_version() > v_before  # the rewrite LANDED
+    for df in (history, drifted, q_hist, q_full):
+        df.unpersist()
+    return index.read(spark).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+IVF_DRIFT_REOPTIMIZE_SQL = f"""{_SD_DRIFT_PREFIX}
+SELECT vec_id, cluster AS cell FROM final_assign
 """

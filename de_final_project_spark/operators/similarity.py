@@ -577,6 +577,108 @@ SELECT query_id, rank, neighbor_id, cosine_sim FROM (
 IVF_KNN_TRAINED_SQL = _ivf_trained_sql()
 
 
+def ivf_knn_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-cell IVF top-k served THROUGH an equality-tombstone
+    delete — the erasure path a 100 TB vector store actually runs: the
+    coarse quantizer was trained before the deletions arrived (frozen
+    contract — cell geometry is not invalidated by removals), a
+    deletion batch lands as one delete_keys commit (O(deleted keys)
+    write, ZERO data rewrite — no petabyte partition is touched), and
+    the probe reads the index with planning-time pruning to the probed
+    cells' partitions while the reader's tombstone anti-join keeps
+    every deleted vector out of the candidate pool. Inline asserts pin
+    the lifecycle: the delete commit is metadata-only (op name), the
+    served count drops by exactly the victim count, and no victim
+    reaches the top-k. Oracle: the identical trained probe over the
+    corpus minus the victims (the tombstone semantics made executable).
+
+    Scale shape: quantizer training is sampled O(K²); the index build
+    is the standard cell-partitioned commit; the delete is one
+    tombstone file regardless of victim placement; the probe scans
+    only (probed cells ∩ live files) + one broadcast anti-join of the
+    tombstone list. Reference analog: none — extension surface."""
+    import os
+
+    from de_final_project_spark.operators import kmeans as km
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+
+    qdf, centroids = km.train_kmeans(spark, sf_dir)
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = scratch_dir("ivfdel")
+    index = VersionedTable(os.path.join(root, "ivf"), partition_col="cell")
+    index.overwrite(
+        emb.join(km.assign_cells(qdf, centroids), "vec_id").select(
+            "vec_id", "embedding", "cell"
+        )
+    )
+    n0 = index.read(spark).count()
+    victims = emb.where(
+        (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= N_QUERIES)
+    ).select("vec_id")
+    n_victims = victims.count()
+    index.delete_keys(spark, victims)
+    # metadata-only commit: one tombstone entry, zero partitions rewritten
+    assert index.history()[-1]["op"] == "delete_keys"
+    assert index.read(spark).count() == n0 - n_victims
+    # probe: rank frozen cells per query, prune the read to those cells
+    probes = (
+        km.with_centroids(
+            qdf.where(F.col("vec_id") < N_QUERIES), centroids
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(km.cells_by_dist(), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p")["j"].alias("cell"))
+        .persist()
+    )
+    # bounded collect: <= N_QUERIES * N_PROBE cell ids (control plane)
+    cell_ids = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    pruned = index.read(
+        spark, where="cell IN (%s)" % ", ".join(str(c) for c in cell_ids)
+    )
+    corpus = pruned.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = _rank_topk(
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("query_vec"), F.col("embedding")), 6
+            ).alias("cosine_sim"),
+        )
+    ).persist()
+    # no deleted vector is served
+    assert (
+        out.join(
+            victims, out["neighbor_id"] == victims["vec_id"], "left_semi"
+        ).count()
+        == 0
+    )
+    probes.unpersist()
+    return out
+
+
+_LIVE_EMB = (
+    f"(SELECT * FROM embeddings "
+    f"WHERE NOT (vec_id % 7 = 3 AND vec_id >= {N_QUERIES}))"
+)
+IVF_KNN_DELETED_SQL = _ivf_trained_sql(emb_rel=_LIVE_EMB)
+
+
 # ----------------------------------------------------------------------
 # Filtered ANN: metadata predicate + vector search (the RAG shape).
 # ----------------------------------------------------------------------
@@ -2476,6 +2578,64 @@ ANN_RECALL_IVFPQ_TRAINED_SQL = _ann_recall_ivfpq_trained_sql()
 # ---------------------------------------------------------------------------
 
 PSI_BINS = 8  # fixed [-1, 1) grid: floor((x + 1) * 4), clamped
+
+
+def psi_max(ref: DataFrame, cand: DataFrame) -> float:
+    """Max per-dimension Population Stability Index between two
+    embedding frames (vec_id, embedding) — the scalar drift TRIGGER the
+    frozen-quantizer indexes compare against a re-train threshold
+    (IncrementalSemDedup.reoptimize, ivf_drift_reoptimize). Same fixed
+    [-1, 1) grid / add-one smoothing as :func:`embedding_drift_report`,
+    reduced driver-side: one scan per cohort into a (dim, bin, cohort)
+    hash aggregate of <= 64 x PSI_BINS x 2 rows (control-plane-sized),
+    then the PSI arithmetic runs on the collected counts."""
+    import math
+
+    def binned(df, tag):
+        return df.select(
+            F.lit(tag).alias("cohort"),
+            F.posexplode(
+                F.col("embedding").cast("array<double>")
+            ).alias("dim", "x"),
+        ).select(
+            "cohort",
+            "dim",
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") + 1.0) * (PSI_BINS / 2.0)
+                    ).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+
+    counts = (
+        binned(ref, "r")
+        .unionByName(binned(cand, "c"))
+        .groupBy("dim", "bin", "cohort")
+        .count()
+        .collect()
+    )
+    grid: dict[int, dict[str, list[int]]] = {}
+    for r in counts:
+        d = grid.setdefault(
+            r["dim"],
+            {"r": [0] * PSI_BINS, "c": [0] * PSI_BINS},
+        )
+        d[r["cohort"]][r["bin"]] = r["count"]
+    worst = 0.0
+    for d in grid.values():
+        t_r = sum(d["r"]) + PSI_BINS
+        t_c = sum(d["c"]) + PSI_BINS
+        psi = sum(
+            ((cr + 1) / t_r - (cc + 1) / t_c)
+            * math.log(((cr + 1) / t_r) / ((cc + 1) / t_c))
+            for cr, cc in zip(d["r"], d["c"])
+        )
+        worst = max(worst, psi)
+    return worst
 
 
 def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
