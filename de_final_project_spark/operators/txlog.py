@@ -1845,14 +1845,26 @@ class VersionedTable:
         keys: Sequence[str],
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        moving_keys: bool = False,
         _cm: dict | None = None,
     ) -> int:
-        """Keyed upsert with touched-partition granularity. The
-        partition column must be a pure function of the key (same
-        invariant as merge_upsert_partitioned). Data for touched
-        partitions is rewritten into a new commit dir; untouched
-        partitions keep their existing file references — no data IO at
-        all for them, not even a directory rename.
+        """Keyed upsert with touched-partition granularity. By default
+        the partition column must be a pure function of the key (same
+        invariant as merge_upsert_partitioned): touched partitions are
+        discovered from the DELTA's partition values alone, so an
+        update whose row CURRENTLY lives in a different partition would
+        silently leave the stale copy there — a duplicate key, not an
+        error. When updates can move rows across partitions (a
+        re-clustered cell id, a changed bucketing attribute), pass
+        ``moving_keys=True``: one column-pruned probe over the live
+        snapshot (key + partition columns only) finds where the delta's
+        keys currently live and adds those partitions to the touched
+        set, so the old copies are rewritten away — Delta MERGE's
+        touched-file discovery, priced as one key-column scan and paid
+        only when the caller opts in. Data for touched partitions is
+        rewritten into a new commit dir; untouched partitions keep
+        their existing file references — no data IO at all for them,
+        not even a directory rename.
 
         ``txn=(app_id, seq)`` makes the merge IDEMPOTENT per application
         stream: the log records the highest ``seq`` applied per
@@ -1894,6 +1906,29 @@ class VersionedTable:
                 str(r[0])
                 for r in delta.select(self.partition_col).distinct().collect()
             )
+            if moving_keys:
+                # where do the delta's keys CURRENTLY live? One
+                # column-pruned scan (keys + partition col) semi-joined
+                # against the broadcast key set; its distinct partition
+                # values join the touched set so stale copies of moving
+                # rows are rewritten away rather than surviving as
+                # duplicates.
+                live_now = self._read_live(spark, entry["live"])
+                if live_now is not None:
+                    probe = (
+                        live_now.select(*keys, self.partition_col)
+                        .join(
+                            F.broadcast(delta.select(*keys).distinct()),
+                            keys,
+                            "left_semi",
+                        )
+                        .select(self.partition_col)
+                        .distinct()
+                        .collect()
+                    )
+                    touched = sorted(
+                        set(touched) | {str(r[0]) for r in probe}
+                    )
         else:
             touched = [_UNPARTITIONED]
         # Schema checks compare against the FULL live snapshot's

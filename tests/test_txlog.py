@@ -2706,3 +2706,60 @@ class TestAutoCompact:
         after = len(os.listdir(os.path.join(t.path, "data")))
         assert after < before
         assert len(_rows(t.read(spark))) == 9
+
+
+class TestMovingKeysMerge:
+    """merge()'s default touched-partition discovery reads only the
+    DELTA's partition values — correct under the documented invariant
+    (partition col is a pure function of the key), silently duplicating
+    when an update moves a row across partitions. moving_keys=True buys
+    Delta-style discovery: one column-pruned probe finds the keys'
+    CURRENT partitions and rewrites them too."""
+
+    def _seed(self, spark, table_factory):
+        t = table_factory("t", partition_col="pb")
+        t.overwrite(
+            _mk(spark, [(1, "a", 3), (2, "b", 3), (3, "c", 5)])
+        )
+        return t
+
+    def test_default_documents_the_invariant(self, spark, table_factory):
+        # the hazard the docstring states: without moving_keys, the
+        # stale copy in the old partition survives (this test exists so
+        # a silent behavior change in either direction fails loudly)
+        t = self._seed(spark, table_factory)
+        t.merge(spark, _mk(spark, [(1, "a2", 7)]), ["id"])
+        got = sorted(
+            (r["id"], r["s"], r["pb"]) for r in t.read(spark).collect()
+        )
+        assert got == [(1, "a", 3), (1, "a2", 7), (2, "b", 3), (3, "c", 5)]
+
+    def test_moving_keys_rewrites_source_partition(
+        self, spark, table_factory
+    ):
+        t = self._seed(spark, table_factory)
+        live_before = t._read_entry(t.latest_version())["live"]
+        t.merge(spark, _mk(spark, [(1, "a2", 7)]), ["id"], moving_keys=True)
+        got = sorted(
+            (r["id"], r["s"], r["pb"]) for r in t.read(spark).collect()
+        )
+        assert got == [(1, "a2", 7), (2, "b", 3), (3, "c", 5)]
+        live_after = t._read_entry(t.latest_version())["live"]
+        # partition 5 held no delta key: its pointer must be untouched
+        assert live_after["5"] == live_before["5"]
+        # partitions 3 (old home) and 7 (new home) were rewritten
+        assert live_after["3"] != live_before["3"]
+        assert "7" in live_after
+
+    def test_moving_keys_noop_when_invariant_holds(
+        self, spark, table_factory
+    ):
+        # keys that do NOT move: moving_keys adds no extra partitions
+        # (probe finds the same partition the delta names) — same
+        # result as the default path
+        t = self._seed(spark, table_factory)
+        t.merge(spark, _mk(spark, [(2, "B", 3)]), ["id"], moving_keys=True)
+        got = sorted(
+            (r["id"], r["s"], r["pb"]) for r in t.read(spark).collect()
+        )
+        assert got == [(1, "a", 3), (2, "B", 3), (3, "c", 5)]
