@@ -165,6 +165,9 @@ BENCH_QUERIES_R5 = [
     # equality-tombstone delete (zero data rewrite, cell-pruned probe
     # through the tombstone anti-join).
     "ivf_knn_deleted",
+    # ...and the moving-keys MERGE (value-derived partition tier: the
+    # delta relocates rows across partitions; discovery probe priced).
+    "versioned_moving_merge",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

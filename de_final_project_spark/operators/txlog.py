@@ -5460,3 +5460,84 @@ def versioned_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VERSIONED_WAP_PUBLISH_SQL = VERSIONED_APPEND_LOAD_SQL
+
+
+def versioned_moving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable moving-keys MERGE: the per-user snapshot is
+    partitioned by a VALUE-derived activity tier (``vtier =
+    floor(value) % 3``) — deliberately NOT a pure function of the key,
+    so when the delta half's later events change a user's latest value,
+    the user's row must MOVE partitions. The default merge would leave
+    the stale copy in the old tier (the documented invariant hazard);
+    ``moving_keys=True`` probes where the delta's keys currently live
+    and rewrites those partitions too. Inline asserts pin that the
+    scenario actually exercises the move (movers > 0 at every SF) and
+    that the post-state carries exactly one row per user. The oracle
+    restates the relational post-state: delta-half winner per user
+    where one exists, base-half winner otherwise, tier from the WINNING
+    row's value."""
+    from de_final_project_spark.operators.dedup import keep_latest
+    from de_final_project_spark.session import scratch_dir
+    from de_final_project_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = (lo + hi) // 2
+
+    def snap(df, flag):
+        return keep_latest(df, "user_id", ["ts", "event_id"]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.lit(flag).alias("from_delta"),
+            F.pmod(F.floor(F.col("value")).cast("long"), F.lit(3)).alias(
+                "vtier"
+            ),
+        )
+
+    base = snap(ev.where(F.col("event_id") <= cut), False)
+    delta = snap(ev.where(F.col("event_id") > cut), True)
+    movers = (
+        base.select("user_id", F.col("vtier").alias("t0"))
+        .join(delta.select("user_id", "vtier"), "user_id")
+        .where(F.col("t0") != F.col("vtier"))
+        .count()
+    )
+    assert movers > 0, "scenario must exercise a cross-partition move"
+    table = VersionedTable(
+        os.path.join(scratch_dir("moving_merge"), "user_snapshot"),
+        partition_col="vtier",
+    )
+    table.overwrite(base)
+    table.merge(spark, delta, ["user_id"], moving_keys=True)
+    out = table.read(spark)
+    dup = out.groupBy("user_id").count().where("count > 1").limit(1).count()
+    assert dup == 0, "moving merge must not duplicate keys"
+    return out.withColumn("vtier", F.col("vtier").cast("long"))
+
+
+VERSIONED_MOVING_MERGE_SQL = """
+WITH c AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events
+), halves AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+         (e.event_id > c.cut) AS from_delta
+  FROM events e, c
+), latest AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, from_delta
+           ORDER BY ts DESC, event_id DESC) AS rk
+  FROM halves
+), pick AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY from_delta DESC) AS mrk
+  FROM latest WHERE rk = 1
+)
+SELECT user_id, event_id, event_type, ts, value, from_delta,
+       (CAST(floor(value) AS BIGINT) % 3) AS vtier
+FROM pick WHERE mrk = 1
+"""
