@@ -168,6 +168,10 @@ BENCH_QUERIES_R5 = [
     # ...and the moving-keys MERGE (value-derived partition tier: the
     # delta relocates rows across partitions; discovery probe priced).
     "versioned_moving_merge",
+    # ...and the delete-revival keep state over the near-dup index
+    # (kept = no ALIVE smaller-id dominator; deleting a dominator
+    # revives its duplicates with zero verdict rewrites).
+    "neardup_keep_state",
 ]
 # Round-9 fourth group (VERDICT r8 item 7): DIAGNOSTIC A/Bs — each row
 # deliberately trains/evaluates several pipeline variants to measure a

@@ -1117,3 +1117,77 @@ def incremental_neardup_index(
     assert (r3["mode"], r3["signed_docs"]) == ("delta", n_b), r3
     assert idx.refresh(spark)["mode"] == "noop"
     return idx.read_verdicts(spark)
+
+
+def neardup_keep_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-revival keep state over the incremental near-dup index:
+    the curation decision a steady-state dedup pipeline actually
+    serves. Emission-time pair verdicts are immutable history (the
+    class docstring's CDC stance), so the KEEP state is a view joining
+    them against corpus liveness — ``kept(d) = no surviving pair
+    (a, d) whose smaller side a is still ALIVE``. Deleting a kept
+    dominator therefore REVIVES its duplicates for free: no verdict
+    rewrite, no re-probe — the anti-join sees the dominator leave the
+    alive set. Lifecycle driven here: two insert refreshes build the
+    index, a COW delete removes every ``doc_id % 5 == 0``, one more
+    refresh retires the victims' band rows (tombstone merge, signs
+    zero docs — asserted), and the returned frame is the per-survivor
+    keep flag. The oracle recomputes MinHash-LSH + exact-Jaccard from
+    scratch over the SURVIVING corpus — equality holds because every
+    alive-alive pair was emitted exactly once while both sides were
+    live (insert-only history before the delete), and band signatures
+    are corpus-independent."""
+    import os
+
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.session import scratch_dir
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    root = scratch_dir("ndkeep")
+    bronze = VersionedTable(os.path.join(root, "documents"))
+    bronze.overwrite(docs.where(F.col("doc_id") % 10 < 7))
+    idx = IncrementalNearDupIndex(bronze, root)
+    idx.refresh(spark)
+    bronze.append(docs.where(F.col("doc_id") % 10 >= 7))
+    idx.refresh(spark)
+    bronze.delete_where(spark, "doc_id % 5 = 0")
+    r = idx.refresh(spark)
+    assert (r["mode"], r["signed_docs"]) == ("delta", 0), r
+    alive = bronze.read(spark).select("doc_id")
+    suppressed = (
+        idx.read_verdicts(spark)
+        .join(
+            alive.select(F.col("doc_id").alias("a_id")), "a_id", "left_semi"
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_s", F.lit(True))
+    )
+    return alive.join(suppressed, "doc_id", "left").select(
+        "doc_id", F.col("_s").isNull().alias("kept")
+    )
+
+
+NEARDUP_KEEP_STATE_SQL = f"""
+WITH alive_docs AS (
+  SELECT * FROM documents WHERE doc_id % 5 != 0
+), {_SHINGLES_CTE.replace("FROM documents", "FROM alive_docs").strip()}, {_BANDS_CTE.strip()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT DISTINCT b_id
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = a_id
+  JOIN shingled sb ON sb.doc_id = b_id
+  WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))), 6)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, v.b_id IS NULL AS kept
+FROM alive_docs d LEFT JOIN verified v ON d.doc_id = v.b_id
+"""
