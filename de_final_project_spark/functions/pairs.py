@@ -1,0 +1,184 @@
+"""Blocked pair-scoring via Arrow-batched NumPy — the within-group
+quadratic stage of the SemDeDup-style dedup tiers, moved off the
+interpreted expression evaluator.
+
+Why this exists (OPTIMIZATION r12): the within-cluster pair stage used
+to be a self equi-join on the block key with an interpreted
+higher-order-function dot product per pair. Two measured problems at
+sf0.1:
+
+- the fold-based HOF evaluates ~20 µs/pair (no whole-stage codegen for
+  lambda expressions), so ~1M pairs cost ~20 s of CPU;
+- the join's shuffle INPUT is tiny (thousands of vectors), so AQE's
+  byte-based partition coalescing collapses the join to ONE task and
+  the pair compute runs serially — byte-sized inputs, compute-heavy
+  outputs are exactly the shape AQE mis-sizes.
+
+Here each block's vectors cross the Arrow boundary once (rows, not
+pairs), and the pair dots run as vectorized NumPy inside the worker.
+An unrolled 64-term codegen expression was also measured and REJECTED
+(3× slower than the HOF — the 192-node arithmetic tree defeats
+codegen's common-subexpression handling).
+
+EXACTNESS CONTRACT (the oracle compares stringified doubles, so this
+is load-bearing): the dot product is accumulated dimension-by-
+dimension in array order — ``acc += a[d]*b[d]`` for d = 0..dim-1
+starting from +0.0 — which performs the IDENTICAL sequence of IEEE
+multiply/add roundings as the engine's previous
+``aggregate(zip_with(a, b, *), 0.0, +)`` fold and as DuckDB's
+``list_dot_product``. Norms accumulate ``x*x`` the same way before one
+``sqrt``; cosine divides by ``(norm_a * norm_b)`` in that association.
+NumPy reductions like ``np.dot``/``.sum()`` are deliberately NOT used:
+their pairwise summation reorders the adds. Rounding/thresholding
+stays in Spark so ``F.round``'s HALF_UP is computed by one engine only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _fold_dots(A, B, ia, ib, dim: int):
+    """Exact left-to-right fold of per-pair dot products: pairs
+    (ia[k], ib[k]) over row matrices A, B (each n×dim float64)."""
+    import numpy as np
+
+    acc = np.zeros(len(ia), dtype="float64")
+    Aa = A[ia]
+    Bb = B[ib]
+    for d in range(dim):
+        acc += Aa[:, d] * Bb[:, d]
+    return acc
+
+
+def _fold_norms(A, dim: int):
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype="float64")
+    for d in range(dim):
+        acc += A[:, d] * A[:, d]
+    return np.sqrt(acc)
+
+
+def _mat(col) -> "object":
+    import numpy as np
+
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype="float64")
+    return np.stack([np.asarray(v, dtype="float64") for v in col])
+
+
+def pair_dots_within(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "u",
+    cosine: bool = False,
+) -> DataFrame:
+    """All (a_id < b_id) pairs within each ``keys`` block, scored with
+    the exact fold dot product of ``vec_col`` (or the exact cosine —
+    dot / (norm_a * norm_b) — when ``cosine=True``). Returns
+    keys + (a_id, b_id, _dot).
+
+    One Arrow crossing per block ROW (never per pair); pair scoring is
+    vectorized NumPy. Block sizes are the caller's contract (the
+    SemDeDup cluster-size guard) — pair output is m²/2 per block."""
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"`{k}` {dict(df.dtypes)[k]}" for k in keys]
+        + ["a_id bigint", "b_id bigint", "_dot double"]
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {c: [] for c in keys + ["a_id", "b_id", "_dot"]}
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf[id_col].to_numpy()
+        A = _mat(pdf[vec_col].to_numpy())
+        dim = A.shape[1]
+        ia, ib = np.triu_indices(m, k=1)
+        dots = _fold_dots(A, A, ia, ib, dim)
+        if cosine:
+            n = _fold_norms(A, dim)
+            dots = dots / (n[ia] * n[ib])
+        out = {k: [pdf[k].iloc[0]] * len(ia) for k in keys}
+        out["a_id"] = ids[ia]
+        out["b_id"] = ids[ib]
+        out["_dot"] = dots
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(score, schema=schema)
+
+
+def pair_dots_between(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "u",
+    cosine: bool = False,
+) -> DataFrame:
+    """All (a_id < b_id) pairs with the a-side from ``a`` and the
+    b-side from ``b``, blocked on ``keys`` (cogrouped) — the
+    two-relation probe shape of the incremental indexes (stored × new,
+    new × stored). Same exactness contract as pair_dots_within."""
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"`{k}` {dict(a.dtypes)[k]}" for k in keys]
+        + ["a_id bigint", "b_id bigint", "_dot double"]
+    )
+    # Pin column POSITIONS: when the two sides share lineage (the
+    # build-time self-probe), Spark's relation dedup re-suffixes one
+    # side's attribute names before they reach the Python worker, so
+    # name-based access breaks. Both sides are projected to the same
+    # (keys..., id, vec) order here and read positionally in score().
+    a = a.select(*keys, id_col, vec_col)
+    b = b.select(*keys, id_col, vec_col)
+    id_pos, vec_pos = len(keys), len(keys) + 1
+
+    def score(key, apdf: "pd.DataFrame", bpdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({c: [] for c in keys + ["a_id", "b_id", "_dot"]})
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return empty
+        ida = apdf.iloc[:, id_pos].to_numpy()
+        idb = bpdf.iloc[:, id_pos].to_numpy()
+        A = _mat(apdf.iloc[:, vec_pos].to_numpy())
+        B = _mat(bpdf.iloc[:, vec_pos].to_numpy())
+        dim = A.shape[1]
+        ia, ib = np.nonzero(ida[:, None] < idb[None, :])
+        if len(ia) == 0:
+            return empty
+        dots = _fold_dots(A, B, ia, ib, dim)
+        if cosine:
+            na = _fold_norms(A, dim)
+            nb = _fold_norms(B, dim)
+            dots = dots / (na[ia] * nb[ib])
+        out = {k: [key[i]] * len(ia) for i, k in enumerate(keys)}
+        out["a_id"] = ida[ia]
+        out["b_id"] = idb[ib]
+        out["_dot"] = dots
+        return pd.DataFrame(out)
+
+    # toDF on both sides: the two sides often derive from the SAME
+    # relation (build-time self-probe), and Spark's self-cogroup
+    # dedup otherwise mis-prunes the second side's data columns down
+    # to the grouping key (observed on 4.1: the b-side worker pdf
+    # arrived with only the key column). Re-projecting through toDF
+    # mints fresh attribute ids on each side, which both satisfies the
+    # ambiguity analyzer and keeps every column flowing.
+    return (
+        a.toDF(*a.columns)
+        .groupBy(*keys)
+        .cogroup(b.toDF(*b.columns).groupBy(*keys))
+        .applyInPandas(score, schema=schema)
+    )

@@ -277,21 +277,31 @@ def train_kmeans_frame(qdf: DataFrame, k: int | None = None) -> list[list[int]]:
     centroids = [[int(v) * SCALE for v in r["q"]] for r in seed_rows]
     for _ in range(KMEANS_ITERS):
         assigned = _assign(qdf, centroids)
+        # Per-(cluster, dim) sums as ONE hash aggregate with DIM sum
+        # columns instead of posexplode + groupBy(cluster, d): the
+        # explode form shuffled n·DIM rows per iteration (320k at
+        # sf0.1) and cost a second codegen stage; the wide aggregate
+        # partial-aggregates map-side and ships K rows of DIM+1 longs.
+        # Same exact int64 sums/counts, one job per iteration.
         sums = (
-            assigned.select(
-                "cluster", F.posexplode("q").alias("d", "qv")
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"_s{d}")
+                    for d in range(DIM)
+                ],
             )
-            .groupBy("cluster", "d")
-            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], {})[r["d"]] = (r["s"], r["n"])
+        by_cluster: dict[int, tuple[list[int], int]] = {
+            r["cluster"]: ([r[f"_s{d}"] for d in range(DIM)], r["_n"])
+            for r in sums
+        }
         new_centroids = []
         for j in range(k):
             if j in by_cluster:
-                dims = by_cluster[j]
+                s, n = by_cluster[j]
                 new_centroids.append(
                     [
                         # floor((2*SCALE*s + n) / 2n): round-half-
@@ -299,8 +309,7 @@ def train_kmeans_frame(qdf: DataFrame, k: int | None = None) -> list[list[int]]:
                         # the oracle floors identically (DuckDB's
                         # integer // truncates, so it floors via
                         # double there — see _kmeans_sql).
-                        (2 * SCALE * dims[d][0] + dims[d][1])
-                        // (2 * dims[d][1])
+                        (2 * SCALE * s[d] + n) // (2 * n)
                         for d in range(DIM)
                     ]
                 )

@@ -196,7 +196,12 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Encoding runs Arrow-batched on the workers."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    from de_final_project_spark.session import fan_out
+
+    # Fan out BEFORE the Arrow stage: the documents scan is one task
+    # (single-row-group file), which would serialize every payload
+    # encode through one Python worker (session.fan_out).
+    docs = fan_out(read_testdata(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -934,26 +939,23 @@ def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_type").alias("modality"),
         F.col("q").cast("array<double>").alias("v"),
     )
-    a = side.select(
-        F.col("vec_id").alias("a_id"),
-        "cell",
-        "modality",
-        F.col("v").alias("va"),
-    )
-    b = side.select(
-        F.col("vec_id").alias("b_id"),
-        "cell",
-        "modality",
-        F.col("v").alias("vb"),
-    )
+    # Blocked Arrow/NumPy pair scorer (functions/pairs.py): one Arrow
+    # crossing per vector, exact fold cosines per (cell, modality)
+    # block — replaces the self equi-join + interpreted HOF cosine,
+    # which AQE collapsed to one task (measured ~20 s at sf0.1 for
+    # ~1M pairs; the blocked scorer runs the same pairs vectorized).
+    # Bit-identical values; round + threshold stay in Spark.
+    from de_final_project_spark.functions.pairs import pair_dots_within
+
     return (
-        a.join(b, ["cell", "modality"])
-        .where(F.col("a_id") < F.col("b_id"))
+        pair_dots_within(
+            side, ["cell", "modality"], vec_col="v", cosine=True
+        )
         .select(
             "modality",
             "a_id",
             "b_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(F.col("_dot"), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= MEDIA_NEARDUP_THRESHOLD)
     )

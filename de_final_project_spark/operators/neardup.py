@@ -96,7 +96,9 @@ def lsh_bands(signature: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_testdata(spark, sf_dir, "documents")
+    from de_final_project_spark.session import fan_out
+
+    docs = fan_out(read_testdata(spark, sf_dir, "documents"))
     return docs.select("doc_id", shingle_set(F.col("text")).alias("shingles"))
 
 
@@ -347,7 +349,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen and its shuffle carries one row per token hash, partially
     aggregated map-side. explode_outer + null-vote-0 preserves the
     empty-document semantics of the fold (zero votes -> all bits set)."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    from de_final_project_spark.session import fan_out
+
+    docs = fan_out(read_testdata(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id",
         F.explode_outer(
@@ -877,8 +881,13 @@ class IncrementalNearDupIndex:
     @staticmethod
     def _sign(docs_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingles, band rows) for a doc frame — the same signature
-        pipeline the batch operators use, applied to ONLY these rows."""
-        sh = docs_df.select(
+        pipeline the batch operators use, applied to ONLY these rows.
+        The batch is fanned out first: a change-feed/bronze read is
+        typically one scan task, and shingle+MinHash is the refresh's
+        dominant per-row cost (session.fan_out)."""
+        from de_final_project_spark.session import fan_out
+
+        sh = fan_out(docs_df).select(
             "doc_id", shingle_set(F.col("text")).alias("shingles")
         ).persist()
         sigs = sh.select(

@@ -95,8 +95,15 @@ class IncrementalPostingIndex:
 
     @staticmethod
     def _tokenize(docs_df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """One pass over ONLY these docs: (postings rows, doclen rows)."""
-        toks = docs_df.select("doc_id", tokens(F.col("text")).alias("toks"))
+        """One pass over ONLY these docs: (postings rows, doclen rows).
+        Fanned out first: the bronze/feed read is typically one scan
+        task, and tokenization is the refresh's per-row cost
+        (session.fan_out)."""
+        from de_final_project_spark.session import fan_out
+
+        toks = fan_out(docs_df).select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
         post = (
             toks.select("doc_id", F.explode("toks").alias("term"))
             .groupBy("doc_id", "term")

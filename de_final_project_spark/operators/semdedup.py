@@ -53,7 +53,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_final_project_spark.functions.vector import dot
 from de_final_project_spark.operators.kmeans import (
     K_MAX,
     K_MIN,
@@ -105,19 +104,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "semantic_dedup",
     )
-    a = clustered.select(
-        F.col("vec_id").alias("a_id"), F.col("u").alias("u_a"), "cluster"
-    )
-    b = clustered.select(
-        F.col("vec_id").alias("b_id"), F.col("u").alias("u_b"), "cluster"
-    )
+    # Within-cluster pair stage as a blocked Arrow/NumPy scorer
+    # (functions/pairs.py): one Arrow crossing per VECTOR, exact fold
+    # dots per pair — replaces the self equi-join + interpreted HOF
+    # dot, which AQE collapsed to one task (tiny shuffle input,
+    # compute-heavy output). Values are bit-identical (see the module
+    # exactness contract); rounding/threshold stay in Spark.
+    from de_final_project_spark.functions.pairs import pair_dots_within
+
     dropped = (
-        a.join(b, "cluster")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(
-            F.round(dot(F.col("u_a"), F.col("u_b")), 6)
-            >= SEMDEDUP_COSINE_THRESHOLD
+        pair_dots_within(
+            clustered.select("vec_id", "cluster", "u"), ["cluster"]
         )
+        .where(F.round(F.col("_dot"), 6) >= SEMDEDUP_COSINE_THRESHOLD)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
@@ -312,23 +311,22 @@ class IncrementalSemDedup:
     @staticmethod
     def _dropped(a: DataFrame, b: DataFrame) -> DataFrame:
         """b-side ids with a smaller-id a-side neighbor >= threshold;
-        both frames carry (vec_id, cluster, u)."""
+        both frames carry (vec_id, cluster, u). Cogrouped Arrow/NumPy
+        pair scorer (functions/pairs.py) — exact fold dots, rounding
+        and threshold in Spark — replacing the cluster equi-join +
+        interpreted HOF dot (see semantic_dedup)."""
+        from de_final_project_spark.functions.pairs import (
+            pair_dots_between,
+        )
+
         return (
-            a.select(
-                F.col("vec_id").alias("a_id"), "cluster",
-                F.col("u").alias("u_a"),
+            pair_dots_between(
+                a.select("vec_id", "cluster", "u"),
+                b.select("vec_id", "cluster", "u"),
+                ["cluster"],
             )
-            .join(
-                b.select(
-                    F.col("vec_id").alias("b_id"), "cluster",
-                    F.col("u").alias("u_b"),
-                ),
-                "cluster",
-            )
-            .where(F.col("a_id") < F.col("b_id"))
             .where(
-                F.round(dot(F.col("u_a"), F.col("u_b")), 6)
-                >= SEMDEDUP_COSINE_THRESHOLD
+                F.round(F.col("_dot"), 6) >= SEMDEDUP_COSINE_THRESHOLD
             )
             .select(F.col("b_id").alias("vec_id"))
             .distinct()

@@ -2271,29 +2271,40 @@ def train_pq_codebooks(
     cb = [list(map(list, sub)) for sub in seed_cb]
     for _ in range(iters):
         assigned = _pq_sub_assign(subs, cb)
+        # One wide hash aggregate (PQ_SUBDIM sum columns) instead of
+        # posexplode + groupBy(sub_id, code, d): the explode form
+        # shuffled n·PQ_M·PQ_SUBDIM rows per iteration; this ships
+        # PQ_M·PQ_K rows of PQ_SUBDIM+1 longs, partial-aggregated
+        # map-side. Identical exact int64 sums/counts (same fix as
+        # kmeans.train_kmeans_frame).
         sums = (
-            assigned.select(
-                "sub_id", "code", F.posexplode("x").alias("d", "v")
+            assigned.groupBy("sub_id", "code")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("x", d + 1)).alias(f"_s{d}")
+                    for d in range(PQ_SUBDIM)
+                ],
             )
-            .groupBy("sub_id", "code", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_key.setdefault((r["sub_id"], r["code"]), {})[r["d"]] = (
-                r["s"],
-                r["n"],
+        by_key: dict[tuple[int, int], tuple[list[int], int]] = {
+            (r["sub_id"], r["code"]): (
+                [r[f"_s{d}"] for d in range(PQ_SUBDIM)],
+                r["_n"],
             )
+            for r in sums
+        }
         new_cb = []
         for m in range(PQ_M):
             sub = []
             for code in range(PQ_K):
-                dims = by_key.get((m, code))
-                if dims:
+                hit = by_key.get((m, code))
+                if hit:
+                    s, n = hit
                     sub.append(
                         [
-                            (2 * dims[d][0] + dims[d][1]) // (2 * dims[d][1])
+                            (2 * s[d] + n) // (2 * n)
                             for d in range(PQ_SUBDIM)
                         ]
                     )

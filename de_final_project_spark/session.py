@@ -74,6 +74,21 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def fan_out(df):
+    """Round-robin repartition to the session's default parallelism —
+    the fix for the single-file/single-row-group input pathology (one
+    unsplittable scan task) ahead of expression-heavy per-row work
+    (shingling, MinHash, tokenization, Arrow-batched media decode).
+    The testdata tables are one row group each, so without this every
+    narrow pipeline runs ONE task until its first exchange (measured:
+    the sf0.1 shingle+MinHash pass 6.6 s on one task, 0.7 s fanned
+    out). On a cluster the same call is load-balancing insurance after
+    a skewed or under-split scan; the shuffled rows are the narrow
+    pre-projection inputs, so the exchange is small. Scale-adaptive by
+    construction: sizes from ``defaultParallelism``, never a constant."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def loop_checkpoint(df, checkpoint_dir: str | None = None):
     """Truncate an iterative loop's lineage. Default: localCheckpoint()
     — executor-memory blocks, fast, the right choice on local[N] and
