@@ -51,6 +51,54 @@ def _fold_dots(A, B, ia, ib, dim: int):
     return acc
 
 
+# Column-chunk budget for the Gram accumulation below: chunks are sized
+# so the (m_a × chunk) accumulator stays ~128 MB regardless of block
+# shape.
+_GRAM_BUDGET = 1 << 24
+
+
+def _gram_pairs(A, B, ida, idb, dim: int, na=None, nb=None):
+    """All (ida[i] < idb[j]) pairs scored by the exact d-order fold —
+    computed as a Gram-matrix accumulation ``G += outer(A[:,d], B[:,d])``
+    for d ascending. Each G[i,j] performs the IDENTICAL sequence of
+    IEEE multiply/add roundings as the per-pair fold (same start 0.0,
+    same dimension order), so values are bit-equal to _fold_dots; what
+    changes is memory traffic — 8 bytes per pair instead of gathering
+    two pairs×dim row copies (measured 5-8 s → sub-second on ~2M-pair
+    blocks, OPTIMIZATION r12). Column-chunked so the accumulator stays
+    bounded for any block size. Returns (ia, jb, dots) global indices
+    into A/B rows."""
+    import numpy as np
+
+    m_a, m_b = A.shape[0], B.shape[0]
+    chunk = max(1, _GRAM_BUDGET // max(m_a, 1))
+    out_i: list = []
+    out_j: list = []
+    out_d: list = []
+    for c0 in range(0, m_b, chunk):
+        c1 = min(m_b, c0 + chunk)
+        G = np.zeros((m_a, c1 - c0), dtype="float64")
+        for d in range(dim):
+            G += A[:, d][:, None] * B[c0:c1, d][None, :]
+        ia, jb = np.nonzero(ida[:, None] < idb[None, c0:c1])
+        if len(ia) == 0:
+            continue
+        dots = G[ia, jb]
+        if na is not None:
+            dots = dots / (na[ia] * nb[jb + c0])
+        out_i.append(ia)
+        out_j.append(jb + c0)
+        out_d.append(dots)
+    if not out_i:
+        z = np.zeros(0, dtype="int64")
+        return z, z, np.zeros(0, dtype="float64")
+    return (
+        np.concatenate(out_i),
+        np.concatenate(out_j),
+        np.concatenate(out_d),
+    )
+
+
 def _fold_norms(A, dim: int):
     import numpy as np
 
@@ -103,11 +151,10 @@ def pair_dots_within(
         ids = pdf[id_col].to_numpy()
         A = _mat(pdf[vec_col].to_numpy())
         dim = A.shape[1]
-        ia, ib = np.triu_indices(m, k=1)
-        dots = _fold_dots(A, A, ia, ib, dim)
-        if cosine:
-            n = _fold_norms(A, dim)
-            dots = dots / (n[ia] * n[ib])
+        n = _fold_norms(A, dim) if cosine else None
+        # ids are sorted and unique, so the (ida < idb) Gram selection
+        # enumerates exactly the upper triangle in triu order.
+        ia, ib, dots = _gram_pairs(A, A, ids, ids, dim, na=n, nb=n)
         out = {k: [pdf[k].iloc[0]] * len(ia) for k in keys}
         out["a_id"] = ids[ia]
         out["b_id"] = ids[ib]
@@ -155,14 +202,11 @@ def pair_dots_between(
         A = _mat(apdf.iloc[:, vec_pos].to_numpy())
         B = _mat(bpdf.iloc[:, vec_pos].to_numpy())
         dim = A.shape[1]
-        ia, ib = np.nonzero(ida[:, None] < idb[None, :])
+        na = _fold_norms(A, dim) if cosine else None
+        nb = _fold_norms(B, dim) if cosine else None
+        ia, ib, dots = _gram_pairs(A, B, ida, idb, dim, na=na, nb=nb)
         if len(ia) == 0:
             return empty
-        dots = _fold_dots(A, B, ia, ib, dim)
-        if cosine:
-            na = _fold_norms(A, dim)
-            nb = _fold_norms(B, dim)
-            dots = dots / (na[ia] * nb[ib])
         out = {k: [key[i]] * len(ia) for i, k in enumerate(keys)}
         out["a_id"] = ida[ia]
         out["b_id"] = idb[ib]
