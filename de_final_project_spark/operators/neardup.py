@@ -969,6 +969,16 @@ class IncrementalNearDupIndex:
                 return {"mode": "noop", "from": applied, "to": base_v,
                         "signed_docs": 0, "n_candidates": 0}
             mode = "delta"
+        # Control-plane proof that the window is insert-only: every
+        # commit in (applied, base_v] is an append (log-entry ops, no
+        # data IO). Then the feed carries no deletes/preimages BY
+        # CONSTRUCTION (unique-keyed producer contract, the same
+        # assumption _cdf_single_commit_fast documents), so the
+        # "any removed rows?" probe job and the removed-side anti-join
+        # are skipped outright.
+        insert_only = mode == "build" or all(
+            op == "append" for op in self.docs.window_ops(applied, base_v)
+        )
         new_docs = feed.where(
             F.col("_change_type").isin("insert", "update_postimage")
         ).persist()
@@ -1009,7 +1019,9 @@ class IncrementalNearDupIndex:
                 where="hbucket IN (%s)" % ", ".join(str(b) for b in bks)
                 if bks
                 else "hbucket IS NULL",
-            ).join(removed_ids, "doc_id", "left_anti")
+            )
+            if not insert_only:
+                stored = stored.join(removed_ids, "doc_id", "left_anti")
             probe = (
                 new_bands.select(
                     F.col("doc_id").alias("new_id"), "band_idx",
@@ -1046,7 +1058,7 @@ class IncrementalNearDupIndex:
             self.index.overwrite(new_rows, txn=(_NDIDX_APP, base_v))
         else:
             src = new_rows
-            if removed_ids.limit(1).count() > 0:
+            if not insert_only and removed_ids.limit(1).count() > 0:
                 tomb = (
                     self.index.read(spark)
                     .join(removed_ids, "doc_id", "left_semi")

@@ -145,6 +145,13 @@ class IncrementalPostingIndex:
                 return {"mode": "noop", "from": applied, "to": base_v,
                         "tokenized_docs": 0}
             mode = "delta"
+        # Control-plane insert-only proof (same as the near-dup index):
+        # an all-append window carries no deletes/preimages under the
+        # unique-keyed producer contract, so the removed-rows probe job
+        # is skipped without running the feed pipeline.
+        insert_only = mode == "build" or all(
+            op == "append" for op in self.docs.window_ops(applied, base_v)
+        )
         new_docs = feed.where(
             F.col("_change_type").isin("insert", "update_postimage")
         ).persist()
@@ -164,7 +171,9 @@ class IncrementalPostingIndex:
             # tombstone pass entirely — it is the only step that reads
             # the stored index during a refresh, so an append refresh
             # scans NO index data beyond the buckets its MERGE touches.
-            has_removed = removed_ids.limit(1).count() > 0
+            has_removed = (
+                not insert_only and removed_ids.limit(1).count() > 0
+            )
             if has_removed:
                 # tombstone markers: the stored (doc_id, term) rows of
                 # removed/updated docs that the new batch does NOT

@@ -358,7 +358,16 @@ class IncrementalSemDedup:
         except EmptyChangeFeed:
             return {"mode": "noop", "from": applied, "to": base_v,
                     "assigned": 0, "flipped": 0}
-        if feed.where(F.col("_change_type") != "insert").limit(1).count():
+        # Control-plane fast path: an all-append window is insert-only
+        # by construction (log-entry ops, no data IO), so the probe job
+        # over the feed is skipped. Any other op shape keeps the data
+        # probe as the semantics of record.
+        all_appends = all(
+            op == "append" for op in self.emb.window_ops(applied, base_v)
+        )
+        if not all_appends and feed.where(
+            F.col("_change_type") != "insert"
+        ).limit(1).count():
             raise ValueError(
                 "incremental semdedup requires an INSERT-only feed: an "
                 "updated/deleted embedding invalidates frozen-centroid "

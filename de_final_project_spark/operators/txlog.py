@@ -771,6 +771,17 @@ class VersionedTable:
         commit id) — entries dropped by vacuum are skipped."""
         return [self._read_entry(v) for v in self._list_versions()]
 
+    def window_ops(self, from_version: int, to_version: int) -> list[str]:
+        """The ``op`` of every commit in ``(from_version, to_version]``
+        — a control-plane metadata read (log entries only, no data IO).
+        Incremental consumers use it to prove a feed window is
+        insert-only (every op an ``append``) WITHOUT running the
+        "any removed rows?" probe job over the change feed."""
+        return [
+            self._read_entry(v).get("op")
+            for v in range(from_version + 1, to_version + 1)
+        ]
+
     def _advance_checkpoint(self, version: int) -> None:
         """Move the advisory pointer forward (never backward — a slow
         writer must not regress it under a faster one; last-writer-wins
@@ -1901,6 +1912,32 @@ class VersionedTable:
             return self.overwrite(delta, txn=txn, _cm=_cm)
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
+        # Materialize the delta ONCE (Delta Lake's merge-source
+        # materialization): it is otherwise re-evaluated for the
+        # touched-partition discovery, the broadcast key build AND the
+        # staged write — three full runs of a possibly expensive
+        # upstream pipeline. O(churn) blocks, released in the finally.
+        delta = delta.persist()
+        try:
+            return self._merge_staged(
+                spark, delta, keys, txn, merge_schema, moving_keys,
+                _cm, base_version, entry,
+            )
+        finally:
+            delta.unpersist()
+
+    def _merge_staged(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None,
+        merge_schema: bool,
+        moving_keys: bool,
+        _cm: dict | None,
+        base_version: int,
+        entry: dict,
+    ) -> int:
         if self.partition_col:
             touched = sorted(
                 str(r[0])
@@ -2489,82 +2526,93 @@ class VersionedTable:
             )
         base_version = self.latest_version()
         entry = self._read_entry(base_version)
-        if self.partition_col:
-            touched = sorted(
-                str(r[0])
-                for r in source.select(self.partition_col)
-                .distinct()
-                .collect()
-            )
-        else:
-            touched = [_UNPARTITIONED]
-        current = self._read_snapshot(
-            spark,
-            {p: e for p, e in entry["live"].items() if p in set(touched)},
-            entry,
-        )
-        if current is None:
-            if not insert_unmatched:
-                return base_version
-            merged = src.where(ins_cond).select(*source.columns)
-        else:
-            if set(current.columns) != set(source.columns):
-                raise ValueError(
-                    "merge_into requires the source to carry exactly the "
-                    f"table columns; table {sorted(current.columns)} vs "
-                    f"source {sorted(source.columns)}"
+        # Materialize the source ONCE (Delta's merge-source
+        # materialization): it is otherwise re-evaluated for the
+        # touched-partition discovery and again inside the staged
+        # full-outer join — two full runs of a possibly expensive
+        # change-feed pipeline. O(churn) blocks, released below.
+        source = source.persist()
+        src = source.alias("s")
+        try:
+            if self.partition_col:
+                touched = sorted(
+                    str(r[0])
+                    for r in source.select(self.partition_col)
+                    .distinct()
+                    .collect()
                 )
-            if matched_update and self.partition_col in matched_update:
-                raise ValueError(
-                    f"cannot assign partition column '{self.partition_col}'"
-                    " (rows may not move partitions)"
-                )
-            types = dict(current.dtypes)
-            t = current.withColumn("__t", F.lit(True)).alias("t")
-            s2 = src.withColumn("__s", F.lit(True)).alias("s")
-            joined = t.join(s2, keys, "full_outer")
-            is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-            src_only = F.col("__t").isNull()
-            upd = (
-                is_matched
-                & (
-                    _sat(F.expr(matched_update_condition))
-                    if matched_update_condition
-                    else F.lit(True)
-                )
-                if matched_update is not None
-                else F.lit(False)
-            )
-            if matched_delete_condition is None:
-                dele = F.lit(False)
-            elif matched_delete_condition is True:
-                dele = is_matched & ~upd
             else:
-                dele = (
-                    is_matched
-                    & ~upd
-                    & _sat(F.expr(matched_delete_condition))
-                )
-            keep = ~dele & ~(src_only & ~ins_cond)
-
-            def out_col(c: str):
-                if c in keys:
-                    return F.col(c)  # USING join already coalesced it
-                tv, sv = F.col(f"t.{c}"), F.col(f"s.{c}")
-                v = F.when(src_only, sv).otherwise(tv)
-                if matched_update is not None and c in matched_update:
-                    v = F.when(
-                        upd, F.expr(matched_update[c]).cast(types[c])
-                    ).otherwise(v)
-                return v.alias(c)
-
-            merged = joined.where(keep).select(
-                *[out_col(c) for c in current.columns]
+                touched = [_UNPARTITIONED]
+            current = self._read_snapshot(
+                spark,
+                {p: e for p, e in entry["live"].items() if p in set(touched)},
+                entry,
             )
-        # Staging an empty partitioned result writes no partition dirs,
-        # so the commit below simply drops every touched pointer — the
-        # everything-deleted case needs no special probe.
-        rel, parts, files = self._stage(merged)
+            if current is None:
+                if not insert_unmatched:
+                    return base_version
+                merged = src.where(ins_cond).select(*source.columns)
+            else:
+                if set(current.columns) != set(source.columns):
+                    raise ValueError(
+                        "merge_into requires the source to carry exactly the "
+                        f"table columns; table {sorted(current.columns)} vs "
+                        f"source {sorted(source.columns)}"
+                    )
+                if matched_update and self.partition_col in matched_update:
+                    raise ValueError(
+                        f"cannot assign partition column '{self.partition_col}'"
+                        " (rows may not move partitions)"
+                    )
+                types = dict(current.dtypes)
+                t = current.withColumn("__t", F.lit(True)).alias("t")
+                s2 = src.withColumn("__s", F.lit(True)).alias("s")
+                joined = t.join(s2, keys, "full_outer")
+                is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+                src_only = F.col("__t").isNull()
+                upd = (
+                    is_matched
+                    & (
+                        _sat(F.expr(matched_update_condition))
+                        if matched_update_condition
+                        else F.lit(True)
+                    )
+                    if matched_update is not None
+                    else F.lit(False)
+                )
+                if matched_delete_condition is None:
+                    dele = F.lit(False)
+                elif matched_delete_condition is True:
+                    dele = is_matched & ~upd
+                else:
+                    dele = (
+                        is_matched
+                        & ~upd
+                        & _sat(F.expr(matched_delete_condition))
+                    )
+                keep = ~dele & ~(src_only & ~ins_cond)
+
+                def out_col(c: str):
+                    if c in keys:
+                        return F.col(c)  # USING join already coalesced it
+                    tv, sv = F.col(f"t.{c}"), F.col(f"s.{c}")
+                    v = F.when(src_only, sv).otherwise(tv)
+                    if matched_update is not None and c in matched_update:
+                        v = F.when(
+                            upd, F.expr(matched_update[c]).cast(types[c])
+                        ).otherwise(v)
+                    return v.alias(c)
+
+                merged = joined.where(keep).select(
+                    *[out_col(c) for c in current.columns]
+                )
+            # Staging an empty partitioned result writes no partition
+            # dirs, so the commit below simply drops every touched
+            # pointer — the everything-deleted case needs no special
+            # probe.
+            rel, parts, files = self._stage(merged)
+        finally:
+            source.unpersist()
         if not self.partition_col:
             parts = {_UNPARTITIONED: ""}
         return self._commit_delete(

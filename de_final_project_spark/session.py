@@ -89,7 +89,7 @@ def fan_out(df):
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def loop_checkpoint(df, checkpoint_dir: str | None = None):
+def loop_checkpoint(df, checkpoint_dir: str | None = None, eager: bool = True):
     """Truncate an iterative loop's lineage. Default: localCheckpoint()
     — executor-memory blocks, fast, the right choice on local[N] and
     for short loops, but NON-RECOVERABLE if an executor dies mid-loop
@@ -98,9 +98,16 @@ def loop_checkpoint(df, checkpoint_dir: str | None = None):
     cheap insurance VERDICT r7 item 7 asks the iterative operators
     (k-core, coreness, PageRank) to offer. The directory is set once
     per SparkContext; results are identical either way (asserted by
-    test)."""
+    test).
+
+    ``eager=False`` defers materialization to the caller's next FULL
+    action over the frame (a convergence count/sum probe): the probe's
+    job computes and caches every partition, so the checkpoint finds
+    nothing left to do — one job per loop round instead of two. Only
+    pass it when that next action scans the whole frame (``limit``-style
+    probes compute a partition subset and forfeit the fusion)."""
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     try:
         unset = sc._jsc.sc().getCheckpointDir().isEmpty()
@@ -110,7 +117,7 @@ def loop_checkpoint(df, checkpoint_dir: str | None = None):
         # setCheckpointDir mints a fresh <dir>/<uuid> per call; set it
         # once per context so a loop's rounds share one directory.
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint()
+    return df.checkpoint(eager=eager)
 
 
 # scope -> frames persisted under it (insertion-ordered = LRU order);
