@@ -1034,31 +1034,38 @@ def streamed_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_path = os.path.join(root, "mv")
 
     def apply_batch(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        s = batch_df.sparkSession
-        view = IncrementalAggView(
-            VersionedTable(bronze.path, partition_col="pbucket"),
-            mv_path,
-            keys=["event_id"],
-            group_by=["event_type"],
-            aggs={
-                "cnt": ("count", ""),
-                "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
-            },
-        )
-        versions = sorted(
-            r[0]
-            for r in batch_df.select("_commit_version").distinct().collect()
-        )
-        for v in versions:
-            view.fold_changes(
-                s,
-                batch_df.where(F.col("_commit_version") == v).drop(
-                    "_commit_version"
-                ),
-                v,
+        # Persist the delivered feed ONCE: the versions collect and each
+        # per-version fold otherwise re-run the change-feed source's
+        # Python read path (see streamed_gold_from_feed).
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            s = batch_df.sparkSession
+            view = IncrementalAggView(
+                VersionedTable(bronze.path, partition_col="pbucket"),
+                mv_path,
+                keys=["event_id"],
+                group_by=["event_type"],
+                aggs={
+                    "cnt": ("count", ""),
+                    "sum_value": ("sum", "CAST(value AS DECIMAL(12,2))"),
+                },
             )
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                view.fold_changes(
+                    s,
+                    batch_df.where(F.col("_commit_version") == v).drop(
+                        "_commit_version"
+                    ),
+                    v,
+                )
+        finally:
+            batch_df.unpersist()
 
     q = (
         read_change_feed(spark, bronze.path, max_versions_per_trigger=2)

@@ -2256,6 +2256,51 @@ def _pq_sub_assign(subs: DataFrame, cb: list[list[list[int]]]) -> DataFrame:
     )
 
 
+def _train_pq_driver(
+    res: DataFrame, seed_cb: list[list[list[int]]], iters: int
+) -> list[list[list[int]]]:
+    """Driver-side exact-integer per-subspace Lloyd over a BOUNDED
+    residual frame — bit-identical to the distributed loop by
+    construction: the same strict-``<``, codes-ascending argmin (=
+    ``array_min`` over (d, code) structs), the same order-independent
+    int64 sums, and the same floor-division mean ``(2·s + n) // (2n)``
+    (Python ints; floors for negative residual sums exactly like the
+    distributed comprehension). Integer arithmetic has no rounding
+    order, so moving it off the cluster cannot change a bit."""
+    import numpy as np
+
+    rows = res.select("vec_id", "r").collect()
+    R = np.array([r["r"] for r in rows], dtype=np.int64)
+    cb = [list(map(list, sub)) for sub in seed_cb]
+    n_rows = len(rows)
+    for _ in range(iters):
+        new_cb = [list(map(list, sub)) for sub in cb]
+        for m in range(PQ_M):
+            X = R[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            cwm = np.array(cb[m], dtype=np.int64)
+            best_d = None
+            best_j = np.zeros(n_rows, dtype=np.int64)
+            for code in range(PQ_K):
+                diff = X - cwm[code]
+                d = (diff * diff).sum(axis=1)
+                if best_d is None:
+                    best_d = d
+                else:
+                    lt = d < best_d  # strict: ties keep the lower code
+                    best_d = np.where(lt, d, best_d)
+                    best_j = np.where(lt, code, best_j)
+            for code in range(PQ_K):
+                mask = best_j == code
+                nj = int(mask.sum())
+                if nj:  # empty code keeps its previous codeword
+                    s = X[mask].sum(axis=0)
+                    new_cb[m][code] = [
+                        (2 * int(sd) + nj) // (2 * nj) for sd in s
+                    ]
+        cb = new_cb
+    return cb
+
+
 def train_pq_codebooks(
     res: DataFrame,
     seed_cb: list[list[list[int]]],
@@ -2266,7 +2311,20 @@ def train_pq_codebooks(
     projection + one (sub_id, code, dim) hash aggregate; the collected
     state is PQ_M x PQ_K x PQ_SUBDIM ints — control-plane-sized, the
     k-means contract. Empty codes keep their previous codeword. The
-    mean rounds half-up exactly: (2*s + n) div (2*n) in int64."""
+    mean rounds half-up exactly: (2*s + n) div (2*n) in int64.
+
+    Bounded frames (per-iteration work n·PQ_M·PQ_K·PQ_SUBDIM at or
+    under ``kmeans.DRIVER_TRAIN_BUDGET``) train DRIVER-SIDE off one
+    collect (:func:`_train_pq_driver`, bit-identical exact-int64 loop)
+    — the same fixed-job-overhead fix as ``train_kmeans_frame``:
+    ``iters`` (assignment + wide aggregate + collect) job rounds
+    collapse to one bounded collect. Larger corpora keep the
+    distributed loop unchanged."""
+    from de_final_project_spark.operators.kmeans import DRIVER_TRAIN_BUDGET
+
+    n = res.count()
+    if n * PQ_M * PQ_K * PQ_SUBDIM <= DRIVER_TRAIN_BUDGET:
+        return _train_pq_driver(res, seed_cb, iters)
     subs = _pq_sub_frame(res)
     cb = [list(map(list, sub)) for sub in seed_cb]
     for _ in range(iters):

@@ -531,34 +531,42 @@ def streamed_gold_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold_dir = os.path.join(root, "gold")
 
     def apply_batch(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        s = batch_df.sparkSession
-        gold = VersionedTable(gold_dir, partition_col="pbucket")
-        versions = sorted(
-            r[0]
-            for r in batch_df.select(_COMMIT_VERSION).distinct().collect()
-        )
-        for v in versions:
-            sub = batch_df.where(F.col(_COMMIT_VERSION) == v)
-            ups = (
-                sub.where(
-                    F.col(_CHANGE_TYPE).isin("insert", "update_postimage")
-                )
-                .drop(_CHANGE_TYPE, _COMMIT_VERSION, "pbucket")
-                .withColumn(
-                    "pbucket", (F.col("user_id") % 4).cast("int")
-                )
+        # Persist the delivered feed ONCE: the change-feed source reads
+        # its parquet in Python workers, and every per-version filter /
+        # emptiness probe / merge below would otherwise re-run that
+        # Python read path (4 versions x 2 probes x merge sources).
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            s = batch_df.sparkSession
+            gold = VersionedTable(gold_dir, partition_col="pbucket")
+            versions = sorted(
+                r[0]
+                for r in batch_df.select(_COMMIT_VERSION).distinct().collect()
             )
-            if ups.limit(1).count():
-                gold.merge(s, ups, ["event_id"], txn=("gold", v))
-            dels = (
-                sub.where(F.col(_CHANGE_TYPE) == "delete")
-                .select("event_id")
-                .distinct()
-            )
-            if dels.limit(1).count():
-                gold.delete_keys(s, dels)
+            for v in versions:
+                sub = batch_df.where(F.col(_COMMIT_VERSION) == v)
+                ups = (
+                    sub.where(
+                        F.col(_CHANGE_TYPE).isin("insert", "update_postimage")
+                    )
+                    .drop(_CHANGE_TYPE, _COMMIT_VERSION, "pbucket")
+                    .withColumn(
+                        "pbucket", (F.col("user_id") % 4).cast("int")
+                    )
+                )
+                if ups.limit(1).count():
+                    gold.merge(s, ups, ["event_id"], txn=("gold", v))
+                dels = (
+                    sub.where(F.col(_CHANGE_TYPE) == "delete")
+                    .select("event_id")
+                    .distinct()
+                )
+                if dels.limit(1).count():
+                    gold.delete_keys(s, dels)
+        finally:
+            batch_df.unpersist()
 
     q = (
         read_change_feed(spark, bronze.path)

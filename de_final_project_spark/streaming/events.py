@@ -195,6 +195,8 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_final_project_spark.session import scratch_dir
     from de_final_project_spark.sources.readers import read_testdata
 
+    from de_final_project_spark.session import stream_state_partitions
+
     ev = read_testdata(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -204,9 +206,13 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    cut = ev.agg(
-        F.expr("percentile_approx(ts, 0.5)").alias("cut")
-    ).collect()[0]["cut"]
+    # one action: the replay cut AND the row count that sizes the
+    # stream's state partitions (session.stream_state_partitions)
+    _agg = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("cut"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    cut, n_rows = _agg["cut"], _agg["n"]
     # Fixed scratch path + fixed sink name: repeated invocations reuse
     # (and first wipe) one replay dir and replace one memory-sink view
     # instead of accumulating per-run orphans (ADVICE r5). Invocations
@@ -227,15 +233,16 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = "hourly_streamed_sink"
     spark.catalog.dropTempView(sink)
-    q = (
-        hourly_rollup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark, n_rows):
+        q = (
+            hourly_rollup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("hour", "event_type")
@@ -274,6 +281,8 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_final_project_spark.session import scratch_dir
     from de_final_project_spark.sources.readers import read_testdata
 
+    from de_final_project_spark.session import stream_state_partitions
+
     ev = read_testdata(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -281,9 +290,11 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    cut = ev.agg(
-        F.expr("percentile_approx(ts, 0.5)").alias("cut")
-    ).collect()[0]["cut"]
+    _agg = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("cut"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    cut, n_rows = _agg["cut"], _agg["n"]
     src = scratch_dir("ssjoin_replay")
     ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
         os.path.join(src, "a")
@@ -299,15 +310,19 @@ def purchase_view_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = "ssjoin_streamed_sink"
     spark.catalog.dropTempView(sink)
-    q = (
-        purchases_with_recent_views_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The stream-stream interval join keeps FOUR state stores per
+    # partition; volume-sized partitions cut its per-batch store-commit
+    # tax (measured 13.4 -> 7.5 s at sf0.1, identical results).
+    with stream_state_partitions(spark, n_rows):
+        q = (
+            purchases_with_recent_views_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "purchase_id",
         "user_id",

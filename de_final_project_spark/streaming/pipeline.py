@@ -157,9 +157,18 @@ def stream_merge_into(
     def process(batch_df, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        if batch_df.isEmpty():
-            return
-        table.merge(batch_df.sparkSession, batch_df, keys, txn=(app_id, batch_id))
+        # Persist the transformed batch: the isEmpty probe and the
+        # merge otherwise each re-run the transform (cell assignment /
+        # PQ encoding) over the batch. O(batch) blocks, released below.
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            table.merge(
+                batch_df.sparkSession, batch_df, keys, txn=(app_id, batch_id)
+            )
+        finally:
+            batch_df.unpersist()
         if auto_compact_files is not None:
             table.auto_compact(
                 batch_df.sparkSession, max_files=auto_compact_files

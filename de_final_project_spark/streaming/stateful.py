@@ -234,6 +234,12 @@ def event_transitions_streamed(spark, sf_dir: str) -> DataFrame:
     )
     sink = "transitions_streamed_sink"
     spark.catalog.dropTempView(sink)
+    # NOTE deliberately NOT volume-sized (session.stream_state_partitions):
+    # this operator's per-partition cost is the Python state function
+    # itself (a per-row loop), so fewer partitions = less parallelism —
+    # measured 4.6 s at 32 state partitions vs 9.5 s volume-sized at
+    # sf0.1. The JVM-stateful replays (window agg, interval join) have
+    # the opposite profile and DO size from volume.
     q = (
         user_transitions_stateful(stream)
         .writeStream.format("memory")
