@@ -165,6 +165,18 @@ class IncrementalPostingIndex:
         if self.postings.latest_version() is None:
             self.postings.overwrite(new_post, txn=(_BMIDX_APP, base_v))
             self.doclens.overwrite(new_dl, txn=(_BMIDX_APP, base_v))
+        elif insert_only:
+            # Control-plane-proven insert-only window: every posting
+            # key (doc_id, term) and doclen key (doc_id) is NEW (append
+            # commits carry unique doc_ids — the contract the tombstone
+            # skip already rides), so the MERGEs' matched clauses can
+            # never fire and their full-outer rewrites of touched
+            # buckets would be the identity on stored rows. Commit both
+            # deltas as pointer-list APPENDs: O(batch) staging, zero
+            # stored-index IO; auto_compact below bounds the pointer
+            # lists a steady append diet accumulates (guide §1.2).
+            self.postings.append(new_post, txn=(_BMIDX_APP, base_v))
+            self.doclens.append(new_dl, txn=(_BMIDX_APP, base_v))
         else:
             src = new_post
             # Insert-only batches (the common append corpus) skip the

@@ -1857,6 +1857,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
         moving_keys: bool = False,
+        probe_no_match: bool = False,
         _cm: dict | None = None,
     ) -> int:
         """Keyed upsert with touched-partition granularity. By default
@@ -1892,7 +1893,21 @@ class VersionedTable:
         name with missing columns allowed, so old files never need a
         rewrite — additive evolution only). Default False: schema
         drift fails loudly, because silent widening is how a typo'd
-        producer forks a table."""
+        producer forks a table.
+
+        ``probe_no_match=True`` is the insert-heavy hint (guide §1.2:
+        use what you know that the optimizer does not): before
+        rewriting touched partitions, one KEY-COLUMN-pruned semi-join
+        probe checks whether any delta key exists in them. If none
+        does, the upsert IS an insert — the delta commits as a
+        pointer-list append (op ``append``), touched partitions are
+        never read in full and never rewritten. The probe is strictly
+        cheaper than the rewrite it avoids (same partitions, key
+        columns only); when keys DO match, its cost is one pruned scan
+        and the normal rewrite follows — results are identical either
+        way, so the flag only ever changes the plan. Callers whose
+        deltas are typically all-new keys (event/vector ingest sinks)
+        should pass it."""
         keys = list(keys)
         if _cm is None:
             delta, _cm = self._prep_write(delta)
@@ -1921,7 +1936,7 @@ class VersionedTable:
         try:
             return self._merge_staged(
                 spark, delta, keys, txn, merge_schema, moving_keys,
-                _cm, base_version, entry,
+                _cm, base_version, entry, probe_no_match,
             )
         finally:
             delta.unpersist()
@@ -1937,6 +1952,7 @@ class VersionedTable:
         _cm: dict | None,
         base_version: int,
         entry: dict,
+        probe_no_match: bool = False,
     ) -> int:
         if self.partition_col:
             touched = sorted(
@@ -2009,6 +2025,31 @@ class VersionedTable:
             {p: e for p, e in entry["live"].items() if p in set(touched)},
             entry,
         )
+        pointer_append = False
+        if (
+            probe_no_match
+            and current is not None
+            and not moving_keys
+            and not new_cols
+        ):
+            # Insert-heavy hint: one key-pruned semi-join probe over the
+            # touched partitions. Zero matches -> the upsert IS an
+            # insert; commit the staged delta as a pointer-list append
+            # and never read (or rewrite) the stored rows at all.
+            has_match = (
+                current.select(*keys)
+                .join(
+                    F.broadcast(delta.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not has_match:
+                pointer_append = True
+                current = None
         if current is not None:
             delta_keys = F.broadcast(delta.select(*keys).distinct())
             survivors = current.join(delta_keys, keys, "left_anti")
@@ -2090,12 +2131,19 @@ class VersionedTable:
             # (touched came from delta's distinct), so _stage created
             # its dir; a KeyError here would be a real invariant break.
             for p in touched:
-                live[p] = {
+                ptr = {
                     "commit_dir": rel,
                     "part_dir": parts[p],
                     "v": head + 1,
                     **({"files": files[p]} if files else {}),
                 }
+                if pointer_append:
+                    # no-match fast path: existing pointers stay live,
+                    # the staged delta joins their list (append's
+                    # O(new-data) commit shape)
+                    live[p] = _ptrs(live[p]) + [ptr] if p in live else ptr
+                else:
+                    live[p] = ptr
             applied = dict(head_entry.get("txn", {}))
             if txn is not None:
                 if applied.get(txn[0], -1) >= txn[1]:
@@ -2104,7 +2152,10 @@ class VersionedTable:
             new_entry = {
                 "version": head + 1,
                 "ts": time.time(),
-                "op": "merge",
+                # the no-match fast path committed a pure insert — say
+                # so: downstream window_ops insert-only proofs get to
+                # stay metadata-only through this commit
+                "op": "append" if pointer_append else "merge",
                 "live": live,
                 "touched": touched,
                 "txn": applied,

@@ -557,7 +557,18 @@ def streamed_gold_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 if ups.limit(1).count():
-                    gold.merge(s, ups, ["event_id"], txn=("gold", v))
+                    # Control-plane insert-only proof per version: the
+                    # bronze log's op for v (a metadata read) says
+                    # whether these rows are pure inserts — v1's
+                    # initial load and append commits carry all-new
+                    # event_ids (unique-keyed producer contract), so
+                    # the gold MERGE's rewrite would be the identity on
+                    # stored rows; land them as a pointer-list append
+                    # instead. Update postimages keep the real MERGE.
+                    if v == 1 or bronze.window_ops(v - 1, v) == ["append"]:
+                        gold.append(ups, txn=("gold", v))
+                    else:
+                        gold.merge(s, ups, ["event_id"], txn=("gold", v))
                 dels = (
                     sub.where(F.col(_CHANGE_TYPE) == "delete")
                     .select("event_id")

@@ -132,6 +132,7 @@ def stream_merge_into(
     app_id: str = "stream_merge",
     transform=None,
     auto_compact_files: int | None = 8,
+    probe_no_match: bool = False,
 ) -> None:
     """Continuously MERGE a stream into a VersionedTable — the CDC-style
     upsert sink (streaming keyed dedup -> transactional gold table).
@@ -152,6 +153,12 @@ def stream_merge_into(
     (no-op unless some live set reaches the threshold; None disables) —
     a long-lived streamed table otherwise accumulates file debt across
     thousands of micro-batches (VERDICT r11 item 5).
+
+    ``probe_no_match=True`` forwards the table MERGE's insert-heavy
+    hint: an ingest stream whose batches carry all-new keys (vector /
+    event ids) commits each batch as a pointer-list append after one
+    key-pruned probe, instead of rewriting every touched partition —
+    identical results, O(batch) IO per micro-batch.
     """
 
     def process(batch_df, batch_id: int) -> None:
@@ -165,7 +172,8 @@ def stream_merge_into(
             if batch_df.isEmpty():
                 return
             table.merge(
-                batch_df.sparkSession, batch_df, keys, txn=(app_id, batch_id)
+                batch_df.sparkSession, batch_df, keys,
+                txn=(app_id, batch_id), probe_no_match=probe_no_match,
             )
         finally:
             batch_df.unpersist()
@@ -328,6 +336,10 @@ def streamed_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
         app_id="streamed_ivf_index",
         transform=assign,
+        # replayed vector ingest: batches carry all-new vec_ids, so the
+        # MERGE's no-match probe turns every touched-cell rewrite into
+        # a pointer-list append (results identical; see stream_merge_into)
+        probe_no_match=True,
     )
     return table.read(spark).select(
         "vec_id", F.col("cell").cast("long").alias("cell")
@@ -424,6 +436,8 @@ def _stream_pq_index(spark: SparkSession, emb: DataFrame, root: str):
         checkpoint_dir=os.path.join(root, "ckpt"),
         app_id="streamed_ivfpq_index",
         transform=encode,
+        # same all-new-vec_id ingest shape as streamed_ivf_index
+        probe_no_match=True,
     )
     return table, centroids, cb, cut
 

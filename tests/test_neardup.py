@@ -407,3 +407,37 @@ def test_band_index_buckets_prune_probe_and_merge(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_insert_only_refresh_commits_append(spark, tmp_path):
+    """r12 optimization pin: a control-plane-proven insert-only window
+    lands the new band rows as a pointer-list APPEND — zero stored-index
+    IO — and the index contents still equal a fresh rebuild."""
+    from de_final_project_spark.operators.neardup import (
+        IncrementalNearDupIndex,
+    )
+    from de_final_project_spark.operators.txlog import VersionedTable
+    from de_final_project_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.001", "documents")
+    bronze = VersionedTable(str(tmp_path / "docs"))
+    bronze.overwrite(docs.where(F.col("doc_id") % 10 < 7))
+    idx = IncrementalNearDupIndex(bronze, str(tmp_path / "nd"))
+    idx.refresh(spark)
+    bronze.append(docs.where(F.col("doc_id") % 10 >= 7))
+    r = idx.refresh(spark)
+    assert r["mode"] == "delta"
+    ops = [h["op"] for h in idx.index.history()]
+    # build overwrite + insert-only append (+ possible auto-compacts)
+    assert "append" in ops and "merge" not in ops
+    fresh = IncrementalNearDupIndex(bronze, str(tmp_path / "nd2"))
+    fresh.refresh(spark)
+    got = {
+        (x["doc_id"], x["band_idx"], x["band_hash"])
+        for x in idx.index.read(spark).collect()
+    }
+    want = {
+        (x["doc_id"], x["band_idx"], x["band_hash"])
+        for x in fresh.index.read(spark).collect()
+    }
+    assert got == want

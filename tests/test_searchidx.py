@@ -243,3 +243,19 @@ def test_lifecycle_bounded_files_over_many_refreshes(spark, setup):
         for r_ in fresh.bm25_topk(spark, ("join", "hash")).collect()
     ]
     assert served == fresh_served
+
+
+def test_insert_only_refresh_commits_append(spark, setup):
+    """r12 optimization pin: an all-append docs window commits the new
+    postings/doclens as pointer-list APPENDs (no touched-bucket
+    rewrite), and the served BM25 state matches the batch recompute
+    (covered by the equality test above; here we pin the commit op)."""
+    t, idx = setup
+    t.append(_docs(spark, [(11, "quasar quasar pulsar")]))
+    r = idx.refresh(spark)
+    assert r["mode"] == "delta"
+    assert [h["op"] for h in idx.postings.history()][-1] == "append"
+    assert [h["op"] for h in idx.doclens.history()][-1] == "append"
+    # postings for the new doc are served through the pointer list
+    got = {r_.doc_id for r_ in idx.bm25_topk(spark, ("quasar",), 5).collect()}
+    assert got == {11}

@@ -2763,3 +2763,58 @@ class TestMovingKeysMerge:
             (r["id"], r["s"], r["pb"]) for r in t.read(spark).collect()
         )
         assert got == [(1, "a", 3), (2, "B", 3), (3, "c", 5)]
+
+
+def test_merge_probe_no_match_appends_pointers(spark, table_factory):
+    """probe_no_match: an all-new-key delta lands as a pointer-list
+    append (op 'append', existing pointers untouched), a matching delta
+    falls back to the rewrite — identical table contents either way."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    e0 = t._read_entry(t.latest_version())["live"]
+    # disjoint keys -> pointer append
+    t.merge(
+        spark,
+        _mk(spark, [(3, "c", 0), (4, "d", 1)]),
+        ["id"],
+        probe_no_match=True,
+    )
+    head = t.latest_version()
+    entry = t._read_entry(head)
+    assert entry["op"] == "append"
+    # the prior pointers are still live (list-extended, not replaced)
+    for p, old in e0.items():
+        ptrs = txlog._ptrs(entry["live"][p])
+        assert txlog._ptrs(old)[0] in ptrs and len(ptrs) == 2
+    assert _rows(t.read(spark)) == {1: "a", 2: "b", 3: "c", 4: "d"}
+    # overlapping keys -> the probe finds a match, normal rewrite
+    t.merge(
+        spark,
+        _mk(spark, [(4, "D", 1), (5, "e", 1)]),
+        ["id"],
+        probe_no_match=True,
+    )
+    assert t._read_entry(t.latest_version())["op"] == "merge"
+    assert _rows(t.read(spark)) == {
+        1: "a", 2: "b", 3: "c", 4: "D", 5: "e",
+    }
+
+
+def test_merge_probe_no_match_unpartitioned_and_txn(spark, table_factory):
+    t = table_factory("t")
+    t.overwrite(_mk(spark, [(1, "a", 0)]))
+    v = t.merge(
+        spark, _mk(spark, [(2, "b", 0)]), ["id"],
+        txn=("app", 7), probe_no_match=True,
+    )
+    assert t._read_entry(v)["op"] == "append"
+    assert t._read_entry(v)["txn"] == {"app": 7}
+    # idempotent replay is still a no-op
+    assert (
+        t.merge(
+            spark, _mk(spark, [(2, "XX", 0)]), ["id"],
+            txn=("app", 7), probe_no_match=True,
+        )
+        == v
+    )
+    assert _rows(t.read(spark)) == {1: "a", 2: "b"}
