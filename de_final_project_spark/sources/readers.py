@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 from de_final_project_spark.schemas import SOURCE_SCHEMAS
 
+# read_testdata's inferred-schema memo: (path, mtime, nanos-conf) ->
+# StructType. See the function's note; bounded by the handful of
+# testdata tables x sf dirs a process touches.
+_TESTDATA_SCHEMAS: dict[tuple, object] = {}
+
 # Column injected on bronze reads to give keep-latest dedup a total order
 # even when last_updated ties (the reference relied on pandas positional
 # keep='last' after concatenating files in S3 listing order —
@@ -96,7 +101,22 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         "spark.sql.legacy.parquet.nanosAsLong", "false"
     ) != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # Schema memo: the testdata files are immutable inputs read by every
+    # query, and schema inference costs a per-call driver footer read
+    # (~0.1 s). Key on mtime so a regenerated file re-infers; key on the
+    # NANOS conf because it changes the inferred type of events.ts.
+    key = (
+        path,
+        os.path.getmtime(path),
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+    )
+    sch = _TESTDATA_SCHEMAS.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _TESTDATA_SCHEMAS[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

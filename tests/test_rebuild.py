@@ -159,3 +159,22 @@ def test_incremental_rollup_merges_partials_losslessly(spark):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_read_testdata_schema_memo(spark):
+    """r12 optimization pin: read_testdata's schema memo returns the
+    same frame on a memo hit as on first inference — including the
+    events NANOS->timestamp conversion, which depends on a session conf
+    that is part of the memo key."""
+    from de_final_project_spark.sources import readers
+
+    sf = "/root/testdata/sf0.001"
+    readers._TESTDATA_SCHEMAS.clear()
+    a = readers.read_testdata(spark, sf, "events")
+    n0 = len(readers._TESTDATA_SCHEMAS)
+    assert n0 >= 1
+    b = readers.read_testdata(spark, sf, "events")  # memo hit
+    assert len(readers._TESTDATA_SCHEMAS) == n0
+    assert a.schema == b.schema
+    assert dict(b.dtypes)["ts"].startswith("timestamp")
+    assert a.count() == b.count() > 0

@@ -2818,3 +2818,32 @@ def test_merge_probe_no_match_unpartitioned_and_txn(spark, table_factory):
         == v
     )
     assert _rows(t.read(spark)) == {1: "a", 2: "b"}
+
+
+def test_commit_scan_schema_memo(spark, table_factory):
+    """r12 optimization pin: the commit-dir schema memo serves later
+    scans without re-inference and never changes what a read returns —
+    including across additive schema evolution, where each commit dir
+    keeps its own schema."""
+    t = table_factory("t", partition_col="pb")
+    t.overwrite(_mk(spark, [(1, "a", 0), (2, "b", 1)]))
+    before = dict(txlog._COMMIT_SCHEMAS)
+    r1 = _rows(t.read(spark))
+    # the read populated the memo for this table's commit dirs
+    new_keys = [k for k in txlog._COMMIT_SCHEMAS if k not in before]
+    assert any(k[0] == t.path for k in new_keys)
+    # second read serves from the memo (no new keys) and is identical
+    n_after = len(txlog._COMMIT_SCHEMAS)
+    assert _rows(t.read(spark)) == r1 == {1: "a", 2: "b"}
+    assert len(txlog._COMMIT_SCHEMAS) == n_after
+    # additive evolution: the widened commit caches its own schema and
+    # old commits still read through theirs (null-filled union)
+    wide = spark.createDataFrame(
+        [(3, "c", 0, 9.5)], "id long, s string, pb long, x double"
+    )
+    t.merge(spark, wide, ["id"], merge_schema=True)
+    got = {
+        (r["id"], r["s"], r["x"])
+        for r in t.read(spark).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
