@@ -898,6 +898,14 @@ def _recall_rows(
 ) -> DataFrame:
     """Per-(method, query) recall@k of each approximate result set
     against a persisted (query_id, neighbor_id) ground truth."""
+    # Materialize the persisted truth BEFORE fanning out: it is
+    # referenced twice per method below, those references ride
+    # broadcast subtrees, and concurrent broadcast-build jobs over a
+    # not-yet-filled cache EACH recompute the brute-force ground truth
+    # (measured on ann_recall_ivfpq: seven concurrent ~4.5 s builds of
+    # the same subtree; job-duration sum exceeded wall). One count
+    # fills the cache once and every consumer reads it.
+    truth.count()
     k_per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
 
     def recall(method: str, approx: DataFrame) -> DataFrame:
@@ -1788,16 +1796,18 @@ def _ivfpq_adc_topk(
     centroids: list[list[int]],
     cb: list[list[list[int]]],
     nprobe: int = N_PROBE,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Top-K by PQ approximate distance alone (no exact re-rank) —
-    the cheapest, lossiest operating point of the composed index."""
+    the cheapest, lossiest operating point of the composed index.
+    ``codes`` forwards _ivfpq_candidates' pre-encoded index frame."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        _ivfpq_candidates(qdf, centroids, cb, nprobe)
+        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "approx_dist")
@@ -1903,12 +1913,22 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bruteforce_topk(emb).select("query_id", "neighbor_id"),
         "clustered_ann",
     )
+    # One shared encode: the adc and rerank arms both scan the corpus's
+    # PQ codes against the SAME codebook — encoding once (persisted)
+    # instead of once per arm (guide §1.2: don't compute things twice).
+    codes = scoped_persist(
+        _pq_encode_residuals(_residual_frame(qdf, centroids), cb),
+        "clustered_ann",
+    )
     return _recall_rows(
         truth,
         [
             ("ivf_exact", _ivf_trained_topk(emb, qdf, centroids)),
-            ("ivfpq_adc", _ivfpq_adc_topk(qdf, centroids, cb)),
-            ("ivfpq_rerank", _ivfpq_rerank_topk(emb, qdf, centroids, cb)),
+            ("ivfpq_adc", _ivfpq_adc_topk(qdf, centroids, cb, codes=codes)),
+            (
+                "ivfpq_rerank",
+                _ivfpq_rerank_topk(emb, qdf, centroids, cb, codes=codes),
+            ),
         ],
     )
 
@@ -2451,10 +2471,21 @@ def ann_recall_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_rows(
         truth,
         [
-            ("ivfpq_adc_seed", _ivfpq_adc_topk(qdf, centroids, seed_cb)),
+            # each arm encodes against ITS codebook, but both reuse the
+            # persisted residual frame instead of re-deriving it
+            (
+                "ivfpq_adc_seed",
+                _ivfpq_adc_topk(
+                    qdf, centroids, seed_cb,
+                    codes=_pq_encode_residuals(res, seed_cb),
+                ),
+            ),
             (
                 "ivfpq_adc_trained",
-                _ivfpq_adc_topk(qdf, centroids, trained_cb),
+                _ivfpq_adc_topk(
+                    qdf, centroids, trained_cb,
+                    codes=_pq_encode_residuals(res, trained_cb),
+                ),
             ),
         ],
     )
