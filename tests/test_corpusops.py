@@ -360,3 +360,60 @@ def test_pagerank_reliable_checkpoint_identical(spark, tmp_path):
         ).collect()
     }
     assert got_rel == got_local
+
+
+def test_loop_rounds_reuse_src_partitioning(spark):
+    """r12 optimization pin: with the loop-invariant edge state cached
+    hash-partitioned by src, one H-index round plans WITHOUT a fresh
+    exchange above the cache scan — the window and aggregate reuse the
+    cached partitioning (the k-core degree round shares the shape)."""
+    from pyspark.sql.window import Window
+
+    edges = co.copurchase_edges(spark, SF_DIR).repartition("src").persist()
+    try:
+        edges.count()
+        cur = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("c"))
+        rnd = (
+            edges.join(
+                F.broadcast(cur).withColumnRenamed("node", "dst"), "dst"
+            )
+            .select("src", "c")
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("src")
+            .agg(
+                F.max(
+                    F.least(F.col("rk").cast("long"), F.col("c"))
+                ).alias("c")
+            )
+        )
+        p = _plan(rnd)
+        # the window/agg sit directly on the cached scan: the only
+        # shuffle reading the cache would be an Exchange whose child
+        # subtree contains the InMemoryTableScan on the STREAM side —
+        # assert the stream-side path Window <- ... <- InMemoryTableScan
+        # crosses no Exchange. Structurally: every Exchange in the plan
+        # belongs to the broadcast `cur` subtree, so the number of
+        # shuffle exchanges equals the number inside that subtree and
+        # the Window's child chain down to the scan is exchange-free.
+        head = p.split("== Physical Plan ==")[1]
+        tree = [
+            ln for ln in head.splitlines()
+            if "(" in ln and ln.strip().startswith(("+", ":", "*", "A", "W", "H", "E", "I", "B", "S", "C", "P", "F"))
+        ]
+        # walk from the Window line down the LAST (stream) branch to the
+        # InMemoryTableScan; fail if an Exchange sits between them
+        started = False
+        for ln in tree:
+            name = ln.split("(")[0]
+            if "Window" in name:
+                started = True
+                continue
+            if started:
+                if "InMemoryTableScan" in ln:
+                    break
+                assert "Exchange" not in name or "BroadcastExchange" in name, p
+    finally:
+        edges.unpersist()
