@@ -207,12 +207,14 @@ def test_lifecycle_bounded_files_over_many_refreshes(spark, setup):
             table.path,
             counts,
         )
-    # MERGE rewrites its touched pointers wholesale, so live sets stay
-    # compact without the policy firing here — the policy's job on this
-    # index is the backstop (append-fed tables like the near-dup
-    # verdicts DO trigger it: test_txlog.py's auto_compact cycle).
+    # r12: insert-only windows land as pointer-list APPENDS (no
+    # touched-bucket rewrite), so on a 20-append diet the live sets are
+    # bounded BY the auto_compact policy — it must actually fire, and
+    # the bound assertions above prove it kept every set under the
+    # threshold. (Pre-r12 the MERGE rewrote pointers wholesale and the
+    # policy never engaged here; that regime is gone by design.)
     ops = [h["op"] for h in idx.doclens.history()]
-    assert "compact" not in ops and "compact_parts" not in ops, ops
+    assert "compact" in ops or "compact_parts" in ops, ops
     # answers byte-identical across the compactions: a fresh index over
     # the same docs head serves the same postings/doclens relations
     fresh = IncrementalPostingIndex(t, idx.postings.path + "_fresh")
