@@ -57,7 +57,7 @@ def _fold_dots(A, B, ia, ib, dim: int):
 _GRAM_BUDGET = 1 << 24
 
 
-def _gram_pairs(A, B, ida, idb, dim: int, na=None, nb=None):
+def _gram_pairs(A, B, ida, idb, dim: int, na=None, nb=None, both=False):
     """All (ida[i] < idb[j]) pairs scored by the exact d-order fold —
     computed as a Gram-matrix accumulation ``G += outer(A[:,d], B[:,d])``
     for d ascending. Each G[i,j] performs the IDENTICAL sequence of
@@ -67,7 +67,15 @@ def _gram_pairs(A, B, ida, idb, dim: int, na=None, nb=None):
     two pairs×dim row copies (measured 5-8 s → sub-second on ~2M-pair
     blocks, OPTIMIZATION r12). Column-chunked so the accumulator stays
     bounded for any block size. Returns (ia, jb, dots) global indices
-    into A/B rows."""
+    into A/B rows.
+
+    ``both=True`` additionally returns the REVERSE-orientation pairs
+    (ida[i] > idb[j]) selected from the SAME accumulated G — IEEE
+    multiply commutes bit-exactly and the d-order add sequence is one
+    and the same matrix cell, so G[i,j] equals the fold in either
+    operand order; the Gram (the m_a·m_b·dim flops) is paid once for
+    both directions (OPTIMIZATION r13). Return shape becomes
+    (ia, jb, dots, ia_rev, jb_rev, dots_rev)."""
     import numpy as np
 
     m_a, m_b = A.shape[0], B.shape[0]
@@ -75,28 +83,42 @@ def _gram_pairs(A, B, ida, idb, dim: int, na=None, nb=None):
     out_i: list = []
     out_j: list = []
     out_d: list = []
+    rev_i: list = []
+    rev_j: list = []
+    rev_d: list = []
     for c0 in range(0, m_b, chunk):
         c1 = min(m_b, c0 + chunk)
         G = np.zeros((m_a, c1 - c0), dtype="float64")
         for d in range(dim):
             G += A[:, d][:, None] * B[c0:c1, d][None, :]
         ia, jb = np.nonzero(ida[:, None] < idb[None, c0:c1])
-        if len(ia) == 0:
-            continue
-        dots = G[ia, jb]
-        if na is not None:
-            dots = dots / (na[ia] * nb[jb + c0])
-        out_i.append(ia)
-        out_j.append(jb + c0)
-        out_d.append(dots)
-    if not out_i:
-        z = np.zeros(0, dtype="int64")
-        return z, z, np.zeros(0, dtype="float64")
-    return (
-        np.concatenate(out_i),
-        np.concatenate(out_j),
-        np.concatenate(out_d),
-    )
+        if len(ia):
+            dots = G[ia, jb]
+            if na is not None:
+                dots = dots / (na[ia] * nb[jb + c0])
+            out_i.append(ia)
+            out_j.append(jb + c0)
+            out_d.append(dots)
+        if both:
+            ra, rb = np.nonzero(ida[:, None] > idb[None, c0:c1])
+            if len(ra):
+                rdots = G[ra, rb]
+                if na is not None:
+                    rdots = rdots / (na[ra] * nb[rb + c0])
+                rev_i.append(ra)
+                rev_j.append(rb + c0)
+                rev_d.append(rdots)
+
+    def _cat(i, j, d):
+        if not i:
+            z = np.zeros(0, dtype="int64")
+            return z, z, np.zeros(0, dtype="float64")
+        return np.concatenate(i), np.concatenate(j), np.concatenate(d)
+
+    fwd = _cat(out_i, out_j, out_d)
+    if not both:
+        return fwd
+    return fwd + _cat(rev_i, rev_j, rev_d)
 
 
 def _fold_norms(A, dim: int):
@@ -162,6 +184,99 @@ def pair_dots_within(
         return pd.DataFrame(out)
 
     return df.groupBy(*keys).applyInPandas(score, schema=schema)
+
+
+def pair_dots_update(
+    stored: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "u",
+) -> DataFrame:
+    """Every (a_id < b_id) pair INVOLVING at least one ``new``-side row,
+    blocked on ``keys`` — the one-pass form of the incremental-dedup
+    keep rule's two directions (OPTIMIZATION r13):
+
+    - pairs whose LATER (b) side is new — the "is the arrival dropped?"
+      direction (b may have a stored or in-batch smaller-id neighbor);
+    - pairs whose later side is STORED and earlier side is new — the
+      "does a late small-id arrival revoke an earlier keep?" direction.
+
+    The two sets are disjoint and their union is exactly {a < b : a or
+    b new} (stored-stored pairs were judged when their later member
+    arrived — they are never re-scored). Output adds ``b_new`` so the
+    caller splits the directions without a join.
+
+    Exactness: the stored×new Gram is accumulated ONCE (A=stored,
+    B=new, d ascending) and serves both orientations — IEEE multiply
+    commutes bit-exactly and the d-order accumulation sequence is
+    identical, so G[i,j] equals both fold(stored_i·new_j) and
+    fold(new_j·stored_i); the new×new pairs use the same upper-triangle
+    Gram as pair_dots_within. Values are bit-equal to two
+    pair_dots_between calls (pinned by test)."""
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"`{k}` {dict(stored.dtypes)[k]}" for k in keys]
+        + ["a_id bigint", "b_id bigint", "_dot double", "b_new boolean"]
+    )
+    # positional access + toDF re-projection: same analyzer hazards as
+    # pair_dots_between (shared-lineage cogroup sides).
+    stored = stored.select(*keys, id_col, vec_col)
+    new = new.select(*keys, id_col, vec_col)
+    id_pos, vec_pos = len(keys), len(keys) + 1
+
+    def score(
+        key, spdf: "pd.DataFrame", npdf: "pd.DataFrame"
+    ) -> "pd.DataFrame":
+        import numpy as np
+
+        cols = keys + ["a_id", "b_id", "_dot", "b_new"]
+        empty = pd.DataFrame({c: [] for c in cols})
+        if len(npdf) == 0:
+            return empty
+        idn = npdf.iloc[:, id_pos].to_numpy()
+        N = _mat(npdf.iloc[:, vec_pos].to_numpy())
+        dim = N.shape[1]
+        outs = []
+        if len(spdf) > 0:
+            ids = spdf.iloc[:, id_pos].to_numpy()
+            S = _mat(spdf.iloc[:, vec_pos].to_numpy())
+            # ONE stored×new Gram; both orientations select from it
+            i_sn, j_sn, d_sn, i_ns, j_ns, d_ns = _gram_pairs(
+                S, N, ids, idn, dim, both=True
+            )
+            if len(i_sn):
+                # stored earlier (a), new later (b)
+                outs.append((ids[i_sn], idn[j_sn], d_sn, True))
+            if len(i_ns):
+                # new earlier (a), stored later (b): same G cells,
+                # operand order commutes bit-exactly
+                outs.append((idn[j_ns], ids[i_ns], d_ns, False))
+        # within-batch pairs: the later side is new by construction
+        order = np.argsort(idn, kind="stable")
+        Ns, idns = N[order], idn[order]
+        i_nn, j_nn, d_nn = _gram_pairs(Ns, Ns, idns, idns, dim)
+        if len(i_nn):
+            outs.append((idns[i_nn], idns[j_nn], d_nn, True))
+        if not outs:
+            return empty
+        out = {k: [key[i]] * sum(len(o[0]) for o in outs)
+               for i, k in enumerate(keys)}
+        out["a_id"] = np.concatenate([o[0] for o in outs])
+        out["b_id"] = np.concatenate([o[1] for o in outs])
+        out["_dot"] = np.concatenate([o[2] for o in outs])
+        out["b_new"] = np.concatenate(
+            [np.full(len(o[0]), o[3]) for o in outs]
+        )
+        return pd.DataFrame(out)
+
+    return (
+        stored.toDF(*stored.columns)
+        .groupBy(*keys)
+        .cogroup(new.toDF(*new.columns).groupBy(*keys))
+        .applyInPandas(score, schema=schema)
+    )
 
 
 def pair_dots_between(

@@ -56,6 +56,40 @@ from de_final_project_spark.operators.txlog import EmptyChangeFeed, VersionedTab
 _APP_ID = "ivm"
 _N = "_ivm_n"  # hidden: live-row count per group (group liveness)
 
+# Rescan scan-pushdown bound: the affected-group key list is pushed
+# into the base read only when it collects under this many rows — the
+# predicate is control-plane-sized by construction (group keys, not
+# base rows), the cap just keeps a pathological high-cardinality GROUP
+# BY from building a megabyte IN-list.
+_RESCAN_PUSHDOWN_MAX_KEYS = 1024
+
+
+def _affected_in_predicate(affected, group_by) -> str | None:
+    """A SQL ``col IN (...)`` conjunction over the affected group keys,
+    or None when pushdown doesn't apply (too many keys, or a key type
+    that can't be rendered as a safe literal). Values are int/str only;
+    strings containing a quote abort (conservative — the semi-join
+    restriction still guarantees correctness without the pushdown)."""
+    rows = affected.limit(_RESCAN_PUSHDOWN_MAX_KEYS + 1).collect()
+    if len(rows) > _RESCAN_PUSHDOWN_MAX_KEYS:
+        return None
+    preds = []
+    for g in group_by:
+        lits = []
+        for v in sorted({r[g] for r in rows}):
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                return None
+            if isinstance(v, str):
+                if "'" in v:
+                    return None
+                lits.append(f"'{v}'")
+            else:
+                lits.append(str(v))
+        if not lits:
+            return None
+        preds.append(f"`{g}` IN ({', '.join(lits)})")
+    return " AND ".join(preds)
+
 
 def _nn(col: str) -> str:
     return f"_ivm_nn_{col}"  # hidden: non-null count for a SUM column
@@ -132,6 +166,10 @@ class IncrementalAggView:
         self.keys = list(keys)
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        # identity transform ⇒ the group keys are BASE columns, which
+        # licenses the rescan path to push the affected-key predicate
+        # into the base read (file-stats pruning + parquet pushdown)
+        self._identity_transform = transform is None
         self.transform = transform if transform is not None else (lambda df: df)
         self.mv = VersionedTable(path)
         # SUM/COUNT fold arithmetically; MIN/MAX/COUNT DISTINCT force
@@ -270,8 +308,24 @@ class IncrementalAggView:
         # committing between latest_version() and here must not leak
         # newer rows into a refresh stamped base_v (time travel makes
         # snapshot isolation free)
+        #
+        # Group-key scan pushdown (guide §6; VERDICT r12 item 5): with
+        # an identity transform the group keys are base columns, so the
+        # affected set — control-plane-sized, already persisted for the
+        # null probe — renders as an IN predicate pushed into the
+        # snapshot read: files whose logged min/max exclude every
+        # affected key are never opened (rescan I/O tracks churn on a
+        # group-clustered layout), and the surviving scan carries the
+        # predicate as a parquet PushedFilter for row-group skipping.
+        # The semi-join below stays as the exact restriction of record,
+        # so results are identical whether or not the pushdown fires.
+        where = (
+            _affected_in_predicate(affected, self.group_by)
+            if self._identity_transform
+            else None
+        )
         recomputed = (
-            self.transform(self.base.read(spark, version=base_v))
+            self.transform(self.base.read(spark, version=base_v, where=where))
             .join(affected, self.group_by, "left_semi")
             .groupBy(*self.group_by)
             .agg(*self._full_aggs())

@@ -416,32 +416,69 @@ class IncrementalSemDedup:
             .groupBy("cluster")
             .count(),
         )
-        # new verdicts: judged against stored ∪ batch smaller ids
-        dropped_new = self._dropped(
-            stored.unionByName(newrows.select("vec_id", "cluster", "u")),
-            newrows,
+        # BOTH keep-rule directions in ONE cogrouped pair stage
+        # (OPTIMIZATION r13): the stored×new Gram is accumulated once
+        # and serves "is the arrival dropped?" (b new) and "does a late
+        # small-id arrival revoke an earlier keep?" (b stored) — the
+        # two pair_dots_between calls this replaces each re-ran that
+        # Gram, and the flip frame additionally re-executed for its
+        # count and again inside the merge source. The thresholded id
+        # frame (churn-sized) is persisted so every consumer — the new
+        # verdicts, the flips, the flip count, the merge staging —
+        # reads one materialization. Values are bit-identical (IEEE
+        # multiply commutes; d-order accumulation unchanged — pinned
+        # by tests/test_pairs.py).
+        from de_final_project_spark.functions.pairs import pair_dots_update
+        from de_final_project_spark.session import run_concurrently
+
+        judged = (
+            pair_dots_update(
+                stored.select("vec_id", "cluster", "u"),
+                newrows.select("vec_id", "cluster", "u"),
+                ["cluster"],
+            )
+            .where(
+                F.round(F.col("_dot"), 6) >= SEMDEDUP_COSINE_THRESHOLD
+            )
+            .select("b_id", "b_new")
+            .distinct()
+            .persist()
+        )
+        dropped_new = judged.where(F.col("b_new")).select(
+            F.col("b_id").alias("vec_id")
         ).withColumn("_d", F.lit(True))
         new_verdicts = newrows.join(dropped_new, "vec_id", "left").select(
             "vec_id", "cluster", F.col("_d").isNull().alias("kept")
         )
         # flips: stored vectors revoked by smaller-id NEW arrivals
-        flip_ids = self._dropped(newrows, stored)
+        flip_ids = judged.where(~F.col("b_new")).select(
+            F.col("b_id").alias("vec_id")
+        )
         flips = (
             stored.join(flip_ids, "vec_id", "left_semi")
             .select("vec_id", "cluster", F.lit(False).alias("kept"))
         )
-        n_flips = flips.count()
-        self.verdicts.merge(
-            spark,
-            new_verdicts.unionByName(flips),
-            ["vec_id"],
-            txn=(_SD_APP, base_v),
-        )
-        self.index.append(
-            newrows.select("vec_id", "cluster", "u"), txn=(_SD_APP, base_v)
+        # stored vec_ids are unique (the dup probe refuses re-inserts),
+        # so |flips| == |flip_ids| — counted off the persisted id frame.
+        n_flips = flip_ids.count()
+        # the two commits land on DIFFERENT tables and read only
+        # persisted frames — overlap them so the second's staging
+        # back-fills the first's commit tail (guide §2.6)
+        run_concurrently(
+            lambda: self.verdicts.merge(
+                spark,
+                new_verdicts.unionByName(flips),
+                ["vec_id"],
+                txn=(_SD_APP, base_v),
+            ),
+            lambda: self.index.append(
+                newrows.select("vec_id", "cluster", "u"),
+                txn=(_SD_APP, base_v),
+            ),
         )
         out = {"mode": "delta", "from": applied, "to": base_v,
                "assigned": assigned, "flipped": n_flips}
+        judged.unpersist()
         newrows.unpersist()
         stored.unpersist()
         return out
@@ -488,13 +525,6 @@ class IncrementalSemDedup:
             )
             return (_SD_APP, base_v) if applied < base_v else None
 
-        self.cents.overwrite(
-            spark.createDataFrame(
-                [(j, [int(v) for v in c]) for j, c in enumerate(centroids)],
-                "j bigint, c array<bigint>",
-            ),
-            txn=_stamp(self.cents),
-        )
         rows = (
             _assign(qdf, centroids)
             .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
@@ -506,9 +536,26 @@ class IncrementalSemDedup:
         verdict = rows.join(dropped, "vec_id", "left").select(
             "vec_id", "cluster", F.col("_d").isNull().alias("kept")
         )
-        self.verdicts.overwrite(verdict, txn=_stamp(self.verdicts))
-        self.index.overwrite(
-            rows.select("vec_id", "cluster", "u"), txn=_stamp(self.index)
+        cents_df = spark.createDataFrame(
+            [(j, [int(v) for v in c]) for j, c in enumerate(centroids)],
+            "j bigint, c array<bigint>",
+        )
+        # three commits to three DIFFERENT tables off driver-local
+        # centroids and the persisted rows frame (the verdict branch's
+        # pair stage runs inside its own staging job) — overlapped so
+        # the index/centroid commits back-fill the verdict stage's tail
+        # (guide §2.6)
+        from de_final_project_spark.session import run_concurrently
+
+        run_concurrently(
+            lambda: self.cents.overwrite(cents_df, txn=_stamp(self.cents)),
+            lambda: self.verdicts.overwrite(
+                verdict, txn=_stamp(self.verdicts)
+            ),
+            lambda: self.index.overwrite(
+                rows.select("vec_id", "cluster", "u"),
+                txn=_stamp(self.index),
+            ),
         )
         qdf.unpersist()
         rows.unpersist()
@@ -622,7 +669,14 @@ def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = emb.where(F.col("vec_id") <= cut)
     batch_a = emb.where((F.col("vec_id") > cut) & (F.col("vec_id") <= q3))
     batch_b = emb.where(F.col("vec_id") > q3)
-    n_hist, n_a, n_b = history.count(), batch_a.count(), batch_b.count()
+    # one scan for all three cohort counts (was 3 jobs — §1.2)
+    n_hist, n_a, n_b = emb.agg(
+        F.sum((F.col("vec_id") <= cut).cast("long")),
+        F.sum(
+            ((F.col("vec_id") > cut) & (F.col("vec_id") <= q3)).cast("long")
+        ),
+        F.sum((F.col("vec_id") > q3).cast("long")),
+    ).first()
     bronze.overwrite(history)
     idx = IncrementalSemDedup(bronze, root)
     r1 = idx.refresh(spark)
@@ -714,7 +768,11 @@ def semdedup_drift_reoptimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: (x + F.lit(1.0)) / F.lit(2.0)
         ).alias("embedding"),
     )
-    n_hist, n_new = history.count(), drifted.count()
+    # one scan for both cohort counts (was 2 jobs — §1.2)
+    n_hist, n_new = emb.agg(
+        F.sum((F.col("vec_id") <= cut).cast("long")),
+        F.sum((F.col("vec_id") > cut).cast("long")),
+    ).first()
     bronze.overwrite(history)
     idx = IncrementalSemDedup(bronze, root)
     r1 = idx.refresh(spark)

@@ -1728,31 +1728,16 @@ def _pq_encode_residuals(
     return res.select("vec_id", "cell", F.array(*code_cols).alias("codes"))
 
 
-def _ivfpq_candidates(
-    qdf: DataFrame,
-    centroids: list[list[int]],
-    cb: list[list[list[int]]],
-    nprobe: int = N_PROBE,
-    codes: DataFrame | None = None,
+def _ivfpq_probes(
+    qdf: DataFrame, centroids: list[list[int]], nprobe: int = N_PROBE
 ) -> DataFrame:
-    """(query_id, neighbor_id, approx_dist): every corpus vector in a
-    probed trained cell, scored by the asymmetric PQ distance — the
-    query keeps its exact residual against each probed cell's centroid,
-    the candidate contributes only its PQ_M codes. The probe ranking is
-    the same exact integer grid distance the trainer used; the
-    candidate join is the cell equi-join (inverted lists ARE the
-    partitioning); codeword lookup is element_at into the broadcast
-    codebook literal — no float until the rerank.
-
-    ``codes`` (optional) supplies a pre-built (vec_id, cell, codes)
-    index frame — e.g. the streamed_ivfpq_index table read back — so a
-    MATERIALIZED index serves the identical query path without
-    re-encoding the corpus. Default: encode from ``qdf`` on the fly."""
+    """(query_id, cell, qr) for the N_QUERIES probe set: the nprobe
+    nearest trained cells per query plus the query's exact residual
+    against each probed centroid — the broadcast side of every IVF-PQ
+    candidate join. Factored out so A/B arms can build it once."""
     from de_final_project_spark.operators import kmeans as km
 
-    if codes is None:
-        codes = _pq_encode_residuals(_residual_frame(qdf, centroids), cb)
-    probes = (
+    return (
         km.with_centroids(qdf.where(F.col("vec_id") < N_QUERIES), centroids)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1770,6 +1755,37 @@ def _ivfpq_candidates(
             ).alias("qr"),
         )
     )
+
+
+def _ivfpq_candidates(
+    qdf: DataFrame,
+    centroids: list[list[int]],
+    cb: list[list[list[int]]],
+    nprobe: int = N_PROBE,
+    codes: DataFrame | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist): every corpus vector in a
+    probed trained cell, scored by the asymmetric PQ distance — the
+    query keeps its exact residual against each probed cell's centroid,
+    the candidate contributes only its PQ_M codes. The probe ranking is
+    the same exact integer grid distance the trainer used; the
+    candidate join is the cell equi-join (inverted lists ARE the
+    partitioning); codeword lookup is element_at into the broadcast
+    codebook literal — no float until the rerank.
+
+    ``codes`` (optional) supplies a pre-built (vec_id, cell, codes)
+    index frame — e.g. the streamed_ivfpq_index table read back — so a
+    MATERIALIZED index serves the identical query path without
+    re-encoding the corpus. Default: encode from ``qdf`` on the fly.
+    ``probes`` (optional) supplies a pre-built / persisted
+    (query_id, cell, qr) probe frame so several arms of an A/B share
+    ONE probe-assignment subtree instead of each broadcast build
+    recomputing it (guide §7.2 duplicated subtrees)."""
+    if codes is None:
+        codes = _pq_encode_residuals(_residual_frame(qdf, centroids), cb)
+    if probes is None:
+        probes = _ivfpq_probes(qdf, centroids, nprobe)
     cands = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(probes), "cell")
@@ -1797,17 +1813,19 @@ def _ivfpq_adc_topk(
     cb: list[list[list[int]]],
     nprobe: int = N_PROBE,
     codes: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Top-K by PQ approximate distance alone (no exact re-rank) —
     the cheapest, lossiest operating point of the composed index.
-    ``codes`` forwards _ivfpq_candidates' pre-encoded index frame."""
+    ``codes``/``probes`` forward _ivfpq_candidates' pre-built frames."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes)
+        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes,
+                          probes=probes)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "approx_dist")
@@ -1822,19 +1840,22 @@ def _ivfpq_rerank_topk(
     nprobe: int = N_PROBE,
     pool: int = RERANK_TOP,
     codes: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVFADC query path: PQ-rank the probed candidates, keep
     the top ``pool`` per query, exactly re-rank ONLY those by float
     cosine. Exact-distance evaluations per query drop from
     O(candidates) to O(pool). ``codes`` optionally serves the scan
-    from a stored (vec_id, cell, codes) index instead of re-encoding."""
+    from a stored (vec_id, cell, codes) index instead of re-encoding;
+    ``probes`` optionally shares a pre-built probe frame across arms."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     pooled = (
-        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes)
+        _ivfpq_candidates(qdf, centroids, cb, nprobe, codes=codes,
+                          probes=probes)
         .withColumn("_prk", F.row_number().over(w))
         .where(F.col("_prk") <= pool)
         .select("query_id", "neighbor_id")
@@ -1920,14 +1941,28 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_encode_residuals(_residual_frame(qdf, centroids), cb),
         "clustered_ann",
     )
+    # ONE probe-assignment pass shared by the adc and rerank arms
+    # (guide §7.2) — materialized before the fan-out so the concurrent
+    # broadcast builds don't race an unfilled cache.
+    probes = scoped_persist(
+        _ivfpq_probes(qdf, centroids), "clustered_ann"
+    )
+    probes.count()
     return _recall_rows(
         truth,
         [
             ("ivf_exact", _ivf_trained_topk(emb, qdf, centroids)),
-            ("ivfpq_adc", _ivfpq_adc_topk(qdf, centroids, cb, codes=codes)),
+            (
+                "ivfpq_adc",
+                _ivfpq_adc_topk(
+                    qdf, centroids, cb, codes=codes, probes=probes
+                ),
+            ),
             (
                 "ivfpq_rerank",
-                _ivfpq_rerank_topk(emb, qdf, centroids, cb, codes=codes),
+                _ivfpq_rerank_topk(
+                    emb, qdf, centroids, cb, codes=codes, probes=probes
+                ),
             ),
         ],
     )
@@ -2468,6 +2503,16 @@ def ann_recall_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bruteforce_topk(emb).select("query_id", "neighbor_id"),
         "clustered_ann",
     )
+    # ONE probe-assignment pass shared by both arms (guide §7.2): the
+    # (query_id, cell, qr) frame depends only on qdf+centroids, yet each
+    # arm's broadcast build used to recompute it — persist it once.
+    # Materialized eagerly for the same reason as _recall_rows' truth
+    # fill: both arms' broadcast-build jobs run concurrently and an
+    # unfilled cache would be raced and double-computed.
+    probes = scoped_persist(
+        _ivfpq_probes(qdf, centroids), "clustered_ann"
+    )
+    probes.count()
     return _recall_rows(
         truth,
         [
@@ -2478,6 +2523,7 @@ def ann_recall_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ivfpq_adc_topk(
                     qdf, centroids, seed_cb,
                     codes=_pq_encode_residuals(res, seed_cb),
+                    probes=probes,
                 ),
             ),
             (
@@ -2485,6 +2531,7 @@ def ann_recall_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ivfpq_adc_topk(
                     qdf, centroids, trained_cb,
                     codes=_pq_encode_residuals(res, trained_cb),
+                    probes=probes,
                 ),
             ),
         ],

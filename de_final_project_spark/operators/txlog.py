@@ -795,6 +795,28 @@ class VersionedTable:
             for v in range(from_version + 1, to_version + 1)
         ]
 
+    @staticmethod
+    def verify_insert_only_keys(spark: SparkSession) -> bool:
+        """Should insert-only fast paths RUNTIME-CHECK the unique-keyed
+        producer contract? The window_ops proof shows a feed window is
+        all-appends; that a new append never re-carries an existing KEY
+        is a producer contract the log cannot see. When this conf is on
+        (the default), consumers that skip the MERGE on an insert-only
+        window first run a column-pruned id semi-join against their
+        stored state and FAIL LOUDLY on a collision — a duplicate-key
+        append would otherwise silently duplicate index rows where the
+        old rewrite path upserted (VERDICT r12 item 4). Producers that
+        enforce key uniqueness upstream can turn the probe off; it
+        costs one key-column scan of the stored index per refresh."""
+        return (
+            str(
+                spark.conf.get(
+                    "spark.de_final_project.verifyInsertOnlyKeys", "true"
+                )
+            ).lower()
+            != "false"
+        )
+
     def _advance_checkpoint(self, version: int) -> None:
         """Move the advisory pointer forward (never backward — a slow
         writer must not regress it under a faster one; last-writer-wins

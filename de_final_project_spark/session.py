@@ -123,6 +123,43 @@ def loop_checkpoint(df, checkpoint_dir: str | None = None, eager: bool = True):
 import contextlib
 
 
+def run_concurrently(*thunks):
+    """Run INDEPENDENT driver-side actions (each firing its own Spark
+    jobs — e.g. staged commits on two different VersionedTables) from a
+    small thread pool, so the second action's tasks back-fill executors
+    freed by the first one's straggler tail instead of waiting for its
+    last task + commit protocol to finish (guide §2.6 — actions are only
+    sequential because driver code calls them sequentially).
+
+    Safety contract, checked by the callers not the helper: the thunks
+    must not share uncommitted state — here they commit to DIFFERENT
+    tables (separate log dirs, separate head CAS), read only persisted /
+    pinned-version inputs, and never mutate session conf. Concurrent
+    jobs schedule FIFO (earlier job first, later ones back-fill), which
+    is exactly the overlap wanted; job descriptions are thread-local so
+    UI labels stay correct. Returns results in thunk order; if any
+    thunk raises, every other thunk is still awaited (no half-run
+    commit left racing the caller) and the first error re-raises."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        results: list = []
+        first_err: BaseException | None = None
+        for f in futs:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 @contextlib.contextmanager
 def stream_state_partitions(spark, n_rows: int):
     """Size a stateful streaming query's shuffle (= state-store)

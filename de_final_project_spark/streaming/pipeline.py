@@ -655,16 +655,22 @@ def streamed_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     root = scratch_dir("stream_ndidx")
     src = os.path.join(root, "replay")
-    # Replay files written oldest-first (the file source orders by
-    # modification time); correctness does not depend on the order.
-    docs.where(F.col("doc_id") % 10 < 7).coalesce(1).write.parquet(
-        os.path.join(src, "a")
-    )
-    docs.where(F.col("doc_id") % 10 == 7).coalesce(1).write.parquet(
-        os.path.join(src, "b")
-    )
-    docs.where(F.col("doc_id") % 10 >= 8).coalesce(1).write.parquet(
-        os.path.join(src, "c")
+    # Replay batches land as three independent writes to disjoint
+    # subdirs; correctness does not depend on the batch order (verdict
+    # emission is order-independent, asserted by the oracle), so the
+    # three staging jobs run overlapped (guide §2.6).
+    from de_final_project_spark.session import run_concurrently
+
+    run_concurrently(
+        lambda: docs.where(F.col("doc_id") % 10 < 7)
+        .coalesce(1)
+        .write.parquet(os.path.join(src, "a")),
+        lambda: docs.where(F.col("doc_id") % 10 == 7)
+        .coalesce(1)
+        .write.parquet(os.path.join(src, "b")),
+        lambda: docs.where(F.col("doc_id") % 10 >= 8)
+        .coalesce(1)
+        .write.parquet(os.path.join(src, "c")),
     )
     bronze = VersionedTable(os.path.join(root, "documents"))
     idx = IncrementalNearDupIndex(bronze, root)

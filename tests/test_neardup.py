@@ -441,3 +441,38 @@ def test_insert_only_refresh_commits_append(spark, tmp_path):
         for x in fresh.index.read(spark).collect()
     }
     assert got == want
+
+
+def test_duplicate_key_append_fails_loudly(spark, tmp_path):
+    """r13 hardening (VERDICT r12 item 4): an insert-only window that
+    re-appends an EXISTING doc_id violates the unique-keyed producer
+    contract the MERGE-skip fast path rides — refresh must raise, never
+    silently duplicate band rows."""
+    import pytest
+
+    from de_final_project_spark.operators.neardup import (
+        IncrementalNearDupIndex,
+    )
+    from de_final_project_spark.operators.txlog import VersionedTable
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps high"), (2, "blue fox jumps low")],
+        "doc_id long, text string",
+    )
+    bronze = VersionedTable(str(tmp_path / "docs"))
+    bronze.overwrite(docs)
+    idx = IncrementalNearDupIndex(bronze, str(tmp_path / "nd"))
+    assert idx.refresh(spark)["mode"] == "build"
+    bronze.append(
+        spark.createDataFrame(
+            [(2, "blue fox jumps low again"), (3, "green fox")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="unique-keyed producer"):
+        idx.refresh(spark)
+    spark.conf.set("spark.de_final_project.verifyInsertOnlyKeys", "false")
+    try:
+        assert idx.refresh(spark)["mode"] == "delta"
+    finally:
+        spark.conf.unset("spark.de_final_project.verifyInsertOnlyKeys")

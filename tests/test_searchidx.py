@@ -261,3 +261,25 @@ def test_insert_only_refresh_commits_append(spark, setup):
     # postings for the new doc are served through the pointer list
     got = {r_.doc_id for r_ in idx.bm25_topk(spark, ("quasar",), 5).collect()}
     assert got == {11}
+
+
+def test_duplicate_key_append_fails_loudly(spark, tmp_path):
+    """r13 hardening (VERDICT r12 item 4): the insert-only fast path
+    rests on the unique-keyed producer contract — an append that
+    re-carries an EXISTING doc_id must raise, never silently duplicate
+    posting/doclen rows. With the probe conf off, the fast path is the
+    producer's responsibility again (documented escape hatch)."""
+    t = VersionedTable(str(tmp_path / "docs"))
+    t.overwrite(_docs(spark, [(1, "alpha beta"), (2, "beta gamma")]))
+    idx = IncrementalPostingIndex(t, str(tmp_path / "idx"))
+    assert idx.refresh(spark)["mode"] == "build"
+    # doc_id 2 already indexed: contract violation
+    t.append(_docs(spark, [(2, "beta gamma delta"), (3, "delta")]))
+    with pytest.raises(ValueError, match="unique-keyed producer"):
+        idx.refresh(spark)
+    # trusted-producer escape hatch: probe off -> no raise
+    spark.conf.set("spark.de_final_project.verifyInsertOnlyKeys", "false")
+    try:
+        assert idx.refresh(spark)["mode"] == "delta"
+    finally:
+        spark.conf.unset("spark.de_final_project.verifyInsertOnlyKeys")

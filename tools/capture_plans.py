@@ -1,4 +1,4 @@
-"""Capture `.explain("formatted")` for named queries into plans/r12/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
        python tools/capture_plans.py before incremental_bm25_search media_neardup
@@ -22,7 +22,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from de_final_project_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-OUT = "/root/repo/plans/r12"
+OUT = os.environ.get("PLANS_OUT", "/root/repo/plans/r13")
 
 
 def main() -> None:
