@@ -138,6 +138,33 @@ def _mat(col) -> "object":
     return np.stack([np.asarray(v, dtype="float64") for v in col])
 
 
+def _align_key_types(a: DataFrame, b: DataFrame, keys: list[str]):
+    """Cast both sides' key columns to one common type BEFORE a
+    cogroup. Spark's cogroup matches the two sides' groups WITHOUT
+    coercing key types: an ``int`` key on one side (e.g. a partition
+    column read back from hive dirs, inferred int32) and a ``bigint``
+    on the other silently land the SAME VALUE in two disjoint groups,
+    so one side's pdf arrives empty and pairs vanish — found live at
+    sf1 (r13): the SemDeDup index's cluster column reads back as int
+    while fresh assignments carry long, and 31 of 40 clusters lost
+    their stored side. Integral pairs widen to bigint; other mismatches
+    cast the b side to a's type (the caller's frames are id/cluster
+    keys — exact)."""
+    from pyspark.sql import functions as F
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    da, db = dict(a.dtypes), dict(b.dtypes)
+    for k in keys:
+        if da[k] == db[k]:
+            continue
+        target = "bigint" if {da[k], db[k]} <= integral else da[k]
+        if da[k] != target:
+            a = a.withColumn(k, F.col(k).cast(target))
+        if db[k] != target:
+            b = b.withColumn(k, F.col(k).cast(target))
+    return a, b
+
+
 def pair_dots_within(
     df: DataFrame,
     keys: list[str],
@@ -216,14 +243,16 @@ def pair_dots_update(
     pair_dots_between calls (pinned by test)."""
     import pandas as pd
 
+    # positional access + toDF re-projection: same analyzer hazards as
+    # pair_dots_between (shared-lineage cogroup sides). Key dtypes are
+    # ALIGNED first — see _align_key_types (sf1 finding).
+    stored = stored.select(*keys, id_col, vec_col)
+    new = new.select(*keys, id_col, vec_col)
+    stored, new = _align_key_types(stored, new, keys)
     schema = ", ".join(
         [f"`{k}` {dict(stored.dtypes)[k]}" for k in keys]
         + ["a_id bigint", "b_id bigint", "_dot double", "b_new boolean"]
     )
-    # positional access + toDF re-projection: same analyzer hazards as
-    # pair_dots_between (shared-lineage cogroup sides).
-    stored = stored.select(*keys, id_col, vec_col)
-    new = new.select(*keys, id_col, vec_col)
     id_pos, vec_pos = len(keys), len(keys) + 1
 
     def score(
@@ -293,17 +322,20 @@ def pair_dots_between(
     new × stored). Same exactness contract as pair_dots_within."""
     import pandas as pd
 
-    schema = ", ".join(
-        [f"`{k}` {dict(a.dtypes)[k]}" for k in keys]
-        + ["a_id bigint", "b_id bigint", "_dot double"]
-    )
     # Pin column POSITIONS: when the two sides share lineage (the
     # build-time self-probe), Spark's relation dedup re-suffixes one
     # side's attribute names before they reach the Python worker, so
     # name-based access breaks. Both sides are projected to the same
     # (keys..., id, vec) order here and read positionally in score().
+    # Key dtypes are ALIGNED first — see _align_key_types (sf1
+    # finding: an int-vs-bigint key silently splits every group).
     a = a.select(*keys, id_col, vec_col)
     b = b.select(*keys, id_col, vec_col)
+    a, b = _align_key_types(a, b, keys)
+    schema = ", ".join(
+        [f"`{k}` {dict(a.dtypes)[k]}" for k in keys]
+        + ["a_id bigint", "b_id bigint", "_dot double"]
+    )
     id_pos, vec_pos = len(keys), len(keys) + 1
 
     def score(key, apdf: "pd.DataFrame", bpdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -103,3 +103,32 @@ def test_gram_both_orientation_matches_fold(spark):
     # reverse: new earlier — the per-pair fold the old call used ran
     # A=new, B=stored; the shared Gram cell must equal it bit-for-bit
     np.testing.assert_array_equal(rd, _fold_dots(N, S, rb, ra, 6))
+
+
+def test_mismatched_key_dtypes_do_not_split_groups(spark):
+    """sf1 regression (r13): a cogroup does NOT coerce key types across
+    sides — an int key (a partition column read back from hive dirs)
+    vs a bigint key silently lands the same value in two disjoint
+    groups and one side's pdf arrives empty. The scorers must align
+    key dtypes before cogrouping."""
+    from pyspark.sql import functions as F
+
+    stored = spark.createDataFrame(
+        _vec_rows(5, [0, 2, 4, 6, 8]), _SCHEMA
+    ).withColumn("cluster", F.col("cluster").cast("int"))
+    new = spark.createDataFrame(_vec_rows(6, [1, 3, 5, 7, 9]), _SCHEMA)
+    both = stored.withColumn(
+        "cluster", F.col("cluster").cast("long")
+    ).unionByName(new)
+    want1 = _pairs(pair_dots_between(both, new, ["cluster"]))
+    want2 = _pairs(pair_dots_between(new, stored, ["cluster"]))
+    got = {
+        (r["a_id"], r["b_id"]): (r["_dot"], r["b_new"])
+        for r in pair_dots_update(stored, new, ["cluster"]).collect()
+    }
+    want = {k: (v, True) for k, v in want1.items()}
+    want.update({k: (v, False) for k, v in want2.items()})
+    assert got == want and len(got) > 0
+    # and the between-form itself must survive an int-vs-bigint pair
+    got2 = _pairs(pair_dots_between(new, stored, ["cluster"]))
+    assert got2 == want2
